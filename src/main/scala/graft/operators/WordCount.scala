@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.mr.MapReduce
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship workload — word count — with the reference's
+  * exact token semantics (`mr/word_count.h:22-31`): tokens are maximal
+  * runs of ASCII letters, case-sensitive, empties dropped
+  * (`run_demo.sh:16`), output key-sorted byte-order (`src/worker.cc:208`,
+  * `run_demo.sh:16` `LC_COLLATE=C` ≙ Spark UTF8_BINARY).
+  *
+  * Two implementations of the same semantics:
+  *  - `wordcount`: declarative (explode/groupBy/count) — Catalyst plans
+  *    partial+final hash aggregation, so only one partial count per word
+  *    per partition crosses the shuffle (the combiner the reference
+  *    lacks; at 100 TB this is the difference between shipping every
+  *    token and shipping the dictionary).
+  *  - `mr_wordcount`: built on the generic [[graft.mr.MapReduce]] typed
+  *    contract (`flatMap → groupByKey → mapGroups`) to prove the
+  *    reference's exact user API (reduce sees all values).
+  */
+object WordCount extends QueryModule {
+
+  private val tokenSplit = "[^A-Za-z]+"
+
+  def dataframeWordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), tokenSplit)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  def mrWordCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val texts = Tables.documents(s, d).select("text").as[String]
+    MapReduce.mapReduce[String, String, Int, (String, Long)](
+      texts,
+      text => text.split(tokenSplit).iterator.filter(_.nonEmpty).map(w => (w, 1)),
+      (word, ones) => (word, ones.map(_.toLong).sum)
+    ).toDF("word", "cnt").orderBy("word")
+  }
+
+  private val wcOracle =
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+      |  FROM documents)
+      |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordcount"    -> dataframeWordCount _,
+    "mr_wordcount" -> mrWordCount _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "wordcount"    -> wcOracle,
+    "mr_wordcount" -> wcOracle,
+  )
+}

@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     operators.WordCount,
     operators.Relational,
+    operators.ScalarFns,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

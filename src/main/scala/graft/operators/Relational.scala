@@ -45,8 +45,8 @@ object Relational extends QueryModule {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -89,7 +89,7 @@ object Relational extends QueryModule {
     orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total_spent"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spent"))
       .orderBy("c_custkey")
 
   /** TPC-H Q5-shaped: big facts joined, small dims broadcast. */
@@ -100,8 +100,8 @@ object Relational extends QueryModule {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
       .orderBy("r_name", "n_name")
 
   private def joinLeft(s: SparkSession, d: String): DataFrame =
@@ -160,7 +160,7 @@ object Relational extends QueryModule {
   private def cubeQ(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   // ---- set operations -------------------------------------------------
@@ -188,8 +188,8 @@ object Relational extends QueryModule {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rk", rank().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rk", rank().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -201,7 +201,8 @@ object Relational extends QueryModule {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"))
       .withColumn("running_total",
-        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
       .withColumn("prev_price", lag("o_totalprice", 1).over(w))
       .withColumn("next_price", lead("o_totalprice", 1).over(w))
       .withColumn("order_date", col("o_orderdate").cast("date"))
@@ -259,8 +260,8 @@ object Relational extends QueryModule {
     "rel_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -282,12 +283,12 @@ object Relational extends QueryModule {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_join_inner" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_spent
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "rel_join_multi" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -325,7 +326,7 @@ object Relational extends QueryModule {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "rel_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "rel_set_intersect" ->
@@ -350,8 +351,8 @@ object Relational extends QueryModule {
     "rel_window_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
         |  o_totalprice,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |    AS running_total,
         |  lag(o_totalprice, 1) OVER w AS prev_price,
         |  lead(o_totalprice, 1) OVER w AS next_price

@@ -1,0 +1,280 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.B scalar-function surface: string, date/time, math, JSON,
+  * and array functions, plus the grep/inverted-index workloads from the
+  * MapReduce paper's motivating set, and batch event-time windowing
+  * (tumbling / sliding / session) over the `events` table.
+  *
+  * All functions used are codegen'd Catalyst built-ins
+  * (`org.apache.spark.sql.functions`) — no UDFs — so every query stays
+  * inside whole-stage codegen and pushes filters/pruning to the scan.
+  */
+object ScalarFns extends QueryModule {
+
+  import Tables._
+
+  // ---- string functions (reference grounding: isalpha tokenization,
+  // mr/word_count.h:22-26 — the full fn surface generalizes it) --------
+
+  private def stringFns(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lname"),
+      upper(col("p_brand")).as("ubrand"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      trim(col("p_name")).as("tname"),
+      regexp_extract(col("p_name"), "[a-z]+", 0).as("first_lower_run"),
+      regexp_replace(col("p_type"), "[aeiou]", "_").as("devowel"),
+      instr(col("p_name"), "a").cast("long").as("a_pos"),
+      lpad(col("p_brand"), 12, "#").as("padded"),
+      reverse(col("p_brand")).as("rbrand"))
+      .orderBy("p_partkey")
+
+  // ---- date / time functions ------------------------------------------
+
+  private def dateFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      last_day(col("o_orderdate")).as("month_end"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      col("o_orderdate").cast("timestamp").cast("long").as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  private def dateAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("month")
+
+  // ---- math functions -------------------------------------------------
+
+  private def mathFns(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      // price (2dp) × (1+tax) (2dp) is exact at 4 decimals — rounding at 4
+      // has no half-way boundary, so Spark and DuckDB agree bit-for-bit.
+      round(col("l_extendedprice") * (lit(1) + col("l_tax")), 4).as("gross"),
+      round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+      round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+      round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+      round(log(col("l_extendedprice")), 6).as("price_ln"),
+      floor(col("l_extendedprice")).as("price_floor"),
+      ceil(col("l_extendedprice")).as("price_ceil"),
+      (col("l_linenumber") % 3).as("ln_mod3"),
+      greatest(col("l_discount"), col("l_tax")).as("max_rate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- JSON (events.props is a JSON string fixture) -------------------
+
+  private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy("event_id")
+
+  private def jsonAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("k_sum"),
+        round(avg(get_json_object(col("props"), "$.k").cast("int")), 4).as("k_avg"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // ---- array / higher-order functions (embeddings) --------------------
+
+  private def arrayFns(s: SparkSession, d: String): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+      round(aggregate(embD, lit(0.0), (acc, x) => acc + x), 4).as("esum"),
+      round(sqrt(aggregate(embD, lit(0.0), (acc, x) => acc + x * x)), 4).as("enorm"),
+      round(array_max(col("embedding")).cast("double"), 6).as("emax"),
+      round(array_min(col("embedding")).cast("double"), 6).as("emin"),
+      size(filter(col("embedding"), x => x > 0.0f)).cast("long").as("n_pos"))
+      .orderBy("vec_id")
+  }
+
+  // ---- grep (MapReduce paper workload) --------------------------------
+
+  private def grep(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("text").rlike("hash join|window"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  // ---- inverted index (MapReduce paper workload) ----------------------
+
+  private def invertedIndex(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        concat_ws(",",
+          transform(array_sort(collect_set(col("doc_id"))),
+            x => x.cast("string"))).as("doc_list"))
+      .orderBy("word")
+
+  // ---- batch event-time windows (events.ts, ns-unit timestamp) --------
+
+  /** Tumbling 1-hour windows. At scale this is a single hash aggregation
+    * keyed by (bucket, type) — no per-window state, fully parallel.
+    */
+  private def eventTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .select(col("w.start").cast("long").as("bucket"), col("event_type"),
+        col("n"), col("value_sum"))
+      .orderBy("bucket", "event_type")
+
+  /** Sliding 1-hour windows every 30 min — each event lands in 2 windows. */
+  private def eventSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .select(col("w.start").cast("long").as("bucket"), col("n"), col("value_sum"))
+      .orderBy("bucket")
+
+  /** Session windows per user, 30-minute inactivity gap. Spark merges
+    * events where the gap is strictly < 30 min; the oracle reproduces
+    * that with a gaps-and-islands lag() (break on gap >= 30 min).
+    */
+  private def eventSession(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+        col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start")
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string"        -> stringFns _,
+    "fn_date"          -> dateFns _,
+    "fn_date_agg"      -> dateAgg _,
+    "fn_math"          -> mathFns _,
+    "fn_json"          -> jsonExtract _,
+    "fn_json_agg"      -> jsonAgg _,
+    "fn_array"         -> arrayFns _,
+    "grep"             -> grep _,
+    "inverted_index"   -> invertedIndex _,
+    "event_tumbling"   -> eventTumbling _,
+    "event_sliding"    -> eventSliding _,
+    "event_session"    -> eventSession _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lname, upper(p_brand) AS ubrand,
+        |  length(p_name) AS name_len, substring(p_type, 1, 5) AS type5,
+        |  concat_ws('-', p_brand, p_type) AS brand_type, trim(p_name) AS tname,
+        |  coalesce(regexp_extract(p_name, '[a-z]+'), '') AS first_lower_run,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devowel,
+        |  strpos(p_name, 'a') AS a_pos,
+        |  lpad(p_brand, 12, '#') AS padded, reverse(p_brand) AS rbrand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  epoch(o_orderdate)::BIGINT AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_date_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 + l_tax), 4) AS gross,
+        |  round(abs(l_discount - 0.05), 4) AS disc_dev,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  round(pow(l_quantity, 2), 2) AS qty_sq,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  l_linenumber % 3 AS ln_mod3,
+        |  greatest(l_discount, l_tax) AS max_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id, event_type,
+        |  json_extract(props, '$.k')::INTEGER AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_json_agg" ->
+      """SELECT event_type,
+        |  sum(json_extract(props, '$.k')::INTEGER)::BIGINT AS k_sum,
+        |  round(avg(json_extract(props, '$.k')::INTEGER), 4) AS k_avg,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  round(embedding[1]::DOUBLE, 6) AS e1,
+        |  round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS esum,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS enorm,
+        |  round(list_max(embedding)::DOUBLE, 6) AS emax,
+        |  round(list_min(embedding)::DOUBLE, 6) AS emin,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "grep" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE regexp_matches(text, 'hash join|window')
+        |ORDER BY doc_id""".stripMargin,
+    "inverted_index" ->
+      """SELECT word, count(DISTINCT doc_id) AS n_docs,
+        |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_list
+        |FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^a-z]+')) AS word
+        |  FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "event_tumbling" ->
+      """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,
+        |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "event_sliding" ->
+      """SELECT epoch(bucket)::BIGINT AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS bucket, value
+        |  FROM events)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "event_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

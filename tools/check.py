@@ -64,6 +64,13 @@ def main():
             print(f"FAIL {name}: column mismatch oracle={o_cols} spark={g_cols}")
             n_bad += 1
             continue
+        dt_diff = [
+            (c, str(oracle[c].dtype), str(got[c].dtype))
+            for c in o_cols
+            if str(oracle[c].dtype) != str(got[c].dtype)
+        ]
+        if dt_diff:
+            print(f"WARN {name}: dtype mismatch {dt_diff}")
         o_rows = [norm_row(r) for r in oracle[o_cols].itertuples(index=False)]
         g_rows = [norm_row(r) for r in got[g_cols].itertuples(index=False)]
         if len(o_rows) != len(g_rows):

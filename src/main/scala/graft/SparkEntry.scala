@@ -16,6 +16,10 @@ object SparkEntry {
     operators.WordCount,
     operators.Relational,
     operators.ScalarFns,
+    operators.Dedup,
+    operators.TextAnalysis,
+    operators.Similarity,
+    operators.Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

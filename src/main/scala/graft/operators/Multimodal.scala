@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, processed in partition-parallel batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (see [[FakeDecoder]]); everything
+  * Spark-side — the schema (binary + metadata struct), the
+  * `mapPartitions` batch shape, partitioning, and the metadata-only
+  * fast path that never touches payload bytes — is real and tested.
+  *
+  * Scale notes: payloads stay columnar in parquet and are only
+  * materialized inside the partition iterator (no driver collect, no
+  * per-row task). Metadata-only queries (mm_meta) prune the payload
+  * column entirely — the scan reads just the small columns, which is the
+  * core trick for 100 TB multimodal tables.
+  */
+object Multimodal extends QueryModule {
+
+  import Tables._
+
+  /** Synthesize a media table from documents: payload = UTF-8 bytes of
+    * text (stand-in for image/audio bytes), plus typed metadata.
+    */
+  private def mediaTable(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        col("source"),
+        col("lang"),
+        col("n_chars").as("orig_size"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  // ---- metadata + payload digests (oracle-checked) --------------------
+
+  /** Column-pruned metadata scan + cheap payload digests — no decode. */
+  private def mmMeta(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("media_id"),
+      col("meta.source").as("source"),
+      col("meta.mime").as("mime"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      substring(hex(col("payload")), 1, 16).as("head_hex"),
+      md5(col("payload")).as("payload_md5"))
+      .orderBy("media_id")
+
+  private val mmMetaOracle =
+    """SELECT doc_id AS media_id, source, 'text/plain' AS mime,
+      |  octet_length(CAST(text AS BLOB))::BIGINT AS n_bytes,
+      |  substr(hex(CAST(text AS BLOB)), 1, 16) AS head_hex,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- batched decode / feature extraction (STUB decode) --------------
+
+  /** STUB: a real pipeline would decode image/audio bytes here (PIL/
+    * ffmpeg/torchvision equivalents are not in this container). The fake
+    * is deterministic in the payload bytes so the plumbing is testable:
+    * "width/height" from leading bytes, "brightness" = mean byte value.
+    */
+  object FakeDecoder {
+    final case class Features(
+        width: Int, height: Int, channels: Int, brightness: Double)
+
+    def decode(payload: Array[Byte]): Features = {
+      val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+      val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+      val mean =
+        if (payload.isEmpty) 0.0
+        else payload.iterator.map(b => (b & 0xff).toDouble).sum / payload.length
+      Features(16 + b0 % 64, 16 + b1 % 64, 3, mean)
+    }
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("brightness", DoubleType)))
+
+  /** Partition-parallel batch decode via mapPartitions: one decoder
+    * instance per partition (where a real codec would be initialized
+    * once), iterator-in/iterator-out so rows stream without
+    * materializing the partition. No DuckDB oracle (imperative decode)
+    * — driver records a rows-only check.
+    */
+  private def mmFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = mediaTable(s, d).select("media_id", "payload")
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(featureSchema)
+    media.mapPartitions { rows =>
+      // real pipeline: initialize codec / model session here, once
+      rows.map { r =>
+        val f = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), f.width, f.height, f.channels, f.brightness)
+      }
+    }(enc).orderBy("media_id")
+  }
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta"     -> mmMeta _,
+    "mm_features" -> mmFeatures _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" -> mmMetaOracle,
+  )
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: token counting, quality
+  * scoring, language ID (stopword heuristic), document fingerprinting,
+  * and tf-idf.
+  *
+  * Scale notes: every per-document metric is a narrow projection — one
+  * pass over the text column, no shuffle (the orderBy exists only for
+  * oracle determinism; a pipeline would drop it). tf-idf is two hash
+  * aggregations (term counts, document frequencies) and a broadcast of
+  * the tiny df side at 100 TB vocab sizes; ranking is a bounded window
+  * per document.
+  */
+object TextAnalysis extends QueryModule {
+
+  import Tables._
+
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("words", expr("filter(split(text, '[^a-z]+'), x -> x <> '')"))
+
+  private val wordsCte =
+    """docs AS (
+      |  SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS words
+      |  FROM documents)""".stripMargin
+
+  // ---- token counting -------------------------------------------------
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("long").as("n_ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long").as("n_alpha_tokens"),
+      // BPE-ish pre-tokenizer: letter runs, digit runs, single symbols
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  // ---- quality scoring ------------------------------------------------
+
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in").map(w => s"'$w'").mkString(", ")
+    withWords(documents(s, d))
+      .withColumn("n_words", expr("size(words)").cast("long"))
+      .withColumn("n_alpha_chars",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(words, w -> w IN ($stop)))").cast("long"))
+      .withColumn("avg_word_len",
+        round(col("n_alpha_chars").cast("double") / col("n_words"), 6))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_words"), 6))
+      .withColumn("space_ratio",
+        round((length(col("text")) - col("n_alpha_chars")).cast("double") /
+          length(col("text")), 6))
+      .withColumn("quality_score",
+        round(least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2, 6))
+      .select("doc_id", "n_words", "avg_word_len", "stop_ratio",
+        "space_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val qualityOracle =
+    s"""WITH $wordsCte,
+       |m AS (
+       |  SELECT doc_id,
+       |    len(words)::BIGINT AS n_words,
+       |    length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha_chars,
+       |    len(list_filter(words, w -> w IN ('the','a','and','of','to','in')))::BIGINT AS n_stop,
+       |    length(text) AS n_chars0
+       |  FROM docs)
+       |SELECT doc_id, n_words,
+       |  round(n_alpha_chars::DOUBLE / n_words, 6) AS avg_word_len,
+       |  round(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
+       |  round((n_chars0 - n_alpha_chars)::DOUBLE / n_chars0, 6) AS space_ratio,
+       |  round(least(n_words::DOUBLE / 100.0, 1.0) * 0.5 +
+       |    (1.0 - round(n_stop::DOUBLE / n_words, 6)) * 0.3 +
+       |    least(round(n_alpha_chars::DOUBLE / n_words, 6) / 10.0, 1.0) * 0.2, 6)
+       |    AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- language ID (stopword-profile heuristic) -----------------------
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "y", "los", "de", "es"))
+
+  private def langid(s: SparkSession, d: String): DataFrame = {
+    val scored = langProfiles.foldLeft(withWords(documents(s, d))) {
+      case (df, (lang, stops)) =>
+        val set = stops.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"s_$lang",
+          expr(s"size(filter(words, w -> w IN ($set)))").cast("long"))
+    }
+    scored
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .select("doc_id", "lang", "s_en", "s_de", "s_fr", "s_es", "predicted")
+      .orderBy("doc_id")
+  }
+
+  private val langidOracle = {
+    val scores = langProfiles.map { case (lang, stops) =>
+      val set = stops.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(words, w -> w IN ($set)))::BIGINT AS s_$lang"
+    }.mkString(",\n    ")
+    s"""WITH $wordsCte,
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM docs)
+       |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+       |  CASE
+       |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |    WHEN s_fr >= s_es THEN 'fr'
+       |    ELSE 'es' END AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- document fingerprinting ----------------------------------------
+
+  /** Whitespace-normalized content hash + min-k-gram rolling fingerprint
+    * (winnowing-style: the min md5 over all 8-char grams).
+    */
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("norm",
+        expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fp_norm"),
+        expr("""array_min(transform(sequence(1, greatest(length(norm)-7, 1)),
+            i -> md5(substr(norm, i, 8))))""").as("fp_min_gram"))
+      .orderBy("doc_id")
+
+  private val fingerprintOracle =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS fp_norm,
+      |  list_min(list_transform(range(greatest(length(norm)-7, 1)),
+      |    i -> md5(substr(norm, i+1, 8)))) AS fp_min_gram
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---- tf-idf ---------------------------------------------------------
+
+  /** Top-3 tf-idf terms per document. Ranking uses the rounded score so
+    * both engines order identically despite last-ulp ln() differences.
+    */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val nDocs = docs.select(countDistinct("doc_id").as("nd"))
+    val tok = withWords(docs).select(col("doc_id"), explode(col("words")).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val dl = tf.groupBy("doc_id").agg(sum("c").as("dlen"))
+    val dfreq = tok.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round((col("c").cast("double") / col("dlen")) *
+          log(col("nd").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "word", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val tfidfOracle =
+    s"""WITH $wordsCte,
+       |tok AS (SELECT doc_id, unnest(words) AS word FROM docs),
+       |tf AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(c) AS dlen FROM tf GROUP BY 1),
+       |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.word,
+       |    round((tf.c::DOUBLE / dl.dlen) * ln(n.nd::DOUBLE / dfreq.df), 6) AS score
+       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN dfreq ON tf.word = dfreq.word, n),
+       |ranked AS (
+       |  SELECT doc_id, word, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, rnk, word, score FROM ranked
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> tokens _,
+    "text_quality"     -> quality _,
+    "text_langid"      -> langid _,
+    "text_fingerprint" -> fingerprint _,
+    "text_tfidf"       -> tfidf _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_alpha_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens,
+        |  length(text)::BIGINT AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality"     -> qualityOracle,
+    "text_langid"      -> langidOracle,
+    "text_fingerprint" -> fingerprintOracle,
+    "text_tfidf"       -> tfidfOracle,
+  )
+}

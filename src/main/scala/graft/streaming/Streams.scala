@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's event operators.
+  *
+  * The reference is strictly batch (hard map→reduce barrier,
+  * `src/master.cc:160-168`); these are the streaming superset a
+  * Spark-native engine adds: the same windowed aggregations as
+  * `ScalarFns.event_*` expressed over an unbounded source with
+  * watermark-bounded state, plus an explicit `flatMapGroupsWithState`
+  * operator for custom session state.
+  *
+  * Scale notes: state is keyed by (window/user) and partitioned by the
+  * same hash shuffle as the batch aggregations; the watermark bounds
+  * state size — without it a 100 TB/day stream accumulates state without
+  * limit. Sinks use append mode so downstream consumers see only
+  * finalized windows.
+  *
+  * Input contract: a streaming DataFrame with the `events` schema
+  * (ts: timestamp, user_id: long, event_type: string, value: double) —
+  * from `spark.readStream.parquet(dir)`, Kafka, or a MemoryStream (tests).
+  */
+object Streams {
+
+  /** Tumbling 1-hour counts per event type; 2-hour watermark for late data. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Sliding windows (1 hour every 30 min). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+
+  /** Built-in session windows per user (30-minute gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming exact dedup on a key with watermark-bounded state — the
+    * streaming form of Dedup.exactKeep.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(keyCols :+ "ts")
+
+  // ---- custom state: flatMapGroupsWithState --------------------------
+
+  final case class Event(ts: java.sql.Timestamp, userId: Long,
+      eventType: String, value: Double)
+  final case class UserSessionState(nEvents: Long, valueSum: Double,
+      lastTs: Long)
+  final case class SessionOut(userId: Long, nEvents: Long, valueSum: Double,
+      closed: Boolean)
+
+  /** Custom sessionization: emits a SessionOut when a user's session
+    * closes via processing-time timeout (the shape a real pipeline uses
+    * for per-entity rolling state Spark's built-ins can't express).
+    */
+  def statefulSessions(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[UserSessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.nEvents, s.valueSum, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val init = state.getOption.getOrElse(UserSessionState(0L, 0.0, 0L))
+            var (n, v, last) = (init.nEvents, init.valueSum, init.lastTs)
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              if (last != 0L && e.ts.getTime - last > gapMs) {
+                closed += SessionOut(userId, n, v, closed = true)
+                n = 0L; v = 0.0
+              }
+              n += 1; v += e.value; last = e.ts.getTime
+            }
+            state.update(UserSessionState(n, v, last))
+            state.setTimeoutDuration(gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming driven synchronously via MemoryStream + memory
+  * sink (SURVEY §2.B streaming row).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling watermark aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.tumblingCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("tumble_out").start()
+    try {
+      input.addData(
+        (ts(5), 1L, "click", 1.0), (ts(10), 2L, "click", 2.0),
+        (ts(40), 1L, "view", 3.0))
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; push the
+      // watermark far ahead to close the 10:00 window
+      input.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 9L, "late", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("tumble_out")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(out == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops in-window duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.dedupStream(events, Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      input.addData(
+        (ts(1), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0),
+        (ts(2), 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.statefulSessions(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      // two bursts 30 min apart -> first session closes when the second
+      // batch arrives (event-time gap logic inside the state fn)
+      input.addData(Streams.Event(ts(0), 1L, "click", 1.0),
+        Streams.Event(ts(2), 1L, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(ts(40), 1L, "click", 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[Streams.SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head.nEvents == 2 && closed.head.valueSum == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming session_window aggregation runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.sessionCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("swin_out").start()
+    try {
+      input.addData((ts(0), 1L, "a", 1.0), (ts(5), 1L, "a", 1.0),
+        (ts(50), 1L, "a", 1.0))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 15:00:00"), 2L, "a", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("swin_out")
+        .filter(col("user_id") === 1L).select("n_events")
+        .as[Long].collect().sorted.toSeq
+      assert(sessions == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}

@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// One shared SparkSession across suites (SparkSpec) — run suites
+// sequentially so concurrent streaming/batch jobs don't race on the
+// local[4] scheduler (seen: a lost streaming micro-batch job hanging
+// processAllAvailable under parallel suite execution).
+Test / parallelExecution := false

@@ -13,14 +13,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    import org.apache.spark.sql.functions._
+    // JIT/codegen warmup: touch the vectorized parquet reader, hash
+    // aggregation, window exec, regex/md5 and higher-order-function
+    // codepaths once so the first timed query doesn't pay compiler
+    // warmup (round 1's first queries showed 3-5s of it).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(2000)
+    docs.select(md5(col("text")).as("h"),
+        expr("size(filter(split(text, '[^a-z]+'), x -> x <> ''))").as("n"))
+      .groupBy("h").agg(sum("n")).count()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(50000)
+    li.groupBy("l_returnflag").agg(sum("l_quantity"), countDistinct("l_partkey")).count()
+    li.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_orderkey"))).count()
+    // Timed runs: materialize through the noop sink — count() would let
+    // Catalyst prune sorts and unreferenced columns, under-measuring.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,7 +15,9 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     operators.WordCount,
     operators.Relational,
+    operators.RelationalExt,
     operators.ScalarFns,
+    operators.Sources,
     operators.Dedup,
     operators.TextAnalysis,
     operators.Similarity,

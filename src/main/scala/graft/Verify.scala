@@ -29,6 +29,13 @@ object Verify {
             f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // A stale result dir from a previous run must not survive a
+          // failure — the driver's compare would silently pass on it.
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
         }
       }
     }

@@ -1,5 +1,7 @@
 package graft.mr
 
+import scala.reflect.ClassTag
+
 import org.apache.spark.sql.{Dataset, Encoder}
 
 /** The reference's generic user contract, Spark-native.
@@ -28,19 +30,32 @@ object MapReduce {
 
   /** Exact reference contract: reduce sees ALL values of a key at once.
     * Use when `reduce` is not an associative+commutative fold.
+    *
+    * `numPartitions` is the reference's compile-time R reduce-task knob
+    * (`CMakeLists.txt:43-45`): when set, the reduce stage runs with
+    * exactly that many hash partitions. The Dataset `groupByKey` API has
+    * no partitioner parameter (it always shuffles to
+    * `spark.sql.shuffle.partitions`), so that path drops to the RDD
+    * `groupByKey(n)` — the one place this engine uses RDDs, precisely
+    * because the capability (an explicit R) is per-job, not per-session.
     */
   def mapReduce[I, K, V, O: Encoder](
       input: Dataset[I],
       mapFn: I => IterableOnce[(K, V)],
       reduceFn: (K, Iterator[V]) => O,
       numPartitions: Option[Int] = None
-  )(implicit kEnc: Encoder[K], kvEnc: Encoder[(K, V)]): Dataset[O] = {
+  )(implicit kEnc: Encoder[K], kvEnc: Encoder[(K, V)],
+    kTag: ClassTag[K], vTag: ClassTag[V], oTag: ClassTag[O]): Dataset[O] = {
     val mapped = input.flatMap(mapFn)
-    val grouped = numPartitions match {
-      case Some(n) => mapped.repartition(n, mapped("_1")).groupByKey(_._1)
-      case None    => mapped.groupByKey(_._1)
+    numPartitions match {
+      case Some(n) =>
+        val reduced = mapped.rdd
+          .groupByKey(n)
+          .map { case (k, vs) => reduceFn(k, vs.iterator) }
+        input.sparkSession.createDataset(reduced)
+      case None =>
+        mapped.groupByKey(_._1).mapGroups((k, vs) => reduceFn(k, vs.map(_._2)))
     }
-    grouped.mapGroups((k, vs) => reduceFn(k, vs.map(_._2)))
   }
 
   /** Monoid-fold variant with map-side partial aggregation (the combiner

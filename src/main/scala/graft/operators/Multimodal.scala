@@ -103,14 +103,46 @@ object Multimodal extends QueryModule {
     }(enc).orderBy("media_id")
   }
 
+  // ---- frame sampling (video-style chunked payload access) ------------
+
+  /** Split each payload into fixed 256-byte frames and keep every 4th —
+    * the frame-sampling access pattern for video/audio payloads (seek to
+    * byte ranges, hash/extract per frame), expressed columnar: the slice
+    * + digest runs per-row inside codegen, no UDF, no full-payload
+    * explode before the sample filter. Oracle: payloads are ASCII text
+    * bytes here, so byte slices == char slices in DuckDB.
+    */
+  private def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("media_id"),
+        posexplode(expr(
+          """transform(sequence(0, greatest((length(payload)-1) div 256, 0)),
+            |  i -> md5(substring(payload, i*256+1, 256)))""".stripMargin))
+          .as(Seq("frame_idx", "frame_md5")))
+      .filter(col("frame_idx") % 4 === 0)
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .orderBy("media_id", "frame_idx")
+
+  private val mmFrameSampleOracle =
+    """SELECT media_id, frame_idx, frame_md5 FROM (
+      |  SELECT doc_id AS media_id,
+      |    unnest(range(greatest((length(text)-1) // 256, 0) + 1)) AS frame_idx,
+      |    unnest(list_transform(range(greatest((length(text)-1) // 256, 0) + 1),
+      |      i -> md5(substr(text, i*256+1, 256)))) AS frame_md5
+      |  FROM documents)
+      |WHERE frame_idx % 4 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta"     -> mmMeta _,
-    "mm_features" -> mmFeatures _,
+    "mm_meta"        -> mmMeta _,
+    "mm_features"    -> mmFeatures _,
+    "mm_framesample" -> mmFrameSample _,
   )
 
   val oracles: Map[String, String] = Map(
-    "mm_meta" -> mmMetaOracle,
+    "mm_meta"        -> mmMetaOracle,
+    "mm_framesample" -> mmFrameSampleOracle,
   )
 }

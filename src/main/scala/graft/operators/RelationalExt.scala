@@ -1,0 +1,306 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second wave of the SURVEY §2.B relational surface: outer/cross joins,
+  * explicit grouping sets, the full window-frame toolbox, exact
+  * statistical aggregates, percentiles, an as-of join, and a
+  * skew-immune salted aggregation.
+  *
+  * Determinism notes:
+  *  - statistical aggregates (stddev/var/corr/covar) are DERIVED from
+  *    exact DECIMAL power sums and computed with an identical double
+  *    formula in both engines — built-in stddev_samp would accumulate
+  *    doubles in partition order and drift from DuckDB in the last ulps;
+  *  - percentiles use l_quantity (integer-valued doubles), where linear
+  *    interpolation at k/4 quantiles is exact in binary regardless of
+  *    each engine's interpolation formula;
+  *  - the as-of join is implemented scale-out (union + per-key ordered
+  *    window carry-forward, the standard Spark formulation) and checked
+  *    against DuckDB's native ASOF LEFT JOIN.
+  */
+object RelationalExt extends QueryModule {
+
+  import Tables._
+
+  // ---- full outer / cross joins ---------------------------------------
+
+  /** Full outer: nations (a filtered subset) vs per-nation supplier
+    * rollup — exercises both null sides.
+    */
+  private def joinFull(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).filter(col("n_nationkey") >= 5)
+      .select(col("n_nationkey"), col("n_name"))
+    val sa = supplier(s, d).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+    n.join(sa, col("n_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("n_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("n_name"), col("n_supp"), col("total_bal"))
+      .orderBy("nationkey")
+  }
+
+  private val joinFullOracle =
+    """SELECT coalesce(n_nationkey, s_nationkey) AS nationkey, n_name,
+      |  n_supp, total_bal
+      |FROM (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 5) n
+      |FULL OUTER JOIN (
+      |  SELECT s_nationkey, count(*) AS n_supp,
+      |    CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |  FROM supplier GROUP BY s_nationkey) sa
+      |ON n_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  private def joinCross(s: SparkSession, d: String): DataFrame =
+    region(s, d).select(col("r_name"))
+      .crossJoin(customer(s, d).select(col("c_mktsegment")).distinct())
+      .orderBy("r_name", "c_mktsegment")
+
+  private val joinCrossOracle =
+    """SELECT r_name, c_mktsegment
+      |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+      |ORDER BY r_name, c_mktsegment""".stripMargin
+
+  // ---- explicit grouping sets -----------------------------------------
+
+  private def groupingSetsQ(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val groupingSetsOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---- window frames: ntile / percent_rank / cume_dist / nth_value ----
+
+  private def windowFrames(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("top_price", first(col("o_totalprice")).over(w))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+      .withColumn("bottom_price", last(col("o_totalprice")).over(wFull))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val windowFramesOracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  first_value(o_totalprice) OVER w AS top_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  last_value(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- exact statistical aggregates -----------------------------------
+
+  /** stddev/var/corr/covar from exact decimal power sums: the decimal
+    * aggregation is order-independent (so partition-parallel safe), and
+    * the closed-form double arithmetic is written identically in both
+    * engines — bit-for-bit reproducible, unlike built-in double
+    * accumulators.
+    */
+  private def aggStats(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("decimal(18,2)")
+    val p = col("l_extendedprice").cast("decimal(18,2)")
+    val nD = col("n").cast("double")
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(q * q).cast("double").as("sxx"),
+        sum(p).cast("double").as("sp"),
+        sum(p * p).cast("double").as("spp"),
+        sum(q * p).cast("double").as("sxp"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round((col("sxx") - col("sx") * col("sx") / nD) / (nD - 1), 6).as("var_qty"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - 1)), 6).as("stddev_qty"),
+        round((col("sxp") - col("sx") * col("sp") / nD) / (nD - 1), 6).as("covar_qp"),
+        round((nD * col("sxp") - col("sx") * col("sp")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+            sqrt(nD * col("spp") - col("sp") * col("sp"))), 6).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  private val aggStatsOracle =
+    """WITH sums AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxp
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) AS var_qty,
+      |  round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_qty,
+      |  round((sxp - sx * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) AS covar_qp,
+      |  round((CAST(n AS DOUBLE) * sxp - sx * sp) /
+      |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+      |     sqrt(CAST(n AS DOUBLE) * spp - sp * sp)), 6) AS corr_qp
+      |FROM sums ORDER BY l_returnflag""".stripMargin
+
+  // ---- exact percentiles ----------------------------------------------
+
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        min("l_quantity").as("qmin"),
+        max("l_quantity").as("qmax"))
+      .orderBy("l_returnflag")
+
+  private val percentilesOracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  min(l_quantity) AS qmin, max(l_quantity) AS qmax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- as-of join ------------------------------------------------------
+
+  /** For every event, the most recent per-day order rollup of the same
+    * key at or before the event time. Spark-side: union the two streams,
+    * carry order attributes forward with a per-key ordered window (the
+    * scalable as-of formulation — one shuffle on the key, no range
+    * cross-product); oracle-side: DuckDB's native ASOF LEFT JOIN.
+    */
+  private def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"))
+    // per-(key, day) order rollup → unique asof key, deterministic payload
+    val od = orders(s, d)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("day_total"))
+      // at scale: don't carry order-keys that can never match an event
+      .join(ev.select("k").distinct(), Seq("k"), "left_semi")
+    val tagged = od
+      .select(col("k"), col("t"), lit(0).as("is_event"), lit(nulledLong).as("event_id"),
+        col("t").as("ord_day"), col("n_orders"), col("day_total"))
+      .unionByName(ev.select(col("k"), col("t"), lit(1).as("is_event"), col("event_id"),
+        lit(nulledTs).as("ord_day"), lit(nulledLong2).as("n_orders"),
+        lit(nulledDouble).as("day_total")))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_ord_day", last(col("ord_day"), ignoreNulls = true).over(w))
+      .withColumn("last_n_orders", last(col("n_orders"), ignoreNulls = true).over(w))
+      .withColumn("last_day_total", last(col("day_total"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("t").cast("long").as("ts_s"),
+        col("last_ord_day").cast("date").as("last_order_day"),
+        col("last_n_orders").as("n_orders"),
+        col("last_day_total").as("day_total"))
+      .orderBy("event_id")
+  }
+
+  // typed NULL literals for the union's padding columns
+  private def nulledLong = expr("CAST(NULL AS BIGINT)")
+  private def nulledLong2 = expr("CAST(NULL AS BIGINT)")
+  private def nulledTs = expr("CAST(NULL AS TIMESTAMP)")
+  private def nulledDouble = expr("CAST(NULL AS DOUBLE)")
+
+  private val asofOracle =
+    """WITH od AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, floor(epoch(e.ts))::BIGINT AS ts_s,
+      |  CAST(od.t AS DATE) AS last_order_day, od.n_orders, od.day_total
+      |FROM events e ASOF LEFT JOIN od
+      |  ON e.user_id = od.k AND e.ts >= od.t
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---- salted (skew-immune) aggregation --------------------------------
+
+  /** Two-stage aggregation: stage 1 fans the hot keys across SALT
+    * buckets (shuffle key = (group, salt)), stage 2 merges the partial
+    * decimal sums. Result is identical to a direct groupBy — the oracle
+    * IS the direct form — while no single reducer ever sees a whole hot
+    * key at scale. (Spark's partial aggregation covers uniform load;
+    * explicit salting is the pattern for pathological key skew.)
+    */
+  private def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    val SALT = 16
+    lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(SALT)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("pp"))
+      .groupBy("l_returnflag")
+      .agg(sum("pn").as("n"),
+        sum("pq").cast("double").as("sum_qty"),
+        sum("pp").cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val saltedAggOracle =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_join_full"     -> joinFull _,
+    "rel_join_cross"    -> joinCross _,
+    "rel_grouping_sets" -> groupingSetsQ _,
+    "rel_window_frames" -> windowFrames _,
+    "rel_agg_stats"     -> aggStats _,
+    "rel_percentile"    -> percentiles _,
+    "rel_asof_join"     -> asofJoin _,
+    "rel_salted_agg"    -> saltedAgg _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_join_full"     -> joinFullOracle,
+    "rel_join_cross"    -> joinCrossOracle,
+    "rel_grouping_sets" -> groupingSetsOracle,
+    "rel_window_frames" -> windowFramesOracle,
+    "rel_agg_stats"     -> aggStatsOracle,
+    "rel_percentile"    -> percentilesOracle,
+    "rel_asof_join"     -> asofOracle,
+    "rel_salted_agg"    -> saltedAggOracle,
+  )
+}

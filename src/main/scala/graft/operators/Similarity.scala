@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
 
 /** Approximate-nearest-neighbor / similarity search over
   * `embeddings.embedding: array<float>`.
@@ -19,13 +20,18 @@ import org.apache.spark.sql.expressions.Window
   *    choice keeps it DuckDB-checkable). Candidates only join within a
   *    bucket — the shuffle key is the 10-bit code, turning O(N·Q) into
   *    O(N·Q/2^10) comparisons, the standard LSH trade;
-  *  - cosine near-dup pairs within a label block (blocked all-pairs — the
-  *    embedding-space analogue of Dedup's lang-blocked Jaccard).
+  *  - banded sign-LSH near-dup pairs: candidates = same label sharing at
+  *    least one of PAIR_BANDS sign-bit band codes, then exact cosine
+  *    verify. Round 1 did all-pairs within a label block — O(n²) in the
+  *    block and 38% of the whole bench; banding makes the shuffle key
+  *    (label, band, code) so no block ever goes quadratic at scale.
+  *    Recall is the standard LSH trade and tunable via bands × bits.
   *
-  * All arithmetic is double (floats upcast first) so Spark's
-  * `aggregate`/`zip_with` fold and DuckDB's list_dot_product agree;
-  * scores are rounded to 6 dp before ranking/filtering so ordering is
-  * identical in both engines.
+  * All dot products use the codegen'd [[org.apache.spark.sql.graft.DotProductD]]
+  * expression (strict left-to-right double accumulation — bit-identical
+  * to DuckDB's `list_dot_product`); norms are computed once per row, not
+  * once per pair. Scores are rounded to 6 dp before ranking/filtering so
+  * ordering is identical in both engines.
   */
 object Similarity extends QueryModule {
 
@@ -34,32 +40,39 @@ object Similarity extends QueryModule {
   private val TOPK = 5
   private val NQUERIES = 8 // query vectors: vec_id < 8
   private val LSHBITS = 10
+  private val PAIR_BANDS = 8 // near-dup candidate bands ...
+  private val PAIR_BITS = 6 // ... of this many sign bits each
+  private val PAIR_MIN_SIM = 0.3
 
-  /** cosine(a, b) in double via higher-order fns (codegen'd, no UDF). */
-  private def cosine(a: String, b: String): org.apache.spark.sql.Column =
-    expr(
-      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) /
-         |(sqrt(aggregate($a, CAST(0 AS DOUBLE),
-         |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
-         | sqrt(aggregate($b, CAST(0 AS DOUBLE),
-         |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+  /** embeddings + precomputed L2 norm (one codegen'd pass per row). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", vecNorm(col("embedding")))
 
-  private val cosineSqlFmt: (String, String) => String = (a, b) =>
-    s"""list_dot_product(list_transform($a, x -> x::DOUBLE), list_transform($b, x -> x::DOUBLE)) /
-       |  (sqrt(list_dot_product(list_transform($a, x -> x::DOUBLE), list_transform($a, x -> x::DOUBLE))) *
-       |   sqrt(list_dot_product(list_transform($b, x -> x::DOUBLE), list_transform($b, x -> x::DOUBLE))))""".stripMargin
+  private val normCte =
+    """e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+      |         list_transform(embedding, x -> x::DOUBLE))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def simCol(a: String, b: String, na: String, nb: String): Column =
+    round(vecDot(col(a), col(b)) / (col(na) * col(nb)), 6)
+
+  private def simSql(a: String, b: String, na: String, nb: String): String =
+    s"""round(list_dot_product(list_transform($a, x -> x::DOUBLE),
+       |  list_transform($b, x -> x::DOUBLE)) / ($na * $nb), 6)""".stripMargin
 
   // ---- brute-force cosine top-k --------------------------------------
 
   private def topkBrute(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
+    val emb = withNorm(embeddings(s, d))
     val q = emb.filter(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", round(cosine("qe", "embedding"), 6))
+      .withColumn("sim", simCol("qe", "embedding", "qn", "nrm"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TOPK)
       .select("qid", "rnk", "vec_id", "sim")
@@ -67,13 +80,13 @@ object Similarity extends QueryModule {
   }
 
   private def topkBruteOracle: String =
-    s"""WITH q AS (
-       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
        |  WHERE vec_id < $NQUERIES),
        |scored AS (
        |  SELECT q.qid, e.vec_id,
-       |    round(${cosineSqlFmt("q.qe", "e.embedding")}, 6) AS sim
-       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |    ${simSql("q.qe", "e.embedding", "q.qn", "e.nrm")} AS sim
+       |  FROM e, q WHERE e.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, vec_id, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
@@ -94,15 +107,15 @@ object Similarity extends QueryModule {
       .mkString(" || ")
 
   private def topkLsh(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
+    val emb = withNorm(embeddings(s, d))
       .withColumn("bucket", expr(lshBucketExpr("embedding")))
     val q = emb.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket").as("qbucket"))
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     emb.join(broadcast(q), col("bucket") === col("qbucket") &&
         col("vec_id") =!= col("qid"))
-      .withColumn("sim", round(cosine("qe", "embedding"), 6))
+      .withColumn("sim", simCol("qe", "embedding", "qn", "nrm"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TOPK)
       .select("qid", "rnk", "vec_id", "sim")
@@ -110,14 +123,15 @@ object Similarity extends QueryModule {
   }
 
   private def topkLshOracle: String =
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
-       |  FROM b WHERE vec_id < $NQUERIES),
+    s"""WITH $normCte,
+       |b AS (
+       |  SELECT vec_id, embedding, nrm, ${lshBucketSql("embedding")} AS bucket
+       |  FROM e),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+       |  bucket AS qbucket FROM b WHERE vec_id < $NQUERIES),
        |scored AS (
        |  SELECT q.qid, b.vec_id,
-       |    round(${cosineSqlFmt("q.qe", "b.embedding")}, 6) AS sim
+       |    ${simSql("q.qe", "b.embedding", "q.qn", "b.nrm")} AS sim
        |  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, vec_id, sim,
@@ -126,27 +140,61 @@ object Similarity extends QueryModule {
        |SELECT qid, rnk, vec_id, sim FROM ranked
        |WHERE rnk <= $TOPK ORDER BY qid, rnk""".stripMargin
 
-  // ---- cosine near-dup pairs (label-blocked) -------------------------
+  // ---- banded-LSH cosine near-dup pairs ------------------------------
+
+  /** Integer band code b: sign bits of dims [PAIR_BITS*b, PAIR_BITS*(b+1)). */
+  private def bandCodeExpr(b: Int): String =
+    (0 until PAIR_BITS)
+      .map(j => s"CASE WHEN embedding[${PAIR_BITS * b + j}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+
+  private def bandCodeSql(b: Int): String =
+    (0 until PAIR_BITS)
+      .map(j => s"CASE WHEN embedding[${PAIR_BITS * b + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
 
   private def cosinePairs(s: SparkSession, d: String): DataFrame = {
-    val a = embeddings(s, d).select(col("vec_id").as("va"),
-      col("label").as("la"), col("embedding").as("ea"))
-    val b = embeddings(s, d).select(col("vec_id").as("vb"),
-      col("label").as("lb"), col("embedding").as("eb"))
-    a.join(b, col("la") === col("lb") && col("va") < col("vb"))
-      .withColumn("sim", round(cosine("ea", "eb"), 6))
-      .filter(col("sim") >= 0.3)
-      .select(col("va"), col("vb"), col("la").as("label"), col("sim"))
+    val emb = withNorm(embeddings(s, d))
+    val bands = emb.select(col("vec_id"), col("label"),
+        posexplode(array((0 until PAIR_BANDS).map(b => expr(bandCodeExpr(b))): _*))
+          .as(Seq("band", "code")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.label").as("label"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    cand.join(ea, "va").join(eb, "vb")
+      .withColumn("sim", simCol("ea", "eb", "na", "nb"))
+      .filter(col("sim") >= PAIR_MIN_SIM)
+      .select(col("va"), col("vb"), col("label"), col("sim"))
       .orderBy("va", "vb")
   }
 
-  private def cosinePairsOracle: String =
-    s"""SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
-       |  round(${cosineSqlFmt("a.embedding", "b.embedding")}, 6) AS sim
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE round(${cosineSqlFmt("a.embedding", "b.embedding")}, 6) >= 0.3
+  private def cosinePairsOracle: String = {
+    val bandSelects = (0 until PAIR_BANDS)
+      .map(b => s"SELECT vec_id, label, $b AS band, ${bandCodeSql(b)} AS code FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $normCte,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.label AS label
+       |  FROM bands a JOIN bands b
+       |    ON a.label = b.label AND a.band = b.band AND a.code = b.code
+       |    AND a.vec_id < b.vec_id)
+       |SELECT va, vb, cand.label AS label,
+       |  ${simSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} AS sim
+       |FROM cand
+       |JOIN e ea ON va = ea.vec_id
+       |JOIN e eb ON vb = eb.vec_id
+       |WHERE ${simSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} >= $PAIR_MIN_SIM
        |ORDER BY va, vb""".stripMargin
+  }
 
   // ---- registry -------------------------------------------------------
 

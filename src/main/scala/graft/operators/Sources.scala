@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+/** Source/sink surface (SURVEY §2.B "Scans/sources" + "Sinks"): CSV,
+  * JSON, and line-text round-trips, plus a REAL Structured Streaming
+  * query (file source → watermark → windowed agg → sink) whose result is
+  * oracle-checked against the batch semantics.
+  *
+  * Each round-trip writes a Spark sink to scratch space and reads it
+  * back through the corresponding source with an explicit schema, then
+  * aggregates; the oracle runs the same aggregate on the original
+  * parquet — so a pass proves the sink+source pair is lossless for the
+  * exercised types (decimals are used where CSV/JSON would otherwise
+  * round doubles).
+  *
+  * Reference grounding: the reference's only I/O is whole text files in,
+  * line-text shuffle/sink files out (`src/worker.cc:128-133,179,231-243`);
+  * the text round-trip is that path, the others are its typed superset.
+  */
+object Sources extends QueryModule {
+
+  import Tables._
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_src/$name"
+
+  // ---- CSV round-trip -------------------------------------------------
+
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch("csv_supplier")
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal").cast("decimal(12,2)").as("bal"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, bal DECIMAL(12,2)")
+      .option("header", "true").csv(out)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("bal")).cast("double").as("total_bal"),
+        max(length(col("s_name"))).cast("long").as("max_name_len"))
+      .orderBy("s_nationkey")
+  }
+
+  private val csvOracle =
+    """SELECT s_nationkey, count(*) AS n_supp,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+      |  max(length(s_name))::BIGINT AS max_name_len
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // ---- JSON round-trip ------------------------------------------------
+
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch("json_events")
+    events(s, d)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema("event_id BIGINT, event_type STRING, k_val INT, v DECIMAL(18,6)")
+      .json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k_val").as("k_sum"),
+        sum("v").cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  private val jsonOracle =
+    """SELECT event_type, count(*) AS n,
+      |  sum(json_extract(props, '$.k')::INTEGER)::BIGINT AS k_sum,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- line-text round-trip (the reference's native format) -----------
+
+  /** documents.text → text sink → text source → word count. Newlines
+    * inside a document would split rows on read-back, but the word
+    * count is line-agnostic (newline is a non-alpha delimiter), so the
+    * counts — and the oracle on the original table — are unchanged.
+    */
+  private def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch("text_documents")
+    documents(s, d).select(col("text")).write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(explode(split(col("value"), "[^A-Za-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }
+
+  private val textOracle =
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+      |  FROM documents)
+      |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
+
+  // ---- Structured Streaming: file source → windowed agg → sink --------
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The events table replayed through a streaming file source with a
+    * watermark and 1-hour tumbling windows — the stream-native form of
+    * `event_tumbling`, checked against the same batch oracle.
+    *
+    * Runs with Trigger.AvailableNow (bounded replay) into an in-memory
+    * sink in complete mode. At production scale the sink would be
+    * kafka/parquet in append mode past the watermark; complete+memory is
+    * the test harness shape (results must fit the driver — true here,
+    * one row per (hour, type)).
+    */
+  private def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val ev =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val q = ev
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .select(col("w.start").cast("long").as("bucket"), col("event_type"),
+        col("n"), col("value_sum"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("bucket", "event_type")
+  }
+
+  private val streamTumblingOracle =
+    """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,
+      |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip"  -> csvRoundtrip _,
+    "src_json_roundtrip" -> jsonRoundtrip _,
+    "src_text_wordcount" -> textRoundtrip _,
+    "stream_tumbling"    -> streamTumbling _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip"  -> csvOracle,
+    "src_json_roundtrip" -> jsonOracle,
+    "src_text_wordcount" -> textOracle,
+    "stream_tumbling"    -> streamTumblingOracle,
+  )
+}

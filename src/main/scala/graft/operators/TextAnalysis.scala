@@ -51,13 +51,19 @@ object TextAnalysis extends QueryModule {
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
       .withColumn("n_stop",
         expr(s"size(filter(words, w -> w IN ($stop)))").cast("long"))
+      // divide by nullif-style guards: a document with no [a-z] words (or
+      // empty text) yields NULL ratios in BOTH engines — Spark's Divide
+      // returns NULL on /0 only for decimals, and DuckDB returns inf/NaN,
+      // so an explicit guard is the only cross-engine-stable choice.
+      .withColumn("nwz", when(col("n_words") > 0, col("n_words")))
+      .withColumn("ncz", when(length(col("text")) > 0, length(col("text"))))
       .withColumn("avg_word_len",
-        round(col("n_alpha_chars").cast("double") / col("n_words"), 6))
+        round(col("n_alpha_chars").cast("double") / col("nwz"), 6))
       .withColumn("stop_ratio",
-        round(col("n_stop").cast("double") / col("n_words"), 6))
+        round(col("n_stop").cast("double") / col("nwz"), 6))
       .withColumn("space_ratio",
         round((length(col("text")) - col("n_alpha_chars")).cast("double") /
-          length(col("text")), 6))
+          col("ncz"), 6))
       .withColumn("quality_score",
         round(least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
           (lit(1.0) - col("stop_ratio")) * 0.3 +
@@ -77,12 +83,12 @@ object TextAnalysis extends QueryModule {
        |    length(text) AS n_chars0
        |  FROM docs)
        |SELECT doc_id, n_words,
-       |  round(n_alpha_chars::DOUBLE / n_words, 6) AS avg_word_len,
-       |  round(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
-       |  round((n_chars0 - n_alpha_chars)::DOUBLE / n_chars0, 6) AS space_ratio,
+       |  round(n_alpha_chars::DOUBLE / nullif(n_words, 0), 6) AS avg_word_len,
+       |  round(n_stop::DOUBLE / nullif(n_words, 0), 6) AS stop_ratio,
+       |  round((n_chars0 - n_alpha_chars)::DOUBLE / nullif(n_chars0, 0), 6) AS space_ratio,
        |  round(least(n_words::DOUBLE / 100.0, 1.0) * 0.5 +
-       |    (1.0 - round(n_stop::DOUBLE / n_words, 6)) * 0.3 +
-       |    least(round(n_alpha_chars::DOUBLE / n_words, 6) / 10.0, 1.0) * 0.2, 6)
+       |    (1.0 - round(n_stop::DOUBLE / nullif(n_words, 0), 6)) * 0.3 +
+       |    least(round(n_alpha_chars::DOUBLE / nullif(n_words, 0), 6) / 10.0, 1.0) * 0.2, 6)
        |    AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
 
@@ -203,6 +209,35 @@ object TextAnalysis extends QueryModule {
        |SELECT doc_id, rnk, word, score FROM ranked
        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- corpus n-gram statistics ---------------------------------------
+
+  /** Global top-25 word bigrams: per-doc bigram arrays (no shuffle),
+    * one hash aggregation, bounded TakeOrdered top-k — the n-gram LM /
+    * contamination-check primitive at corpus scale.
+    */
+  private def ngrams(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .select(explode(expr(
+        """CASE WHEN size(words) >= 2
+          |THEN transform(sequence(0, size(words)-2),
+          |  i -> concat_ws(' ', words[i], words[i+1]))
+          |ELSE array() END""".stripMargin)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(25)
+
+  private val ngramsOracle =
+    s"""WITH $wordsCte,
+       |bg AS (
+       |  SELECT unnest(CASE WHEN len(words) >= 2
+       |    THEN list_transform(range(len(words)-1),
+       |      i -> words[i+1] || ' ' || words[i+2])
+       |    ELSE [] END) AS bigram
+       |  FROM docs)
+       |SELECT bigram, count(*) AS cnt FROM bg
+       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -211,6 +246,7 @@ object TextAnalysis extends QueryModule {
     "text_langid"      -> langid _,
     "text_fingerprint" -> fingerprint _,
     "text_tfidf"       -> tfidf _,
+    "text_ngrams"      -> ngrams _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +261,6 @@ object TextAnalysis extends QueryModule {
     "text_langid"      -> langidOracle,
     "text_fingerprint" -> fingerprintOracle,
     "text_tfidf"       -> tfidfOracle,
+    "text_ngrams"      -> ngramsOracle,
   )
 }

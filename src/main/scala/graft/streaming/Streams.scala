@@ -69,16 +69,31 @@ object Streams {
       closed: Boolean)
 
   /** Custom sessionization: emits a SessionOut when a user's session
-    * closes via processing-time timeout (the shape a real pipeline uses
-    * for per-entity rolling state Spark's built-ins can't express).
+    * closes — either a later in-session event arrives past the gap, or
+    * the EVENT-TIME timeout fires (watermark passes lastTs + gap). The
+    * shape a real pipeline uses for per-entity rolling state Spark's
+    * built-ins can't express.
+    *
+    * Ordering note: events are sorted per-batch only, and an out-of-order
+    * event arriving in a LATER batch (e.ts < state.lastTs) must not
+    * regress the session clock — it is folded into the current session
+    * and `lastTs` advances monotonically (`max`).
+    *
+    * Timeout note: event-time timeout + watermark (not processing-time):
+    * close is deterministic in the data, state is watermark-bounded at
+    * scale, and — operationally — a registered processing-time timer
+    * turns the default trigger into a continuous empty-batch loop even
+    * with no data flowing.
     */
   def statefulSessions(events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
       .flatMapGroupsWithState[UserSessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event],
          state: GroupState[UserSessionState]) =>
           if (state.hasTimedOut) {
@@ -95,10 +110,13 @@ object Streams {
                 closed += SessionOut(userId, n, v, closed = true)
                 n = 0L; v = 0.0
               }
-              n += 1; v += e.value; last = e.ts.getTime
+              n += 1; v += e.value; last = math.max(last, e.ts.getTime)
             }
             state.update(UserSessionState(n, v, last))
-            state.setTimeoutDuration(gapMs)
+            // a late (within-delay) event can leave last+gap behind the
+            // watermark — clamp forward, Spark rejects timestamps <= wm
+            state.setTimeoutTimestamp(
+              math.max(last + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
           }
       }

@@ -1,0 +1,93 @@
+/* Placed under org.apache.spark.sql so the `private[sql]` Column<->
+ * Expression bridge (classic.ExpressionUtils) is reachable — the standard
+ * extension-point technique for shipping custom Catalyst expressions as a
+ * third-party library against the public Spark jars. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over `array<float>`/`array<double>`, in DOUBLE.
+  *
+  * The interpreted alternative — `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * 0D, (acc,v) -> acc+v)` — allocates a zipped array and evaluates two
+  * lambda closures per element outside whole-stage codegen; on similarity
+  * workloads that made cosine scoring the round-1 bench bottleneck. This
+  * expression compiles to a tight primitive loop (no allocation, no
+  * boxing) and stays inside WholeStageCodegen.
+  *
+  * Semantics (chosen to agree bit-for-bit with DuckDB's
+  * `list_dot_product` on the oracle side): elements are upcast to double
+  * and accumulated strictly left-to-right; arrays of unequal length use
+  * the common prefix; array elements must be non-null (embedding vectors
+  * — enforced by the fixtures' schema).
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    val (fx, fy) = (elemType(left) == FloatType, elemType(right) == FloatType)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      sum += xv * yv
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, sum) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("sum"))
+      def get(arr: String, e: Expression): String =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ${get(a, left)} * ${get(b, right)};
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points for the vector expressions. */
+object VectorColumns {
+  /** Dot product of two float/double array columns, as double. */
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProductD(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** L2 norm of a float/double array column, as double. */
+  def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+
+  /** cosine(a,b) given precomputed norms (one norm per row, not per pair). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    vecDot(a, b) / (na * nb)
+}

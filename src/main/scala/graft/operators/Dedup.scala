@@ -97,7 +97,11 @@ object Dedup extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def sigTable(s: SparkSession, d: String): DataFrame =
     sigCache.computeIfAbsent((s, d), _ => {
+      // persist the shingle arrays FIRST: both the md5 explode pipeline
+      // and the final join consume them, and without the cache the
+      // interpreted shingle-building pass runs once per consumer
       val base = withShingles(documents(s, d)).select("doc_id", "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val ex = base.select(col("doc_id"), explode(col("shingles")).as("sh"))
       val mins = ex
         .select(col("doc_id") +: (0 until K).map(k =>

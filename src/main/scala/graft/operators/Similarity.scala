@@ -196,17 +196,114 @@ object Similarity extends QueryModule {
        |ORDER BY va, vb""".stripMargin
   }
 
+  // ---- IVF top-k (coarse quantizer → probe → exact re-rank) -----------
+
+  private val NPROBE = 2
+
+  /** Per-label centroids as the coarse quantizer (at production scale
+    * the cells come from k-means; the label cells exercise the same
+    * assign→probe→re-rank machinery deterministically). Components are
+    * derived from EXACT long sums of floor(v·1e6) so Spark's and
+    * DuckDB's float-summation order can't diverge (floor has no
+    * rounding-tie, unlike round/cast).
+    */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * lit(1000000.0)).as("q"))
+      .groupBy("label", "pos")
+      .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+      .withColumn("cv",
+        col("sq").cast("double") / lit(1000000.0) / col("cnt").cast("double"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+        .as("cvec"))
+
+  /** IVF search: score the (tiny, broadcast) centroid table per query,
+    * probe the NPROBE best cells, exact-cosine re-rank only inside the
+    * probed cells. The corpus-side join key is the cell id — at 100 TB
+    * the scan prunes to probed cells and the query set rides a
+    * broadcast, the standard IVF trade (recall vs cells touched).
+    */
+  private def topkIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(embeddings(s, d))
+    val cent = centroids(s, d).withColumn("cnrm", vecNorm(col("cvec")))
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val probeW = Window.partitionBy("qid").orderBy(col("csim").desc, col("label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        round(vecDot(col("qe"), col("cvec")) / (col("qn") * col("cnrm")), 6))
+      .withColumn("crnk", row_number().over(probeW))
+      .filter(col("crnk") <= NPROBE)
+      .select("qid", "qe", "qn", "label")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", simCol("qe", "embedding", "qn", "nrm"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TOPK)
+      .select("qid", "rnk", "vec_id", "sim")
+      .orderBy("qid", "rnk")
+  }
+
+  private def topkIvfOracle: String =
+    s"""WITH $normCte,
+       |zz AS (
+       |  SELECT label, unnest(embedding) AS v,
+       |    unnest(range(len(embedding))) AS pos
+       |  FROM embeddings),
+       |sums AS (
+       |  SELECT label, pos, sum(CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT)) AS sq,
+       |    count(*) AS cnt
+       |  FROM zz GROUP BY 1, 2),
+       |cvs AS (
+       |  SELECT label, pos, (sq::DOUBLE / 1000000.0) / cnt::DOUBLE AS cv
+       |  FROM sums),
+       |cent AS (
+       |  SELECT label, list(cv ORDER BY pos) AS cvec FROM cvs GROUP BY label),
+       |centn AS (
+       |  SELECT label, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm
+       |  FROM cent),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
+       |  WHERE vec_id < $NQUERIES),
+       |probes AS (
+       |  SELECT qid, label FROM (
+       |    SELECT q.qid, c.label,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        round(list_dot_product(list_transform(q.qe, x -> x::DOUBLE), c.cvec)
+       |          / (q.qn * c.cnrm), 6) DESC, c.label) AS crnk
+       |    FROM q, centn c)
+       |  WHERE crnk <= $NPROBE),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${simSql("q.qe", "e.embedding", "q.qn", "e.nrm")} AS sim
+       |  FROM e
+       |  JOIN probes p ON e.label = p.label
+       |  JOIN q ON q.qid = p.qid
+       |  WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk, vec_id, sim FROM ranked
+       |WHERE rnk <= $TOPK ORDER BY qid, rnk""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> topkBrute _,
     "sim_topk_lsh"   -> topkLsh _,
+    "sim_topk_ivf"   -> topkIvf _,
     "sim_cos_pairs"  -> cosinePairs _,
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> topkBruteOracle,
     "sim_topk_lsh"   -> topkLshOracle,
+    "sim_topk_ivf"   -> topkIvfOracle,
     "sim_cos_pairs"  -> cosinePairsOracle,
   )
 }

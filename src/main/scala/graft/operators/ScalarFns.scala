@@ -109,6 +109,38 @@ object ScalarFns extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // ---- conditional / null-handling / cast surface ---------------------
+
+  /** CASE / nullif / coalesce / explicit casts. Double→int conversion is
+    * via floor() in BOTH engines: a bare CAST truncates in Spark but
+    * rounds in DuckDB, so it never appears unwrapped in this library.
+    */
+  private def condFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 200000, "high")
+        .when(col("o_totalprice") > 100000, "mid")
+        .otherwise("low").as("price_band"),
+      nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio_nulled"),
+      coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")), lit("-"))
+        .as("prio_or_dash"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("is_final"),
+      col("o_orderkey").cast("string").as("key_str"),
+      floor(col("o_totalprice")).as("price_int"))
+      .orderBy("o_orderkey")
+
+  private val condOracle =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 200000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'low' END AS price_band,
+      |  nullif(o_orderpriority, '3-MEDIUM') AS prio_nulled,
+      |  coalesce(nullif(o_orderpriority, '3-MEDIUM'), '-') AS prio_or_dash,
+      |  (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS is_final,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_int
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ---- grep (MapReduce paper workload) --------------------------------
 
   private def grep(s: SparkSession, d: String): DataFrame =
@@ -171,6 +203,7 @@ object ScalarFns extends QueryModule {
     "fn_date"          -> dateFns _,
     "fn_date_agg"      -> dateAgg _,
     "fn_math"          -> mathFns _,
+    "fn_cond"          -> condFns _,
     "fn_json"          -> jsonExtract _,
     "fn_json_agg"      -> jsonAgg _,
     "fn_array"         -> arrayFns _,
@@ -217,6 +250,7 @@ object ScalarFns extends QueryModule {
         |  l_linenumber % 3 AS ln_mod3,
         |  greatest(l_discount, l_tax) AS max_rate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_cond" -> condOracle,
     "fn_json" ->
       """SELECT event_id, event_type,
         |  json_extract(props, '$.k')::INTEGER AS k_val

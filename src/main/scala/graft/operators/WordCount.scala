@@ -42,6 +42,34 @@ object WordCount extends QueryModule {
     ).toDF("word", "cnt").orderBy("word")
   }
 
+  /** Distributed grep on the generic MR contract (the MapReduce paper's
+    * first motivating workload): map emits (doc_id, occurrence_count)
+    * for matching docs, reduce sums — exercising a map that filters
+    * (yields 0 or 1 pairs) unlike word count's fan-out map.
+    */
+  def mrGrep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pattern = java.util.regex.Pattern.compile("hash join|window")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    MapReduce.mapReduce[(Long, String), Long, Int, (Long, Long)](
+      docs,
+      { case (docId, text) =>
+        val m = pattern.matcher(text)
+        var n = 0
+        while (m.find()) n += 1
+        if (n > 0) Iterator((docId, n)) else Iterator.empty
+      },
+      (docId, counts) => (docId, counts.map(_.toLong).sum)
+    ).toDF("doc_id", "n_matches").orderBy("doc_id")
+  }
+
+  private val mrGrepOracle =
+    """SELECT doc_id, len(regexp_extract_all(text, 'hash join|window'))::BIGINT AS n_matches
+      |FROM documents
+      |WHERE len(regexp_extract_all(text, 'hash join|window')) > 0
+      |ORDER BY doc_id""".stripMargin
+
   private val wcOracle =
     """SELECT word, count(*) AS cnt FROM (
       |  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
@@ -51,10 +79,12 @@ object WordCount extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount"    -> dataframeWordCount _,
     "mr_wordcount" -> mrWordCount _,
+    "mr_grep"      -> mrGrep _,
   )
 
   val oracles: Map[String, String] = Map(
     "wordcount"    -> wcOracle,
     "mr_wordcount" -> wcOracle,
+    "mr_grep"      -> mrGrepOracle,
   )
 }

@@ -74,6 +74,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful session closes via event-time timeout when watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.statefulSessions(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_to_out").start()
+    try {
+      input.addData(Streams.Event(ts(0), 1L, "click", 1.0),
+        Streams.Event(ts(2), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // another user's far-future event advances the watermark past
+      // user 1's lastTs + gap (watermark delay is 2h): 15:00 - 2h =
+      // 13:00 > 10:02 + 10min. The timeout fires on the batch AFTER the
+      // watermark update, so feed one more event and drain again.
+      input.addData(Streams.Event(
+        Timestamp.valueOf("2024-01-01 15:00:00"), 2L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(
+        Timestamp.valueOf("2024-01-01 15:01:00"), 2L, "click", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_to_out").as[Streams.SessionOut].collect()
+        .filter(_.userId == 1L)
+      assert(closed.length == 1)
+      assert(closed.head.nEvents == 2 && closed.head.valueSum == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming session_window aggregation runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -101,6 +101,30 @@ object Sources extends QueryModule {
       |  FROM documents)
       |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
 
+  // ---- partitioned parquet sink → pruned read -------------------------
+
+  /** documents written `partitionBy(lang)`, read back with a partition
+    * filter — the layout that makes 100 TB scans cheap: the `lang='en'`
+    * predicate prunes directories (PartitionFilters in the plan), so
+    * non-matching partitions are never opened.
+    */
+  private def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch("parquet_documents_bylang")
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  private val partitionedOracle =
+    """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- Structured Streaming: file source → windowed agg → sink --------
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -137,10 +161,44 @@ object Sources extends QueryModule {
     s.table(name).orderBy("bucket", "event_type")
   }
 
+  /** Sliding windows over the replayed stream (1 hour every 30 min) —
+    * each event lands in two overlapping window states.
+    */
+  private def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "graft_stream_sliding_" + streamSeq.incrementAndGet()
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val ev =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val q = ev
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .select(col("w.start").cast("long").as("bucket"), col("n"), col("value_sum"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("bucket")
+  }
+
   private val streamTumblingOracle =
     """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,
       |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  private val streamSlidingOracle =
+    """SELECT epoch(bucket)::BIGINT AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS bucket, value
+      |  FROM events)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---- registry -------------------------------------------------------
 
@@ -148,13 +206,17 @@ object Sources extends QueryModule {
     "src_csv_roundtrip"  -> csvRoundtrip _,
     "src_json_roundtrip" -> jsonRoundtrip _,
     "src_text_wordcount" -> textRoundtrip _,
+    "src_partitioned"    -> partitionedRoundtrip _,
     "stream_tumbling"    -> streamTumbling _,
+    "stream_sliding"     -> streamSliding _,
   )
 
   val oracles: Map[String, String] = Map(
     "src_csv_roundtrip"  -> csvOracle,
     "src_json_roundtrip" -> jsonOracle,
     "src_text_wordcount" -> textOracle,
+    "src_partitioned"    -> partitionedOracle,
     "stream_tumbling"    -> streamTumblingOracle,
+    "stream_sliding"     -> streamSlidingOracle,
   )
 }

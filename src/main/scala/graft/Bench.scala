@@ -14,6 +14,8 @@ object Bench {
       // for DuckDB, and avoids a multi-minute one-time ICU table build
       // that the first lower()/upper() otherwise triggers per JVM
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

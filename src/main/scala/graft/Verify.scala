@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see Bench: ASCII-identical, avoids a minutes-long ICU one-time init
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

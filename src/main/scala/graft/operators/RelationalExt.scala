@@ -280,6 +280,65 @@ object RelationalExt extends QueryModule {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- bucketed co-located join ---------------------------------------
+
+  /** Both join sides written bucketBy(join key) with matching bucket
+    * counts, then sort-merge-joined WITHOUT a shuffle — the executed
+    * plan has no hashpartitioning Exchange on the join path (asserted in
+    * BucketedJoinSpec). This is the 100 TB pattern for repeated joins on
+    * a stable key: pay the partitioning once at write time, never per
+    * query. The merge hint keeps the tiny local fixture from taking the
+    * broadcast path that would hide the property being demonstrated.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val suffix = (d.hashCode & 0x7fffffff).toString
+    val (ot, ct) = (s"graft_orders_b_$suffix", s"graft_cust_b_$suffix")
+    orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable(ot)
+    customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable(ct)
+    s.table(ot).hint("merge")
+      .join(s.table(ct).hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spent"))
+      .orderBy("c_custkey")
+  }
+
+  private val bucketedJoinOracle =
+    """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
+
+  // ---- subqueries (spark.sql entry point) -----------------------------
+
+  /** Scalar + IN subqueries through the SQL entry point (SURVEY §3.4
+    * lists `spark.sql(...)` as the second query surface; Catalyst
+    * rewrites the IN to a left-semi join and the scalar to a broadcast).
+    * The scalar threshold uses max (exact) — an avg threshold would be
+    * float-summation-order-dependent across engines.
+    */
+  private def subqueries(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_v) / 2
+        |  AND o_custkey IN (SELECT c_custkey FROM customer_v
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val subqueriesOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,6 +350,8 @@ object RelationalExt extends QueryModule {
     "rel_percentile"    -> percentiles _,
     "rel_asof_join"     -> asofJoin _,
     "rel_salted_agg"    -> saltedAgg _,
+    "rel_bucketed_join" -> bucketedJoin _,
+    "rel_subquery"      -> subqueries _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +363,7 @@ object RelationalExt extends QueryModule {
     "rel_percentile"    -> percentilesOracle,
     "rel_asof_join"     -> asofOracle,
     "rel_salted_agg"    -> saltedAggOracle,
+    "rel_bucketed_join" -> bucketedJoinOracle,
+    "rel_subquery"      -> subqueriesOracle,
   )
 }

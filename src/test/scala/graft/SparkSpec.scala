@@ -18,6 +18,8 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see Bench: ASCII-identical, avoids a minutes-long ICU one-time init
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -280,6 +280,33 @@ object RelationalExt extends QueryModule {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- custom typed Aggregator (UDAF surface) -------------------------
+
+  /** Quantity-weighted mean price per return flag through the typed
+    * `Aggregator` API ([[graft.functions.WeightedMean]]) — exact decimal
+    * buffers, so partial aggregation order can't shift the result.
+    */
+  private def weightedMean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)"),
+        col("l_extendedprice").cast("decimal(18,2)"))
+      .as[(String, BigDecimal, BigDecimal)]
+      .groupByKey(_._1)
+      .agg(graft.functions.WeightedMean.toColumn.name("wavg"))
+      .toDF("l_returnflag", "wavg")
+      .withColumn("wavg_price", round(col("wavg"), 6))
+      .select("l_returnflag", "wavg_price")
+      .orderBy("l_returnflag")
+  }
+
+  private val weightedMeanOracle =
+    """SELECT l_returnflag,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- bucketed co-located join ---------------------------------------
 
   /** Both join sides written bucketBy(join key) with matching bucket
@@ -293,6 +320,19 @@ object RelationalExt extends QueryModule {
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val suffix = (d.hashCode & 0x7fffffff).toString
     val (ot, ct) = (s"graft_orders_b_$suffix", s"graft_cust_b_$suffix")
+    // a previous JVM's warehouse dir survives while the in-memory
+    // catalog doesn't — drop both the entry and the leftover location,
+    // else CREATE TABLE fails with LOCATION_ALREADY_EXISTS
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").replaceFirst("^//", "/")
+    Seq(ot, ct).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(wh, t.toLowerCase))
+    }
     orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .format("parquet").saveAsTable(ot)
@@ -352,9 +392,11 @@ object RelationalExt extends QueryModule {
     "rel_salted_agg"    -> saltedAgg _,
     "rel_bucketed_join" -> bucketedJoin _,
     "rel_subquery"      -> subqueries _,
+    "rel_agg_weighted"  -> weightedMean _,
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_agg_weighted"  -> weightedMeanOracle,
     "rel_join_full"     -> joinFullOracle,
     "rel_join_cross"    -> joinCrossOracle,
     "rel_grouping_sets" -> groupingSetsOracle,

@@ -93,6 +93,26 @@ object ScalarFns extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  // ---- map functions (props parsed into MapType) ----------------------
+
+  private def mapFns(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+      .select(
+        col("event_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        size(col("m")).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy("event_id")
+
+  private val mapOracle =
+    """SELECT event_id,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+      |  len(json_keys(props))::BIGINT AS n_keys,
+      |  json_extract(props, '$.k')::INTEGER AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- array / higher-order functions (embeddings) --------------------
 
   private def arrayFns(s: SparkSession, d: String): DataFrame = {
@@ -207,6 +227,7 @@ object ScalarFns extends QueryModule {
     "fn_json"          -> jsonExtract _,
     "fn_json_agg"      -> jsonAgg _,
     "fn_array"         -> arrayFns _,
+    "fn_map"           -> mapFns _,
     "grep"             -> grep _,
     "inverted_index"   -> invertedIndex _,
     "event_tumbling"   -> eventTumbling _,
@@ -251,6 +272,7 @@ object ScalarFns extends QueryModule {
         |  greatest(l_discount, l_tax) AS max_rate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_cond" -> condOracle,
+    "fn_map"  -> mapOracle,
     "fn_json" ->
       """SELECT event_id, event_type,
         |  json_extract(props, '$.k')::INTEGER AS k_val

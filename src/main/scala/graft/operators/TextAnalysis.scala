@@ -140,18 +140,26 @@ object TextAnalysis extends QueryModule {
   // ---- document fingerprinting ----------------------------------------
 
   /** Whitespace-normalized content hash + min-k-gram rolling fingerprint
-    * (winnowing-style: the min md5 over all 8-char grams).
+    * (winnowing-style: the min md5 over all 8-char grams). The per-gram
+    * md5 runs in a codegen'd projection over exploded positions and
+    * collapses through a partial min — the per-row
+    * `array_min(transform(...))` form evaluates the lambda interpreted
+    * (see Dedup for the same rewrite).
     */
-  private def fingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
       .withColumn("norm",
         expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"))
-      .select(
-        col("doc_id"),
-        md5(col("norm")).as("fp_norm"),
-        expr("""array_min(transform(sequence(1, greatest(length(norm)-7, 1)),
-            i -> md5(substr(norm, i, 8))))""").as("fp_min_gram"))
+      .select(col("doc_id"), col("norm"))
+    val minGram = base
+      .select(col("doc_id"), col("norm"),
+        explode(expr("sequence(1, greatest(length(norm)-7, 1))")).as("i"))
+      .select(col("doc_id"), md5(expr("substr(norm, i, 8)")).as("g"))
+      .groupBy("doc_id").agg(min("g").as("fp_min_gram"))
+    base.join(minGram, "doc_id")
+      .select(col("doc_id"), md5(col("norm")).as("fp_norm"), col("fp_min_gram"))
       .orderBy("doc_id")
+  }
 
   private val fingerprintOracle =
     """WITH n AS (

@@ -13,6 +13,7 @@ object Explain {
     val only: Set[String] = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

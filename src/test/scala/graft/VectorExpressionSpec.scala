@@ -46,6 +46,12 @@ class VectorExpressionSpec extends SparkSpec {
     assert(r.getDouble(1) === 3.0)
   }
 
+  test("vec_dot is registered as a SQL function via GraftExtensions") {
+    val Row(d: Double) = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(d === 11.0)
+  }
+
   test("vecNorm equals sqrt of self-dot") {
     val bad = emb.select(
         vecNorm(col("embedding")).as("n"),

@@ -216,6 +216,35 @@ object ScalarFns extends QueryModule {
         col("n_events"), col("value_sum"))
       .orderBy("user_id", "session_start")
 
+  // ---- composed: top-k event types per hour ---------------------------
+
+  /** Windowed aggregation feeding a per-window rank — the "trending"
+    * composition. One shuffle for the hourly counts (partial+final),
+    * one bounded window for the rank.
+    */
+  private def eventTopk(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("bucket"), col("event_type"), col("n"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rnk", row_number().over(rk).cast("long"))
+      .filter(col("rnk") <= 2)
+      .orderBy("bucket", "rnk")
+  }
+
+  private val eventTopkOracle =
+    """SELECT bucket, event_type, n, rnk FROM (
+      |  SELECT bucket, event_type, n,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type) AS rnk
+      |  FROM (
+      |    SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,
+      |      event_type, count(*) AS n
+      |    FROM events GROUP BY 1, 2))
+      |WHERE rnk <= 2 ORDER BY bucket, rnk""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -233,6 +262,7 @@ object ScalarFns extends QueryModule {
     "event_tumbling"   -> eventTumbling _,
     "event_sliding"    -> eventSliding _,
     "event_session"    -> eventSession _,
+    "event_topk"       -> eventTopk _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,6 +347,7 @@ object ScalarFns extends QueryModule {
         |  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS bucket, value
         |  FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "event_topk"    -> eventTopkOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -246,6 +246,39 @@ object TextAnalysis extends QueryModule {
        |SELECT bigram, count(*) AS cnt FROM bg
        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin
 
+  // ---- end-to-end corpus cleaning pipeline ----------------------------
+
+  /** The composed training-data shape: quality gate → exact dedup
+    * (keep lowest doc_id) → per-language corpus stats. One narrow scan,
+    * one window, one aggregation — the operators above chained the way
+    * a pipeline actually uses them.
+    */
+  private def cleanPipeline(s: SparkSession, d: String): DataFrame = {
+    val gated = withWords(documents(s, d))
+      .withColumn("n_words", expr("size(words)").cast("long"))
+      .filter(col("n_words") >= 50)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy("doc_id")
+    gated
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  private val cleanPipelineOracle =
+    s"""WITH $wordsCte,
+       |gated AS (
+       |  SELECT doc_id, lang, len(words)::BIGINT AS n_words, length(text) AS nc,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM docs WHERE len(words) >= 50)
+       |SELECT lang, count(*) AS n_docs, sum(n_words)::BIGINT AS total_words,
+       |  sum(nc)::BIGINT AS total_chars
+       |FROM gated WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -255,6 +288,7 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> fingerprint _,
     "text_tfidf"       -> tfidf _,
     "text_ngrams"      -> ngrams _,
+    "text_clean_pipeline" -> cleanPipeline _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +304,6 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> fingerprintOracle,
     "text_tfidf"       -> tfidfOracle,
     "text_ngrams"      -> ngramsOracle,
+    "text_clean_pipeline" -> cleanPipelineOracle,
   )
 }

@@ -121,6 +121,36 @@ object RelationalExt extends QueryModule {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- range-frame window: 30-day rolling spend -----------------------
+
+  /** RANGE frame over a numeric day index — the rolling time-series
+    * aggregate (value-based frame, unlike the ROWS frames elsewhere).
+    * Day index = epoch seconds div 86400, identical in both engines.
+    */
+  private def windowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-30, 0)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400").as("day"),
+        col("o_totalprice"))
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  private val windowRangeOracle =
+    """SELECT o_custkey, o_orderkey,
+      |  floor(epoch(o_orderdate))::BIGINT // 86400 AS day, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+      |  count(*) OVER w AS n_orders_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY floor(epoch(o_orderdate))::BIGINT // 86400
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   // ---- exact statistical aggregates -----------------------------------
 
   /** stddev/var/corr/covar from exact decimal power sums: the decimal
@@ -386,6 +416,7 @@ object RelationalExt extends QueryModule {
     "rel_join_cross"    -> joinCross _,
     "rel_grouping_sets" -> groupingSetsQ _,
     "rel_window_frames" -> windowFrames _,
+    "rel_window_range"  -> windowRange _,
     "rel_agg_stats"     -> aggStats _,
     "rel_percentile"    -> percentiles _,
     "rel_asof_join"     -> asofJoin _,
@@ -401,6 +432,7 @@ object RelationalExt extends QueryModule {
     "rel_join_cross"    -> joinCrossOracle,
     "rel_grouping_sets" -> groupingSetsOracle,
     "rel_window_frames" -> windowFramesOracle,
+    "rel_window_range"  -> windowRangeOracle,
     "rel_agg_stats"     -> aggStatsOracle,
     "rel_percentile"    -> percentilesOracle,
     "rel_asof_join"     -> asofOracle,

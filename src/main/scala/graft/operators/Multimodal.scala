@@ -103,6 +103,35 @@ object Multimodal extends QueryModule {
     }(enc).orderBy("media_id")
   }
 
+  // ---- batched resize (STUB codec, real plumbing) ---------------------
+
+  private val resizeSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("src_w", IntegerType),
+    StructField("src_h", IntegerType),
+    StructField("dst_w", IntegerType),
+    StructField("dst_h", IntegerType),
+    StructField("out_bytes", LongType)))
+
+  /** STUB resize: halves the fake-decoded dimensions and models the
+    * output payload size; a real pipeline would transcode pixels here.
+    * Same mapPartitions batch shape as mmFeatures (codec per partition,
+    * iterator in/out). No DuckDB oracle (imperative) — rows-only check.
+    */
+  private def mmResize(s: SparkSession, d: String): DataFrame = {
+    val media = mediaTable(s, d).select("media_id", "payload")
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(resizeSchema)
+    media.mapPartitions { rows =>
+      // real pipeline: initialize the codec once per partition
+      rows.map { r =>
+        val f = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
+        val (dw, dh) = (math.max(f.width / 2, 1), math.max(f.height / 2, 1))
+        Row(r.getLong(0), f.width, f.height, dw, dh,
+          dw.toLong * dh * f.channels)
+      }
+    }(enc).orderBy("media_id")
+  }
+
   // ---- frame sampling (video-style chunked payload access) ------------
 
   /** Split each payload into fixed 256-byte frames and keep every 4th —
@@ -138,6 +167,7 @@ object Multimodal extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"        -> mmMeta _,
     "mm_features"    -> mmFeatures _,
+    "mm_resize"      -> mmResize _,
     "mm_framesample" -> mmFrameSample _,
   )
 

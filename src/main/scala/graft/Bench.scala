@@ -46,23 +46,36 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // shared-host CPU steal produces 10-40x outliers on single shots
-      // (and sustained multi-second steal windows); re-measure anything
-      // slow, up to 3 attempts, and keep the min (standard min-of-N)
-      var dt = once(name, fn)
-      var attempts = 1
-      while (dt > 3.0 && attempts < 3) {
-        dt = math.min(dt, once(name, fn))
-        attempts += 1
-      }
-      System.err.println(f"[bench] $name $dt%.2fs ($attempts runs)")
-      name -> dt
+    // Shared-host CPU steal produces 10-40x outliers on single shots AND
+    // sustained multi-second steal windows, so back-to-back retries can
+    // all land inside one window (round 2: a 0.2s query measured 36s
+    // through 3 consecutive attempts). Instead: measure every query once,
+    // then make up to two full extra SWEEPS re-measuring only the slow
+    // ones — the sweep spacing puts retries minutes apart, outside any
+    // single steal window — and keep the per-query min.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.foreach { case (name, fn) =>
+      best(name) = once(name, fn)
+      System.err.println(f"[bench] sweep0 $name ${best(name)}%.2fs")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    for (sweep <- 1 to 2 if best.values.exists(_ > 3.0)) {
+      names.foreach { case (name, fn) =>
+        if (best(name) > 3.0) {
+          best(name) = math.min(best(name), once(name, fn))
+          System.err.println(f"[bench] sweep$sweep $name ${best(name)}%.2fs")
+        }
+      }
+    }
+    // ONE compact JSON line: ms precision keeps the whole line well under
+    // the driver's output-tail window — round 2's full-precision line was
+    // ~2.8 KB and got clipped mid-line, so the driver parsed nothing.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (best.nonEmpty) best.values.sum else 0.0
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

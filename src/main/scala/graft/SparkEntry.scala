@@ -19,6 +19,7 @@ object SparkEntry {
     operators.ScalarFns,
     operators.Sources,
     operators.Dedup,
+    operators.Typed,
     operators.TextAnalysis,
     operators.Similarity,
     operators.Multimodal,

@@ -305,6 +305,78 @@ object Dedup extends QueryModule {
        |WHERE round(inter::DOUBLE / (sza + szb - inter), 6) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- connected-components duplicate clusters ------------------------
+
+  /** Transitive near-dup CLUSTERS: connected components over the
+    * est-Jaccard >= 0.5 LSH pair graph, labels = min doc_id reachable.
+    * A near-dup B and B near-dup C puts A,B,C in one cluster even when
+    * A,C never collide in any band — the set-cover step an actual corpus
+    * dedup runs after pair generation.
+    *
+    * Spark shape: iterative min-label propagation (the standard
+    * Pregel/GraphX connected-components recurrence) as a driver loop of
+    * join+min-aggregate rounds, converging in O(component diameter)
+    * iterations — dup clusters are shallow, so 3-4 rounds in practice.
+    * Each round shuffles only (doc_id, label) longs, never content; at
+    * 100 TB the edge set (LSH survivors) is orders of magnitude smaller
+    * than the corpus, and the driver holds nothing but a loop counter
+    * and the converged flag.
+    */
+  private def ccClusters(s: SparkSession, d: String): DataFrame = {
+    val sig = sigTable(s, d)
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+    val pairs = candidatePairs(s, d)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .filter(
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))") * 2 >= K)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = documents(s, d).select(col("doc_id"), col("doc_id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 20) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val next = labels.union(prop).groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+  }
+
+  private def ccClustersOracle: String = {
+    val matches = (0 until K)
+      .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $shinglesCte,
+       |$candidatePairsCte,
+       |filt AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sig sa ON doc_a = sa.doc_id
+       |  JOIN sig sb ON doc_b = sb.doc_id
+       |  WHERE 2 * ($matches) >= $K),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM filt
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM filt),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+       |SELECT doc_id, min(lbl)::BIGINT AS cluster_id
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,6 +386,7 @@ object Dedup extends QueryModule {
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_simhash"       -> simhash _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
+    "dedup_cc"            -> ccClusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -330,5 +403,6 @@ object Dedup extends QueryModule {
     "dedup_minhash_pairs" -> minhashPairsOracle,
     "dedup_simhash"       -> simhashOracle,
     "dedup_jaccard_pairs" -> jaccardOracle,
+    "dedup_cc"            -> ccClustersOracle,
   )
 }

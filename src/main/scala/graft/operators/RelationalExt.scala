@@ -409,6 +409,106 @@ object RelationalExt extends QueryModule {
       |                    WHERE c_mktsegment = 'BUILDING')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q3 (shipping priority) through the SQL entry point — the
+    * classic 3-way join + filtered agg + top-k. Catalyst broadcasts the
+    * filtered customer side under AQE and the LIMIT plans as
+    * TakeOrderedAndProject, so no full sort of the aggregate ships.
+    * Revenue is an exact DECIMAL sum cast to double in both engines —
+    * bit-identical, safe to ORDER BY.
+    */
+  private def sqlTpchQ3(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_v")
+    orders(s, d).createOrReplaceTempView("orders_v")
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+        |JOIN lineitem_v ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+  }
+
+  private val sqlTpchQ3Oracle =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Range (band) join: orders bucketed into price bands by a non-equi
+    * `lo <= v < hi` condition against a tiny literal dimension. The dim
+    * is broadcast, so the plan is a BroadcastNestedLoopJoin — each order
+    * row tests 5 band rows locally and NOTHING shuffles; the shape that
+    * stays flat at 100 TB (band count, not row count, bounds the work
+    * per row).
+    */
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (1L, 0.0, 100000.0), (2L, 100000.0, 200000.0), (3L, 200000.0, 300000.0),
+      (4L, 300000.0, 400000.0), (5L, 400000.0, 1e9))
+      .toDF("band_id", "lo", "hi")
+    orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("band_id")
+  }
+
+  private val rangeJoinOracle =
+    """SELECT band_id, count(*) AS n_orders,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM orders
+      |JOIN (VALUES (1::BIGINT, 0.0, 100000.0), (2, 100000.0, 200000.0),
+      |             (3, 200000.0, 300000.0), (4, 300000.0, 400000.0),
+      |             (5, 400000.0, 1e9)) AS bands(band_id, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS: customers with at least one big
+    * order and no failed one. Catalyst decorrelates to a left-semi and
+    * a left-anti join on c_custkey — both plain hash shuffles on the
+    * join key at scale, no per-row re-execution of the subquery.
+    */
+  private def existsCorr(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_v")
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val existsCorrOracle =
+    """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -424,6 +524,9 @@ object RelationalExt extends QueryModule {
     "rel_bucketed_join" -> bucketedJoin _,
     "rel_subquery"      -> subqueries _,
     "rel_agg_weighted"  -> weightedMean _,
+    "rel_sql_tpch_q3"   -> sqlTpchQ3 _,
+    "rel_range_join"    -> rangeJoin _,
+    "rel_exists_corr"   -> existsCorr _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -439,5 +542,8 @@ object RelationalExt extends QueryModule {
     "rel_salted_agg"    -> saltedAggOracle,
     "rel_bucketed_join" -> bucketedJoinOracle,
     "rel_subquery"      -> subqueriesOracle,
+    "rel_sql_tpch_q3"   -> sqlTpchQ3Oracle,
+    "rel_range_join"    -> rangeJoinOracle,
+    "rel_exists_corr"   -> existsCorrOracle,
   )
 }

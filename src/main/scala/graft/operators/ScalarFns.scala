@@ -245,6 +245,51 @@ object ScalarFns extends QueryModule {
       |    FROM events GROUP BY 1, 2))
       |WHERE rnk <= 2 ORDER BY bucket, rnk""".stripMargin
 
+  // ---- funnel: ordered step sequence per user -------------------------
+
+  /** Conversion funnel view → click → purchase: per user, the earliest
+    * view, the earliest click after it, the earliest purchase after
+    * that. Three filtered min-aggregations chained by strictly-later
+    * joins — each stage shuffles one (user, ts) row per user, so the
+    * funnel costs three small hash aggregations at any scale (never a
+    * per-user sort of the full history).
+    */
+  private def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"), min("view_ts").as("view_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"),
+        min("view_ts").as("view_ts"), min("click_ts").as("click_ts"))
+    p.select(col("user_id"),
+        col("view_ts").cast("long").as("view_s"),
+        col("click_ts").cast("long").as("click_s"),
+        col("purchase_ts").cast("long").as("purchase_s"))
+      .orderBy("user_id")
+  }
+
+  private val eventFunnelOracle =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts, min(v.view_ts) AS view_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts,
+      |    min(c.view_ts) AS view_ts, min(c.click_ts) AS click_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT user_id, floor(epoch(view_ts))::BIGINT AS view_s,
+      |  floor(epoch(click_ts))::BIGINT AS click_s,
+      |  floor(epoch(purchase_ts))::BIGINT AS purchase_s
+      |FROM p ORDER BY user_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -263,6 +308,7 @@ object ScalarFns extends QueryModule {
     "event_sliding"    -> eventSliding _,
     "event_session"    -> eventSession _,
     "event_topk"       -> eventTopk _,
+    "event_funnel"     -> eventFunnel _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -348,6 +394,7 @@ object ScalarFns extends QueryModule {
         |  FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "event_topk"    -> eventTopkOracle,
+    "event_funnel"  -> eventFunnelOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

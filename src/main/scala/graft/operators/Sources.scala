@@ -125,6 +125,36 @@ object Sources extends QueryModule {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- ORC round-trip -------------------------------------------------
+
+  /** orders → ORC sink → ORC source → per-status aggregate. ORC is the
+    * other columnar format a lake ingests besides parquet; the read-back
+    * proves types (decimal, date) survive the format boundary.
+    */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = scratch("orc_orders")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderdate").cast("date").as("odate"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total_price"),
+        min(col("odate")).as("first_date"), max(col("odate")).as("last_date"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val orcOracle =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  min(CAST(o_orderdate AS DATE)) AS first_date,
+      |  max(CAST(o_orderdate AS DATE)) AS last_date,
+      |  count(DISTINCT o_orderpriority) AS n_prio
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- Structured Streaming: file source → windowed agg → sink --------
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -185,6 +215,78 @@ object Sources extends QueryModule {
     s.table(name).orderBy("bucket")
   }
 
+  /** events as an unbounded source (same ns→µs ts normalization as the
+    * batch loader).
+    */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Streaming exact dedup: first occurrence per (user_id, event_type)
+    * passes through, later ones are dropped against the state store.
+    * Emitting only the key columns makes the result the distinct key
+    * set — invariant to batch/partition arrival order, so the batch
+    * DISTINCT oracle matches exactly.
+    */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
+    val q = streamEvents(s, d)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "event_type")
+  }
+
+  private val streamDedupOracle =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Stream-stream inner join: clicks joined to the user's purchases
+    * within the following 30 minutes. Both sides are unbounded; the
+    * watermark + time-range condition bound the join state (a click can
+    * be dropped from state once the purchase-side watermark passes its
+    * 30-minute horizon) — the canonical funnel-attribution shape at
+    * stream scale.
+    */
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_join_" + streamSeq.incrementAndGet()
+    val clicks = streamEvents(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = streamEvents(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_ts").cast("long").as("click_s"),
+        col("p_ts").cast("long").as("purchase_s"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "click_s", "purchase_s")
+  }
+
+  private val streamJoinOracle =
+    """SELECT c.user_id, floor(epoch(c.ts))::BIGINT AS click_s,
+      |  floor(epoch(p.ts))::BIGINT AS purchase_s
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+      |ORDER BY 1, 2, 3""".stripMargin
+
   private val streamTumblingOracle =
     """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,
       |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
@@ -207,8 +309,11 @@ object Sources extends QueryModule {
     "src_json_roundtrip" -> jsonRoundtrip _,
     "src_text_wordcount" -> textRoundtrip _,
     "src_partitioned"    -> partitionedRoundtrip _,
+    "src_orc_roundtrip"  -> orcRoundtrip _,
     "stream_tumbling"    -> streamTumbling _,
     "stream_sliding"     -> streamSliding _,
+    "stream_dedup"       -> streamDedup _,
+    "stream_join"        -> streamJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,7 +321,10 @@ object Sources extends QueryModule {
     "src_json_roundtrip" -> jsonOracle,
     "src_text_wordcount" -> textOracle,
     "src_partitioned"    -> partitionedOracle,
+    "src_orc_roundtrip"  -> orcOracle,
     "stream_tumbling"    -> streamTumblingOracle,
     "stream_sliding"     -> streamSlidingOracle,
+    "stream_dedup"       -> streamDedupOracle,
+    "stream_join"        -> streamJoinOracle,
   )
 }

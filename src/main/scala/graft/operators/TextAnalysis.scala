@@ -246,6 +246,68 @@ object TextAnalysis extends QueryModule {
        |SELECT bigram, count(*) AS cnt FROM bg
        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin
 
+  // ---- collocations (PMI) ---------------------------------------------
+
+  /** Top-25 collocations by pointwise mutual information:
+    * pmi = ln( (c_xy / N_bg) / ((c_x / N_w) * (c_y / N_w)) ) over bigrams
+    * seen >= 5 times. All counts are exact integers and the double
+    * formula is identical in both engines; ranking uses the ROUNDED
+    * score (+ bigram tiebreak) so a last-ulp ln() difference can't
+    * reorder. Shape at scale: two hash aggregations (bigrams, unigrams)
+    * + two broadcast joins of the tiny >= 5 survivor set against the
+    * unigram table, then a bounded top-k.
+    */
+  private def collocations(s: SparkSession, d: String): DataFrame = {
+    val words = withWords(documents(s, d)).select("doc_id", "words")
+    val uni = words.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nw = uni.agg(sum("cw").as("n_words"))
+    val bg = words
+      .select(explode(expr(
+        """CASE WHEN size(words) >= 2
+          |THEN transform(sequence(0, size(words)-2),
+          |  i -> struct(words[i] AS x, words[i+1] AS y))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val nb = bg.agg(sum("cxy").as("n_bg"))
+    bg.filter(col("cxy") >= 5)
+      .join(broadcast(uni.withColumnRenamed("w", "x").withColumnRenamed("cw", "cx")), "x")
+      .join(broadcast(uni.withColumnRenamed("w", "y").withColumnRenamed("cw", "cy")), "y")
+      .crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+      .withColumn("pmi", round(
+        log((col("cxy").cast("double") / col("n_bg")) /
+          ((col("cx").cast("double") / col("n_words")) *
+            (col("cy").cast("double") / col("n_words")))), 6))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("cxy"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(25)
+  }
+
+  private val collocationsOracle =
+    s"""WITH $wordsCte,
+       |uni AS (
+       |  SELECT unnest(words) AS w FROM docs),
+       |ucnt AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+       |nw AS (SELECT sum(cw) AS n_words FROM ucnt),
+       |bg AS (
+       |  SELECT unnest(CASE WHEN len(words) >= 2
+       |    THEN list_transform(range(len(words)-1),
+       |      i -> {'x': words[i+1], 'y': words[i+2]})
+       |    ELSE [] END) AS b
+       |  FROM docs),
+       |bcnt AS (SELECT b.x AS x, b.y AS y, count(*) AS cxy FROM bg GROUP BY 1, 2),
+       |nb AS (SELECT sum(cxy) AS n_bg FROM bcnt)
+       |SELECT x || ' ' || y AS bigram, cxy,
+       |  round(ln((cxy::DOUBLE / n_bg) /
+       |    ((ux.cw::DOUBLE / n_words) * (uy.cw::DOUBLE / n_words))), 6) AS pmi
+       |FROM bcnt
+       |JOIN ucnt ux ON bcnt.x = ux.w
+       |JOIN ucnt uy ON bcnt.y = uy.w, nw, nb
+       |WHERE cxy >= 5
+       |ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin
+
   // ---- end-to-end corpus cleaning pipeline ----------------------------
 
   /** The composed training-data shape: quality gate → exact dedup
@@ -288,6 +350,7 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> fingerprint _,
     "text_tfidf"       -> tfidf _,
     "text_ngrams"      -> ngrams _,
+    "text_collocations" -> collocations _,
     "text_clean_pipeline" -> cleanPipeline _,
   )
 
@@ -304,6 +367,7 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> fingerprintOracle,
     "text_tfidf"       -> tfidfOracle,
     "text_ngrams"      -> ngramsOracle,
+    "text_collocations" -> collocationsOracle,
     "text_clean_pipeline" -> cleanPipelineOracle,
   )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed `Dataset[T]` surface: the same relational capabilities expressed
+  * through case-class encoders — `as[T]`, typed `filter`/`map`,
+  * `joinWith`, `groupByKey`/`mapGroups`. This is the compile-time-typed
+  * face of the reference's `KeyValue<K,V>` model (`include/key_value.h:
+  * 8-21`): where the reference fixes one `<K,V>` schema per compiled
+  * binary (`mr/word_count.h:14`), `Encoder`s give the same static typing
+  * per query without losing Tungsten's binary row format.
+  *
+  * Scale notes: typed lambdas (`filter(f)`, `map(f)`) deserialize rows to
+  * JVM objects, so they cost more than Column expressions and break
+  * predicate pushdown past the lambda — acceptable in the reduce-side
+  * fold (`mapGroups`, where user logic is the point), avoided before the
+  * scan by `select`-ing the narrow column set FIRST so the parquet reader
+  * still prunes columns. Aggregates here avoid order-dependent double
+  * summation: quantities are integral doubles (exact under reordered
+  * addition) and money folds go through java.math.BigDecimal (exact),
+  * matching the oracle's DECIMAL semantics.
+  */
+object Typed extends QueryModule {
+
+  import Tables._
+
+  final case class Li(l_orderkey: Long, l_quantity: Double,
+      l_extendedprice: Double, l_discount: Double, l_returnflag: String)
+  final case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  final case class Cust(c_custkey: Long, c_mktsegment: String)
+
+  /** Typed pipeline: filter → map → groupByKey → mapGroups (the exact
+    * MR reduce contract — the fold sees every value of the key).
+    * Revenue is folded as BigDecimal(6) like the untyped queries cast
+    * to DECIMAL(18,6): exact, so partition order can't change the sum.
+    */
+  private def typedPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag")
+      .as[Li]
+      .filter(li => li.l_quantity >= 10.0)
+      .map(li => (li.l_returnflag,
+        li.l_quantity,
+        java.math.BigDecimal.valueOf(li.l_extendedprice * (1 - li.l_discount))
+          .setScale(6, java.math.RoundingMode.HALF_UP)))
+      .groupByKey(_._1)
+      .mapGroups { (flag, rows) =>
+        var n = 0L
+        var qty = 0.0
+        var rev = java.math.BigDecimal.ZERO
+        rows.foreach { case (_, q, r) => n += 1; qty += q; rev = rev.add(r) }
+        (flag, n, qty, rev.doubleValue)
+      }
+      .toDF("l_returnflag", "n_items", "total_qty", "total_revenue")
+      .orderBy("l_returnflag")
+  }
+
+  private val typedPipelineOracle =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  sum(l_quantity) AS total_qty,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS total_revenue
+      |FROM lineitem WHERE l_quantity >= 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Typed join: `joinWith` yields a Dataset of pairs (no column-name
+    * flattening), folded per market segment. Count and max are
+    * order-insensitive, so no decimal detour is needed.
+    */
+  private def typedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ords = orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice").as[Ord]
+    val custs = customer(s, d)
+      .select("c_custkey", "c_mktsegment").as[Cust]
+    ords
+      .joinWith(custs, ords("o_custkey") === custs("c_custkey"))
+      .map { case (o, c) => (c.c_mktsegment, o.o_totalprice) }
+      .groupByKey(_._1)
+      .mapGroups { (seg, rows) =>
+        var n = 0L
+        var mx = Double.MinValue
+        rows.foreach { case (_, p) => n += 1; if (p > mx) mx = p }
+        (seg, n, mx)
+      }
+      .toDF("c_mktsegment", "n_orders", "max_price")
+      .orderBy("c_mktsegment")
+  }
+
+  private val typedJoinOracle =
+    """SELECT c_mktsegment, count(*) AS n_orders, max(o_totalprice) AS max_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_typed_pipeline" -> typedPipeline _,
+    "ds_typed_join"     -> typedJoin _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ds_typed_pipeline" -> typedPipelineOracle,
+    "ds_typed_join"     -> typedJoinOracle,
+  )
+}

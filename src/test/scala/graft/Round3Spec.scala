@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-3 operators (beyond the all-queries smoke
+  * and the DuckDB oracle hash-compare).
+  */
+class Round3Spec extends SparkSpec {
+
+  test("dedup_cc labels are canonical component minima") {
+    val cc = operators.Dedup.queries("dedup_cc")(spark, sfDir).cache()
+    // labels never exceed the member id (min-propagation invariant)
+    assert(cc.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    // every label is itself a doc whose own label is itself (a root)
+    val roots = cc.filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id").as("cluster_id"))
+    val dangling = cc.select("cluster_id").distinct()
+      .join(roots, Seq("cluster_id"), "left_anti")
+    assert(dangling.count() == 0)
+    // near-dup pairs (est_jaccard >= 0.5) land in the same cluster
+    val pairs = operators.Dedup.queries("dedup_minhash_pairs")(spark, sfDir)
+    val ca = cc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "la")
+    val cb = cc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "lb")
+    val split = pairs.join(ca, "doc_a").join(cb, "doc_b")
+      .filter(col("la") =!= col("lb"))
+    assert(split.count() == 0)
+    cc.unpersist()
+    ()
+  }
+
+  test("event_funnel steps are strictly ordered") {
+    val f = operators.ScalarFns.queries("event_funnel")(spark, sfDir)
+    assert(f.filter(col("view_s") > col("click_s") ||
+      col("click_s") > col("purchase_s")).count() == 0)
+  }
+
+  test("rel_range_join bands partition all orders") {
+    val bands = operators.RelationalExt.queries("rel_range_join")(spark, sfDir)
+    val total = bands.agg(sum("n_orders")).head().getLong(0)
+    assert(total == Tables.orders(spark, sfDir).count())
+  }
+
+  test("typed pipeline matches the untyped equivalent") {
+    import spark.implicits._
+    val typed = operators.Typed.queries("ds_typed_pipeline")(spark, sfDir)
+      .select("l_returnflag", "n_items", "total_qty")
+      .as[(String, Long, Double)].collect().toSet
+    val untyped = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("total_qty"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(typed == untyped)
+  }
+
+  test("stream_dedup equals batch distinct") {
+    import spark.implicits._
+    val streamed = operators.Sources.queries("stream_dedup")(spark, sfDir)
+      .as[(Long, String)].collect().toSet
+    val batch = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
+}

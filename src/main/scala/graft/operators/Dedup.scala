@@ -334,24 +334,38 @@ object Dedup extends QueryModule {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = documents(s, d).select(col("doc_id"), col("doc_id").as("lbl"))
+    // Only docs that appear in an edge participate in the iteration —
+    // the near-dup survivor set, orders of magnitude smaller than the
+    // corpus. Singletons re-enter as their own cluster at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // Convergence check: labels only ever decrease, so the label sum is
+    // strictly monotone — equal sums between rounds IS the fixpoint.
+    // One small aggregate per round instead of a self-join + count.
+    def lblSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < 20) {
+    while (!converged && iters < 20) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("lbl"))
       val next = labels.union(prop).groupBy("doc_id").agg(min("lbl").as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-        .filter(col("lbl") =!= col("prev")).count()
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iters += 1
     }
+    val out = documents(s, d).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
     edges.unpersist()
-    labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+    out
   }
 
   private def ccClustersOracle: String = {

@@ -169,50 +169,52 @@ object Sources extends QueryModule {
     * the test harness shape (results must fit the driver — true here,
     * one row per (hour, type)).
     */
-  private def streamTumbling(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    val ev =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val q = ev
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
-      .select(col("w.start").cast("long").as("bucket"), col("event_type"),
-        col("n"), col("value_sum"))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name).orderBy("bucket", "event_type")
-  }
+  private def streamTumbling(s: SparkSession, d: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
+      val q = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .select(col("w.start").cast("long").as("bucket"), col("event_type"),
+          col("n"), col("value_sum"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("bucket", "event_type")
+    }
 
   /** Sliding windows over the replayed stream (1 hour every 30 min) —
     * each event lands in two overlapping window states.
     */
-  private def streamSliding(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = "graft_stream_sliding_" + streamSeq.incrementAndGet()
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    val ev =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val q = ev
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
-      .select(col("w.start").cast("long").as("bucket"), col("n"), col("value_sum"))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name).orderBy("bucket")
+  private def streamSliding(s: SparkSession, d: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val name = "graft_stream_sliding_" + streamSeq.incrementAndGet()
+      val q = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .select(col("w.start").cast("long").as("bucket"), col("n"), col("value_sum"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("bucket")
+    }
+
+  /** Stateful streaming ops instantiate one state store per shuffle
+    * partition per stateful operator; for the tiny replayed fixture the
+    * store setup dominates, so the stream queries run with a reduced
+    * partition count (state is keyed-hash partitioned — the partition
+    * count never changes results, and each fresh run starts a fresh
+    * checkpoint, so the pinned count is per-query). At production rates
+    * this knob goes UP with key cardinality, not down.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
   /** events as an unbounded source (same ns→µs ts normalization as the
@@ -233,21 +235,44 @@ object Sources extends QueryModule {
     * set — invariant to batch/partition arrival order, so the batch
     * DISTINCT oracle matches exactly.
     */
-  private def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
-    val q = streamEvents(s, d)
-      .withWatermark("ts", "2 hours")
-      .dropDuplicates(Seq("user_id", "event_type"))
-      .select(col("user_id"), col("event_type"))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name).orderBy("user_id", "event_type")
-  }
+  private def streamDedup(s: SparkSession, d: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
+      val q = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "event_type")
+    }
 
   private val streamDedupOracle =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** Streaming session windows per user (30-minute gap) over the
+    * replayed events — the streaming form of `event_session`, checked
+    * against the same gaps-and-islands batch oracle. Complete mode +
+    * memory sink mirrors the other replay harnesses; production would
+    * watermark + append so merged sessions finalize past the watermark.
+    */
+  private def streamSession(s: SparkSession, d: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val name = "graft_stream_session_" + streamSeq.incrementAndGet()
+      val q = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+          col("n_events"), col("value_sum"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "session_start")
+    }
 
   /** Stream-stream inner join: clicks joined to the user's purchases
     * within the following 30 minutes. Both sides are unbounded; the
@@ -256,27 +281,28 @@ object Sources extends QueryModule {
     * 30-minute horizon) — the canonical funnel-attribution shape at
     * stream scale.
     */
-  private def streamJoin(s: SparkSession, d: String): DataFrame = {
-    val name = "graft_stream_join_" + streamSeq.incrementAndGet()
-    val clicks = streamEvents(s, d)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = streamEvents(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
-    val q = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("click_ts") &&
-          col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("user_id"), col("click_ts").cast("long").as("click_s"),
-        col("p_ts").cast("long").as("purchase_s"))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name).orderBy("user_id", "click_s", "purchase_s")
-  }
+  private def streamJoin(s: SparkSession, d: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val name = "graft_stream_join_" + streamSeq.incrementAndGet()
+      val clicks = streamEvents(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = streamEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_ts").cast("long").as("click_s"),
+          col("p_ts").cast("long").as("purchase_s"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "click_s", "purchase_s")
+    }
 
   private val streamJoinOracle =
     """SELECT c.user_id, floor(epoch(c.ts))::BIGINT AS click_s,
@@ -314,6 +340,7 @@ object Sources extends QueryModule {
     "stream_sliding"     -> streamSliding _,
     "stream_dedup"       -> streamDedup _,
     "stream_join"        -> streamJoin _,
+    "stream_session"     -> streamSession _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,5 +353,20 @@ object Sources extends QueryModule {
     "stream_sliding"     -> streamSlidingOracle,
     "stream_dedup"       -> streamDedupOracle,
     "stream_join"        -> streamJoinOracle,
+    "stream_session"     ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -322,7 +322,11 @@ object Dedup extends QueryModule {
     * than the corpus, and the driver holds nothing but a loop counter
     * and the converged flag.
     */
-  private def ccClusters(s: SparkSession, d: String): DataFrame = {
+  private def ccClusters(s: SparkSession, d: String): DataFrame =
+    // the iterated tables are label/edge sets (LSH survivors) — tiny
+    // relative to the corpus — so per-round task-launch overhead
+    // dominates at the session's default fan-out
+    graft.Tuning.withShufflePartitions(s, 8) {
     val sig = sigTable(s, d)
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
@@ -366,7 +370,7 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
     edges.unpersist()
     out
-  }
+    }
 
   private def ccClustersOracle: String = {
     val matches = (0 until K)

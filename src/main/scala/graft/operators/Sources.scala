@@ -206,16 +206,12 @@ object Sources extends QueryModule {
   /** Stateful streaming ops instantiate one state store per shuffle
     * partition per stateful operator; for the tiny replayed fixture the
     * store setup dominates, so the stream queries run with a reduced
-    * partition count (state is keyed-hash partitioned — the partition
-    * count never changes results, and each fresh run starts a fresh
-    * checkpoint, so the pinned count is per-query). At production rates
-    * this knob goes UP with key cardinality, not down.
+    * partition count via [[graft.Tuning.withShufflePartitions]] (each
+    * fresh run starts a fresh checkpoint, so the pinned count is
+    * per-query).
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
-  }
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T =
+    graft.Tuning.withShufflePartitions(s, n)(f)
 
   /** events as an unbounded source (same ns→µs ts normalization as the
     * batch loader).

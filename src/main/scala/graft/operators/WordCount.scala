@@ -64,6 +64,40 @@ object WordCount extends QueryModule {
     ).toDF("doc_id", "n_matches").orderBy("doc_id")
   }
 
+  /** Classic reduce-side join on the generic MR contract (SURVEY §2.B:
+    * map both inputs to (key, tagged-record), reduce pairs the groups —
+    * the shuffle/group machinery is the reference's N4/N7,
+    * `src/worker.cc:176-182,208`). The reduce sees ALL tagged values of
+    * a key at once and crosses the two tag groups. Spark's native joins
+    * supersede this shape (partial-agg, SMJ/broadcast selection), but
+    * this is what the reference's user API can express directly.
+    */
+  def mrJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
+      .map { case (k, seg) => (k, "C|" + seg) }
+    val ords = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey")).as[(Long, Long)]
+      .map { case (k, o) => (k, "O|" + o) }
+    MapReduce.mapReduce[(Long, String), Long, String, Seq[(Long, String, Long)]](
+      cust.union(ords),
+      kv => Iterator.single(kv),
+      (custkey, tagged) => {
+        val (cs, os) = tagged.toSeq.partition(_.startsWith("C|"))
+        for { c <- cs; o <- os }
+          yield (custkey, c.drop(2), o.drop(2).toLong)
+      }
+    ).flatMap(identity(_))
+      .toDF("c_custkey", "c_mktsegment", "o_orderkey")
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  private val mrJoinOracle =
+    """SELECT c_custkey, c_mktsegment, o_orderkey
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
   private val mrGrepOracle =
     """SELECT doc_id, len(regexp_extract_all(text, 'hash join|window'))::BIGINT AS n_matches
       |FROM documents
@@ -80,11 +114,13 @@ object WordCount extends QueryModule {
     "wordcount"    -> dataframeWordCount _,
     "mr_wordcount" -> mrWordCount _,
     "mr_grep"      -> mrGrep _,
+    "mr_join"      -> mrJoin _,
   )
 
   val oracles: Map[String, String] = Map(
     "wordcount"    -> wcOracle,
     "mr_wordcount" -> wcOracle,
     "mr_grep"      -> mrGrepOracle,
+    "mr_join"      -> mrJoinOracle,
   )
 }

@@ -34,6 +34,17 @@ class Round3Spec extends SparkSpec {
       col("click_s") > col("purchase_s")).count() == 0)
   }
 
+  test("rel_range_join plans as a broadcast nested-loop join") {
+    val df = operators.RelationalExt.queries("rel_range_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the tiny band dim to broadcast:\n$plan")
+    // the fact side must not shuffle for the join itself
+    val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"band join shuffles the fact side:\n$plan")
+  }
+
   test("rel_range_join bands partition all orders") {
     val bands = operators.RelationalExt.queries("rel_range_join")(spark, sfDir)
     val total = bands.agg(sum("n_orders")).head().getLong(0)

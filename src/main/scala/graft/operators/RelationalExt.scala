@@ -509,6 +509,50 @@ object RelationalExt extends QueryModule {
       |                    AND o.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Column profiler: the data-quality pass a pipeline runs before
+    * training — per column: row count, nulls, distinct count, numeric
+    * min/max (string columns profile value length). One row per column
+    * via unioned single-row aggregates; each leg is an independent
+    * partial+final agg over a single-column scan, so the profile of a
+    * 100 TB table reads each column exactly once and ships one row.
+    */
+  private def profile(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    def num(c: String) = li.select(
+      lit(c).as("col_name"), count(lit(1)).as("n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("double").as("min_v"),
+      max(col(c)).cast("double").as("max_v"))
+    def str(c: String) = li.select(
+      lit(c).as("col_name"), count(lit(1)).as("n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(length(col(c))).cast("double").as("min_v"),
+      max(length(col(c))).cast("double").as("max_v"))
+    num("l_quantity").union(num("l_extendedprice")).union(num("l_discount"))
+      .union(str("l_returnflag")).union(str("l_linestatus"))
+      .orderBy("col_name")
+  }
+
+  private val profileOracle = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v
+         |FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min(length($c))::DOUBLE AS min_v, max(length($c))::DOUBLE AS max_v
+         |FROM lineitem""".stripMargin
+    Seq(num("l_quantity"), num("l_extendedprice"), num("l_discount"),
+      str("l_returnflag"), str("l_linestatus"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -527,6 +571,7 @@ object RelationalExt extends QueryModule {
     "rel_sql_tpch_q3"   -> sqlTpchQ3 _,
     "rel_range_join"    -> rangeJoin _,
     "rel_exists_corr"   -> existsCorr _,
+    "rel_profile"       -> profile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -545,5 +590,6 @@ object RelationalExt extends QueryModule {
     "rel_sql_tpch_q3"   -> sqlTpchQ3Oracle,
     "rel_range_join"    -> rangeJoinOracle,
     "rel_exists_corr"   -> existsCorrOracle,
+    "rel_profile"       -> profileOracle,
   )
 }

@@ -245,6 +245,32 @@ object ScalarFns extends QueryModule {
       |    FROM events GROUP BY 1, 2))
       |WHERE rnk <= 2 ORDER BY bucket, rnk""".stripMargin
 
+  // ---- bitwise functions ----------------------------------------------
+
+  /** Bitwise surface over the keys: and/or/xor, shifts, popcount — all
+    * codegen'd integer ops in one projection.
+    */
+  private def bitwiseFns(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      expr("l_orderkey & 255").as("and255"),
+      expr("l_orderkey | 4096").as("or4096"),
+      expr("l_orderkey ^ l_partkey").as("xorkeys"),
+      expr("shiftleft(CAST(l_linenumber AS BIGINT), 3)").as("shl3"),
+      expr("shiftright(l_orderkey, 2)").as("shr2"),
+      expr("CAST(bit_count(l_orderkey) AS BIGINT)").as("popcount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val bitwiseOracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey & 255 AS and255,
+      |  l_orderkey | 4096 AS or4096,
+      |  xor(l_orderkey, l_partkey) AS xorkeys,
+      |  l_linenumber::BIGINT << 3 AS shl3,
+      |  l_orderkey >> 2 AS shr2,
+      |  bit_count(l_orderkey)::BIGINT AS popcount
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ---- funnel: ordered step sequence per user -------------------------
 
   /** Conversion funnel view → click → purchase: per user, the earliest
@@ -309,6 +335,7 @@ object ScalarFns extends QueryModule {
     "event_session"    -> eventSession _,
     "event_topk"       -> eventTopk _,
     "event_funnel"     -> eventFunnel _,
+    "fn_bitwise"       -> bitwiseFns _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,6 +422,7 @@ object ScalarFns extends QueryModule {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "event_topk"    -> eventTopkOracle,
     "event_funnel"  -> eventFunnelOracle,
+    "fn_bitwise"    -> bitwiseOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

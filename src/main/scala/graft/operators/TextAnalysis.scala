@@ -246,6 +246,33 @@ object TextAnalysis extends QueryModule {
        |SELECT bigram, count(*) AS cnt FROM bg
        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin
 
+  // ---- PII scrubbing --------------------------------------------------
+
+  /** Training-data scrub pass: redact email-shaped tokens and long digit
+    * runs, count what was removed. Pure per-row projection — codegen'd
+    * regex, no shuffle (the orderBy is oracle determinism); the regexes
+    * use dialect-portable character classes only.
+    */
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._-]+@[a-z0-9.-]+"
+    val digits = "[0-9]{6,}"
+    documents(s, d).select(
+      col("doc_id"),
+      expr(s"size(regexp_extract_all(text, '$email', 0))").cast("long").as("n_emails"),
+      expr(s"size(regexp_extract_all(text, '$digits', 0))").cast("long").as("n_digit_runs"),
+      md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        digits, "<NUM>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubOracle =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+'))::BIGINT AS n_emails,
+      |  len(regexp_extract_all(text, '[0-9]{6,}'))::BIGINT AS n_digit_runs,
+      |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- collocations (PMI) ---------------------------------------------
 
   /** Top-25 collocations by pointwise mutual information:
@@ -351,6 +378,7 @@ object TextAnalysis extends QueryModule {
     "text_tfidf"       -> tfidf _,
     "text_ngrams"      -> ngrams _,
     "text_collocations" -> collocations _,
+    "text_pii_scrub"   -> piiScrub _,
     "text_clean_pipeline" -> cleanPipeline _,
   )
 
@@ -368,6 +396,7 @@ object TextAnalysis extends QueryModule {
     "text_tfidf"       -> tfidfOracle,
     "text_ngrams"      -> ngramsOracle,
     "text_collocations" -> collocationsOracle,
+    "text_pii_scrub"   -> piiScrubOracle,
     "text_clean_pipeline" -> cleanPipelineOracle,
   )
 }

@@ -230,32 +230,100 @@ object Dedup extends QueryModule {
     * left join with zero counts, matching the oracle's vacuous-majority
     * bits (all '1').
     */
-  private def simhash(s: SparkSession, d: String): DataFrame = {
-    val ex = documents(s, d)
-      .select(col("doc_id"),
-        explode(expr("filter(split(text, '[^a-z]+'), x -> x <> '')")).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      // the first 16 hex chars as four 32-bit ints: one conv per chunk,
-      // then each of the 64 bit counts is a shift+mask, not a string test
-      .select(col("doc_id") +: (0 until 4).map(j =>
-        expr(s"CAST(conv(substr(h, ${8 * j + 1}, 8), 16, 10) AS BIGINT)").as(s"v$j")): _*)
-    val cnts = ex.groupBy("doc_id").agg(
-      count(lit(1)).as("size0"),
-      (0 until 64).map { i =>
-        val c = i / 4 // hex char index, 0-based
-        val (chunk, pos) = (c / 8, c % 8)
-        val shift = 4 * (7 - pos) + (i % 4)
-        sum(shiftright(col(s"v$chunk"), shift).bitwiseAND(lit(1L))).as(s"c$i")
-      }: _*)
-    val bits = (0 until 64)
-      .map(i => when(lit(2) * coalesce(col(s"c$i"), lit(0L)) >=
-        coalesce(col("size0"), lit(0L)), "1").otherwise("0"))
-    documents(s, d).select("doc_id")
-      .join(cnts, Seq("doc_id"), "left")
-      .withColumn("simhash64", concat(bits: _*))
+  private val shCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** (doc_id, simhash64) — computed once per (session, sfDir); both the
+    * signature query and the pair verify consume it.
+    */
+  private def simhashTable(s: SparkSession, d: String): DataFrame =
+    shCache.computeIfAbsent((s, d), _ => {
+      val ex = documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, '[^a-z]+'), x -> x <> '')")).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+        // the first 16 hex chars as four 32-bit ints: one conv per chunk,
+        // then each of the 64 bit counts is a shift+mask, not a string test
+        .select(col("doc_id") +: (0 until 4).map(j =>
+          expr(s"CAST(conv(substr(h, ${8 * j + 1}, 8), 16, 10) AS BIGINT)").as(s"v$j")): _*)
+      val cnts = ex.groupBy("doc_id").agg(
+        count(lit(1)).as("size0"),
+        (0 until 64).map { i =>
+          val c = i / 4 // hex char index, 0-based
+          val (chunk, pos) = (c / 8, c % 8)
+          val shift = 4 * (7 - pos) + (i % 4)
+          sum(shiftright(col(s"v$chunk"), shift).bitwiseAND(lit(1L))).as(s"c$i")
+        }: _*)
+      val bits = (0 until 64)
+        .map(i => when(lit(2) * coalesce(col(s"c$i"), lit(0L)) >=
+          coalesce(col("size0"), lit(0L)), "1").otherwise("0"))
+      documents(s, d).select("doc_id")
+        .join(cnts, Seq("doc_id"), "left")
+        .withColumn("simhash64", concat(bits: _*))
+        .select("doc_id", "simhash64")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    simhashTable(s, d)
       .select(col("doc_id"), col("simhash64"),
         expr("substr(simhash64, 1, 16)").as("bucket16"))
       .orderBy("doc_id")
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits block the candidates
+    * (same shape as the MinHash LSH join — the shuffle key is a band
+    * code, never a content block), then the exact 64-bit hamming
+    * distance verifies each candidate; keep pairs within 8 bits.
+    * The per-pair hamming lambda is interpreted, but it runs over the
+    * banded candidate set only — linear in candidates.
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val t = simhashTable(s, d)
+    val bands = t.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(b => expr(s"substr(simhash64, ${16 * b + 1}, 16)")): _*))
+      .as(Seq("band", "code")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("simhash64").as("sa")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("simhash64").as("sb")), "doc_b")
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 64), i -> substr(sa, i, 1) != substr(sb, i, 1)))")
+          .cast("long"))
+      .filter(col("hamming") <= 8)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def simhashPairsOracle: String = {
+    val bits = simhashBitExprs("duckdb").mkString(" || ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, substr(simhash64, ${16 * b + 1}, 16) AS code FROM fp")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS words
+       |  FROM documents),
+       |sized AS (SELECT doc_id, words, len(words) AS size0 FROM docs),
+       |fp AS (SELECT doc_id, $bits AS simhash64 FROM sized),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_filter(range(1, 65),
+       |      i -> substr(fa.simhash64, i, 1) <> substr(fb.simhash64, i, 1)))::BIGINT AS hamming
+       |  FROM pairs
+       |  JOIN fp fa ON doc_a = fa.doc_id
+       |  JOIN fp fb ON doc_b = fb.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM scored
+       |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   private def simhashOracle: String = {
@@ -403,6 +471,7 @@ object Dedup extends QueryModule {
     "dedup_minhash_sig"   -> minhashSig _,
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_simhash"       -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_cc"            -> ccClusters _,
   )
@@ -420,6 +489,7 @@ object Dedup extends QueryModule {
     "dedup_minhash_sig"   -> minhashSigOracle,
     "dedup_minhash_pairs" -> minhashPairsOracle,
     "dedup_simhash"       -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_jaccard_pairs" -> jaccardOracle,
     "dedup_cc"            -> ccClustersOracle,
   )

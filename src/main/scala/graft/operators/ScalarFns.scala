@@ -245,6 +245,42 @@ object ScalarFns extends QueryModule {
       |    FROM events GROUP BY 1, 2))
       |WHERE rnk <= 2 ORDER BY bucket, rnk""".stripMargin
 
+  // ---- cohort retention -----------------------------------------------
+
+  /** Day-N retention by first-purchase cohort: users grouped by the day
+    * of their first purchase; for each cohort, how many were active
+    * again exactly 1 and 7 days later. Two hash aggregations (per-user
+    * first purchase day, distinct user-days) and one join on user_id —
+    * each shuffles one small row per user/user-day regardless of event
+    * volume.
+    */
+  private def eventRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("ts").cast("date").as("day"),
+      col("event_type"))
+    val cohort = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.select("user_id", "day").distinct()
+    cohort.join(active, "user_id")
+      .groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct(when(col("day") === date_add(col("cohort_day"), 1),
+          col("user_id"))).as("n_day1"),
+        countDistinct(when(col("day") === date_add(col("cohort_day"), 7),
+          col("user_id"))).as("n_day7"))
+      .orderBy("cohort_day")
+  }
+
+  private val eventRetentionOracle =
+    """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT cohort_day, count(DISTINCT c.user_id) AS n_users,
+      |  count(DISTINCT CASE WHEN day = cohort_day + 1 THEN c.user_id END) AS n_day1,
+      |  count(DISTINCT CASE WHEN day = cohort_day + 7 THEN c.user_id END) AS n_day7
+      |FROM cohort c JOIN ev ON c.user_id = ev.user_id
+      |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+
   // ---- bitwise functions ----------------------------------------------
 
   /** Bitwise surface over the keys: and/or/xor, shifts, popcount — all
@@ -336,6 +372,7 @@ object ScalarFns extends QueryModule {
     "event_topk"       -> eventTopk _,
     "event_funnel"     -> eventFunnel _,
     "fn_bitwise"       -> bitwiseFns _,
+    "event_retention"  -> eventRetention _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -423,6 +460,7 @@ object ScalarFns extends QueryModule {
     "event_topk"    -> eventTopkOracle,
     "event_funnel"  -> eventFunnelOracle,
     "fn_bitwise"    -> bitwiseOracle,
+    "event_retention" -> eventRetentionOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

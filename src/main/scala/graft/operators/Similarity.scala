@@ -291,12 +291,163 @@ object Similarity extends QueryModule {
        |SELECT qid, rnk, vec_id, sim FROM ranked
        |WHERE rnk <= $TOPK ORDER BY qid, rnk""".stripMargin
 
+  // ---- IVF with a k-means-trained coarse quantizer --------------------
+
+  private val KM_SEEDS = Seq(0, 100, 200, 300) // initial centroids (vec_ids)
+  private val KM_ITERS = 2
+
+  /** k-means (Lloyd) trained cells, fully deterministic across engines:
+    *  - init: the seed vectors themselves (fixed vec_ids, cell id = seed);
+    *  - assign: argmin of round(|x|² − 2x·c + |c|², 6), ties to the lower
+    *    cell id — every term is a strict left-to-right dot product, so
+    *    the doubles are bit-identical in Spark and DuckDB;
+    *  - update: per-(cell, dim) means from EXACT long sums of
+    *    floor(v·1e6) (the same recipe as the per-label centroids);
+    *  - a FIXED iteration count (unrolled in the oracle as a CTE chain),
+    *    so the whole training is one declarative plan — no driver loop,
+    *    no actions.
+    * At scale each iteration is one broadcast-join + two hash
+    * aggregations over (cell, dim) — k·d cells of state, corpus read
+    * once per iteration.
+    */
+  private def kmCentroids(emb: DataFrame): DataFrame = {
+    val init = emb.filter(col("vec_id").isin(KM_SEEDS.map(_.toLong): _*))
+      .select(col("vec_id").as("cell"),
+        expr("transform(embedding, x -> cast(x AS double))").as("cvec"))
+    (0 until KM_ITERS).foldLeft(init) { (cent, _) =>
+      val assign = assignCells(emb, cent)
+      emb.join(assign, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cell"), col("pos"),
+          floor(col("v").cast("double") * lit(1000000.0)).as("q"))
+        .groupBy("cell", "pos")
+        .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("cv",
+          col("sq").cast("double") / lit(1000000.0) / col("cnt").cast("double"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+          .as("cvec"))
+    }
+  }
+
+  /** Nearest cell per vector under the given centroids (argmin rounded
+    * squared L2, ties to the lower cell id).
+    */
+  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val c2 = cent.withColumn("c2", vecDot(col("cvec"), col("cvec")))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cell"))
+    emb.crossJoin(broadcast(c2))
+      .withColumn("dist2", round(
+        col("e2") - lit(2.0) * vecDot(col("embedding"), col("cvec")) + col("c2"), 6))
+      .withColumn("arnk", row_number().over(w))
+      .filter(col("arnk") === 1)
+      .select("vec_id", "cell")
+  }
+
+  private def topkIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(embeddings(s, d))
+      .withColumn("e2", vecDot(col("embedding"), col("embedding")))
+    val cent = kmCentroids(emb)
+      .withColumn("cnrm", vecNorm(col("cvec")))
+    val assign = assignCells(emb, cent)
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val probeW = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        round(vecDot(col("qe"), col("cvec")) / (col("qn") * col("cnrm")), 6))
+      .withColumn("crnk", row_number().over(probeW))
+      .filter(col("crnk") <= NPROBE)
+      .select("qid", "qe", "qn", "cell")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    emb.join(assign, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", simCol("qe", "embedding", "qn", "nrm"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TOPK)
+      .select("qid", "rnk", "vec_id", "sim")
+      .orderBy("qid", "rnk")
+  }
+
+  private def topkIvfKmeansOracle: String = {
+    val seeds = KM_SEEDS.mkString(", ")
+    // one assignment CTE (against centroid CTE $c) and one update CTE pair
+    def assignCte(name: String, c: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(e.e2 - 2 * list_dot_product(e.ed, c.cvec)
+         |          + list_dot_product(c.cvec, c.cvec), 6) ASC, c.cell) AS arnk
+         |    FROM ek e, $c c)
+         |  WHERE arnk = 1)""".stripMargin
+    def updateCte(sums: String, cent: String, assign: String): String =
+      s"""$sums AS (
+         |  SELECT a.cell, z.pos,
+         |    sum(CAST(floor(z.v::DOUBLE * 1000000.0) AS BIGINT)) AS sq,
+         |    count(*) AS cnt
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |          unnest(range(len(embedding))) AS pos FROM embeddings) z
+         |  JOIN $assign a ON z.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |$cent AS (
+         |  SELECT cell, list((sq::DOUBLE / 1000000.0) / cnt::DOUBLE ORDER BY pos)
+         |    AS cvec
+         |  FROM $sums GROUP BY cell)""".stripMargin
+    s"""WITH ek AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> x::DOUBLE) AS ed,
+       |    list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+       |      list_transform(embedding, x -> x::DOUBLE)) AS e2,
+       |    sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+       |      list_transform(embedding, x -> x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cvec
+       |  FROM embeddings WHERE vec_id IN ($seeds)),
+       |${assignCte("a0", "cent0")},
+       |${updateCte("s1", "cent1", "a0")},
+       |${assignCte("a1", "cent1")},
+       |${updateCte("s2", "cent2", "a1")},
+       |centf AS (
+       |  SELECT cell, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm
+       |  FROM cent2),
+       |${assignCte("af", "centf")},
+       |q AS (SELECT vec_id AS qid, ed AS qe, nrm AS qn FROM ek
+       |  WHERE vec_id < $NQUERIES),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        round(list_dot_product(q.qe, c.cvec) / (q.qn * c.cnrm), 6)
+       |        DESC, c.cell) AS crnk
+       |    FROM q, centf c)
+       |  WHERE crnk <= $NPROBE),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    round(list_dot_product(q.qe, e.ed) / (q.qn * e.nrm), 6) AS sim
+       |  FROM ek e
+       |  JOIN af ON e.vec_id = af.vec_id
+       |  JOIN probes p ON af.cell = p.cell
+       |  JOIN q ON q.qid = p.qid
+       |  WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk, vec_id, sim FROM ranked
+       |WHERE rnk <= $TOPK ORDER BY qid, rnk""".stripMargin
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> topkBrute _,
     "sim_topk_lsh"   -> topkLsh _,
     "sim_topk_ivf"   -> topkIvf _,
+    "sim_ivf_kmeans" -> topkIvfKmeans _,
     "sim_cos_pairs"  -> cosinePairs _,
   )
 
@@ -304,6 +455,7 @@ object Similarity extends QueryModule {
     "sim_topk_brute" -> topkBruteOracle,
     "sim_topk_lsh"   -> topkLshOracle,
     "sim_topk_ivf"   -> topkIvfOracle,
+    "sim_ivf_kmeans" -> topkIvfKmeansOracle,
     "sim_cos_pairs"  -> cosinePairsOracle,
   )
 }

@@ -394,7 +394,10 @@ object Dedup extends QueryModule {
     * than the corpus, and the driver holds nothing but a loop counter
     * and the converged flag.
     */
-  private def ccClusters(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, cluster_id) for every document — the converged CC labels.
+    * Shared by the dedup_cc query and the composed pipeline.
+    */
+  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame =
     // the iterated tables are label/edge sets (LSH survivors) — tiny
     // relative to the corpus — so per-round task-launch overhead
     // dominates at the session's default fan-out
@@ -439,16 +442,23 @@ object Dedup extends QueryModule {
     val out = documents(s, d).select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
     edges.unpersist()
     out
     }
 
-  private def ccClustersOracle: String = {
+  private def ccClusters(s: SparkSession, d: String): DataFrame =
+    ccLabels(s, d).orderBy("doc_id")
+
+  /** The full recursive CTE chain computing `reach` (doc_id, lbl) —
+    * component labels via reachability. Callers prepend `WITH RECURSIVE`
+    * and aggregate `min(lbl)` per doc_id. Shared with the composed
+    * pipeline oracle in TextAnalysis.
+    */
+  private[operators] def ccOracleCtes: String = {
     val matches = (0 until K)
       .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH RECURSIVE $shinglesCte,
+    s"""$shinglesCte,
        |$candidatePairsCte,
        |filt AS (
        |  SELECT doc_a, doc_b FROM pairs
@@ -462,10 +472,13 @@ object Dedup extends QueryModule {
        |reach AS (
        |  SELECT doc_id, doc_id AS lbl FROM documents
        |  UNION
-       |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+       |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)""".stripMargin
+  }
+
+  private def ccClustersOracle: String =
+    s"""WITH RECURSIVE $ccOracleCtes
        |SELECT doc_id, min(lbl)::BIGINT AS cluster_id
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   // ---- registry -------------------------------------------------------
 

@@ -368,6 +368,51 @@ object TextAnalysis extends QueryModule {
        |  sum(nc)::BIGINT AS total_chars
        |FROM gated WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- full pipeline: gate → transitive dedup → scrub → stats ---------
+
+  /** The round-3 composed pipeline: quality gate (>= 50 words) →
+    * transitive near-dup removal (keep each CC cluster's canonical
+    * doc) → PII scrub accounting → per-language corpus stats. Chains
+    * the CC label table, the gate projection, and the scrub regexes the
+    * way a real corpus build runs them: one narrow scan for the
+    * metrics, the tiny (doc_id, cluster_id) table joined in, one final
+    * aggregation.
+    */
+  private def pipelineDedup(s: SparkSession, d: String): DataFrame = {
+    val keepers = Dedup.ccLabels(s, d)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    withWords(documents(s, d))
+      .withColumn("n_words", expr("size(words)").cast("long"))
+      .filter(col("n_words") >= 50)
+      .join(keepers, "doc_id")
+      .withColumn("n_emails",
+        expr("size(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+', 0))")
+          .cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_emails").as("emails_removed"))
+      .orderBy("lang")
+  }
+
+  private def pipelineDedupOracle: String =
+    s"""WITH RECURSIVE ${Dedup.ccOracleCtes},
+       |clusters AS (
+       |  SELECT doc_id, min(lbl)::BIGINT AS cluster_id
+       |  FROM reach GROUP BY doc_id),
+       |gated AS (
+       |  SELECT d.doc_id, d.lang,
+       |    len(list_filter(string_split_regex(d.text, '[^a-z]+'), x -> x <> ''))::BIGINT
+       |      AS n_words,
+       |    len(regexp_extract_all(d.text, '[a-z0-9._-]+@[a-z0-9.-]+'))::BIGINT
+       |      AS n_emails
+       |  FROM documents d JOIN clusters c
+       |    ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id
+       |  WHERE len(list_filter(string_split_regex(d.text, '[^a-z]+'), x -> x <> '')) >= 50)
+       |SELECT lang, count(*) AS n_docs, sum(n_words)::BIGINT AS total_words,
+       |  sum(n_emails)::BIGINT AS emails_removed
+       |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,6 +424,7 @@ object TextAnalysis extends QueryModule {
     "text_ngrams"      -> ngrams _,
     "text_collocations" -> collocations _,
     "text_pii_scrub"   -> piiScrub _,
+    "text_pipeline_dedup" -> pipelineDedup _,
     "text_clean_pipeline" -> cleanPipeline _,
   )
 
@@ -397,6 +443,7 @@ object TextAnalysis extends QueryModule {
     "text_ngrams"      -> ngramsOracle,
     "text_collocations" -> collocationsOracle,
     "text_pii_scrub"   -> piiScrubOracle,
+    "text_pipeline_dedup" -> pipelineDedupOracle,
     "text_clean_pipeline" -> cleanPipelineOracle,
   )
 }

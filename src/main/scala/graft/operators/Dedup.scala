@@ -410,40 +410,10 @@ object Dedup extends QueryModule {
       .filter(
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))") * 2 >= K)
       .select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Only docs that appear in an edge participate in the iteration —
-    // the near-dup survivor set, orders of magnitude smaller than the
-    // corpus. Singletons re-enter as their own cluster at the end.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Convergence check: labels only ever decrease, so the label sum is
-    // strictly monotone — equal sums between rounds IS the fixpoint.
-    // One small aggregate per round instead of a self-join + count.
-    def lblSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = lblSum(labels)
-    var converged = false
-    var iters = 0
-    while (!converged && iters < 20) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("lbl"))
-      val next = labels.union(prop).groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = lblSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels.unpersist()
-      labels = next
-      iters += 1
-    }
-    val out = documents(s, d).select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-    edges.unpersist()
-    out
+    ConnectedComponents.labels(
+        documents(s, d).select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     }
 
   private def ccClusters(s: SparkSession, d: String): DataFrame =

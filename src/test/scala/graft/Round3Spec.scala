@@ -28,6 +28,30 @@ class Round3Spec extends SparkSpec {
     ()
   }
 
+  test("connected components match union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // union-find reference with union-by-min: each root stays the
+      // minimum member of its set, so find(i) IS the expected component
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = operators.ConnectedComponents.labels(
+          (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
   test("event_funnel steps are strictly ordered") {
     val f = operators.ScalarFns.queries("event_funnel")(spark, sfDir)
     assert(f.filter(col("view_s") > col("click_s") ||

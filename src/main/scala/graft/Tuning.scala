@@ -20,4 +20,23 @@ object Tuning {
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
+
+  /** Run `f` with constraint propagation disabled, restoring after.
+    *
+    * Iterative driver loops gain nothing from inferred constraints (each
+    * round is checkpointed anyway) while paying their planning cost —
+    * and a checkpointed round whose projection aliases a multi-source
+    * expression (e.g. coalesce over both join sides) can carry
+    * constraints referencing non-output attributes into the LogicalRDD,
+    * which crashes the next round's union constraint rewrite
+    * (NoSuchElementException in UnionBase.rewriteConstraints). Plans
+    * checkpointed inside this scope record EMPTY origin constraints, so
+    * they stay safe to compose after the flag is restored.
+    */
+  def withoutConstraintPropagation[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val old = s.conf.get(key)
+    s.conf.set(key, "false")
+    try f finally s.conf.set(key, old)
+  }
 }

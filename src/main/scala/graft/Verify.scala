@@ -28,6 +28,9 @@ object Verify {
       if (only.isEmpty || only(name)) {
         val t0 = System.nanoTime()
         try {
+          // coalesce(1) is HARNESS-ONLY (the driver hash-compares one
+          // file per query) — never a pipeline pattern; the operator
+          // modules themselves write partitioned output.
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           System.err.println(
@@ -59,6 +62,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Release module-level persisted caches AND any remaining persisted
+    // RDDs (localCheckpoint blocks from the CC loop) — everything is
+    // consumed by now, and a long-lived process must not accumulate
+    // block-manager memory across runs.
+    graft.operators.Dedup.clearCaches()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
   }
 }

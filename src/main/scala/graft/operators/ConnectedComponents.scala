@@ -5,58 +5,98 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Generic connected components over an undirected edge list —
-  * iterative min-label propagation (the Pregel/GraphX recurrence) as a
-  * driver loop of join + min-aggregate rounds.
+  * min-label propagation accelerated with pointer jumping, as a driver
+  * loop of join + min-aggregate rounds.
   *
   * Scale shape: each round shuffles only (id, label) pairs, never
   * payloads; the iteration runs over edge PARTICIPANTS only (isolated
   * nodes re-enter at the end as their own component), so cost tracks the
-  * edge set, not the node set. Convergence is O(component diameter) with
-  * a monotone label-sum fixpoint check — one small aggregate per round,
-  * no self-join. Extreme-diameter graphs would swap in the
-  * large-star/small-star recurrence without changing this contract.
+  * edge set, not the node set. Plain neighbor propagation converges in
+  * O(component diameter) rounds; the pointer-jumping step
+  * (lbl ← lbl(lbl), i.e. path halving over the label forest) drops that
+  * to O(log diameter) — the same asymptotics as the
+  * large-star/small-star recurrence (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") with one fewer shuffle per
+  * round. Convergence is a monotone label-sum fixpoint check — one small
+  * aggregate per round, no self-join diff.
   */
 object ConnectedComponents {
+
+  /** Non-convergence within maxIters is an ERROR, never a silent partial
+    * result: labels that stopped short of the fixpoint look exactly like
+    * converged ones downstream (round-3 advice flagged the silent
+    * truncation).
+    */
+  final class NotConverged(iters: Int)
+    extends IllegalStateException(
+      s"connected components did not converge after $iters rounds " +
+        "(pointer jumping makes this ~2^iters of diameter — raise maxIters)")
 
   /** One row per node of `nodes(id)`: (id, component) where component is
     * the smallest node id reachable via `edges(src, dst)` (undirected;
     * symmetrized internally).
     */
-  def labels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def labels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame =
+    // Constraint propagation OFF for the whole loop: each round is
+    // checkpointed so inferred constraints buy nothing, and the
+    // pointer-jump projection (coalesce over both join sides) would
+    // otherwise record constraints on non-output attributes in the
+    // checkpoint's LogicalRDD — the next round's union crashes rewriting
+    // them (NoSuchElementException in UnionBase.rewriteConstraints).
+    graft.Tuning.withoutConstraintPropagation(nodes.sparkSession) {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Each round references the previous labels TWICE (join + union), so
-    // without lineage truncation the logical plan doubles per round —
-    // exponential analysis/planning cost long before any data is big
-    // (observed: minutes of Catalyst time by round ~10 on a 30-node
-    // graph). localCheckpoint materializes the round and CUTS the plan;
-    // a cluster deployment would use reliable checkpoint() to survive
-    // executor loss.
+    // Each round references the previous labels multiple times (join +
+    // union + self-join), so without lineage truncation the logical plan
+    // grows geometrically — exponential analysis/planning cost long
+    // before any data is big (observed: minutes of Catalyst time by
+    // round ~10 on a 30-node graph). localCheckpoint materializes the
+    // round and CUTS the plan; a cluster deployment would use reliable
+    // checkpoint() to survive executor loss.
     var lbls = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    // coalesce(…, 0): with an empty edge set the sum aggregates zero rows
+    // and returns null — the fixpoint compare would NPE on graphs where
+    // no pair survived upstream filtering (legitimate at other corpora).
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
     var prevSum = lblSum(lbls)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       val prop = sym.join(lbls, sym("src") === lbls("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = lbls.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
+      // checkpointed so the pointer-jump self-join reads materialized
+      // blocks instead of executing the aggregation subtree twice
+      val mins = lbls.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      // pointer jumping: follow the label's own label. Every label value
+      // IS a participant id (labels start as ids and only min-combine),
+      // so the lookup is a self-join on the same (id, lbl) table; the
+      // left+coalesce guards the invariant rather than assuming it.
+      val next = mins.as("m")
+        .join(mins.select(col("id").as("p_id"), col("lbl").as("p_lbl")),
+          col("m.lbl") === col("p_id"), "left")
+        .select(col("m.id").as("id"),
+          coalesce(col("p_lbl"), col("m.lbl")).as("lbl"))
         .localCheckpoint(true)
       val nextSum = lblSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       lbls.unpersist()
+      mins.unpersist()
       lbls = next
       iters += 1
     }
+    if (!converged) { sym.unpersist(); throw new NotConverged(maxIters) }
     val out = nodes.select("id")
       .join(lbls, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
     sym.unpersist()
     out
-  }
+    }
 }

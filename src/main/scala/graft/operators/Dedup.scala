@@ -394,27 +394,46 @@ object Dedup extends QueryModule {
     * than the corpus, and the driver holds nothing but a loop counter
     * and the converged flag.
     */
-  /** (doc_id, cluster_id) for every document — the converged CC labels.
-    * Shared by the dedup_cc query and the composed pipeline.
+  /** (doc_id, cluster_id) for every document — the converged CC labels,
+    * memoized per (session, sfDir) and persisted: both the dedup_cc
+    * query and the composed pipeline consume them, and the propagation
+    * loop is the one genuinely multi-pass operator in the module (round-3
+    * advice flagged the duplicate re-execution).
     */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[operators] def ccLabels(s: SparkSession, d: String): DataFrame =
-    // the iterated tables are label/edge sets (LSH survivors) — tiny
-    // relative to the corpus — so per-round task-launch overhead
-    // dominates at the session's default fan-out
-    graft.Tuning.withShufflePartitions(s, 8) {
-    val sig = sigTable(s, d)
-    val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
-    val pairs = candidatePairs(s, d)
-      .join(sa, "doc_a").join(sb, "doc_b")
-      .filter(
-        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))") * 2 >= K)
-      .select("doc_a", "doc_b")
-    ConnectedComponents.labels(
-        documents(s, d).select(col("doc_id").as("id")),
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    ccCache.computeIfAbsent((s, d), _ =>
+      // the iterated tables are label/edge sets (LSH survivors) — tiny
+      // relative to the corpus — so per-round task-launch overhead
+      // dominates at the session's default fan-out
+      graft.Tuning.withShufflePartitions(s, 8) {
+        val sig = sigTable(s, d)
+        val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+        val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+        val pairs = candidatePairs(s, d)
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .filter(
+            expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))") * 2 >= K)
+          .select("doc_a", "doc_b")
+        ConnectedComponents.labels(
+            documents(s, d).select(col("doc_id").as("id")),
+            pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** Release every DataFrame this module persisted and drop the memo
+    * maps — Verify/Bench call it before session stop so a long-lived
+    * process doesn't accumulate block-manager memory (round-3 advice:
+    * the caches held strong SparkSession references forever).
+    */
+  def clearCaches(): Unit = {
+    Seq(sigCache, shCache, ccCache).foreach { c =>
+      c.values.forEach(df => { df.unpersist(false); () })
+      c.clear()
     }
+  }
 
   private def ccClusters(s: SparkSession, d: String): DataFrame =
     ccLabels(s, d).orderBy("doc_id")

@@ -88,8 +88,12 @@ object Multimodal extends QueryModule {
   /** Partition-parallel batch decode via mapPartitions: one decoder
     * instance per partition (where a real codec would be initialized
     * once), iterator-in/iterator-out so rows stream without
-    * materializing the partition. No DuckDB oracle (imperative decode)
-    * — driver records a rows-only check.
+    * materializing the partition. The STUB decode is deterministic
+    * ASCII-byte arithmetic (payload = UTF-8 of ASCII text, so byte k ==
+    * codepoint of char k), which makes it SQL-expressible — the oracle
+    * recomputes width/height from the leading codepoints and brightness
+    * as the exact integer byte sum over length (a single double
+    * division on both engines, bit-identical).
     */
   private def mmFeatures(s: SparkSession, d: String): DataFrame = {
     val media = mediaTable(s, d).select("media_id", "payload")
@@ -116,7 +120,8 @@ object Multimodal extends QueryModule {
   /** STUB resize: halves the fake-decoded dimensions and models the
     * output payload size; a real pipeline would transcode pixels here.
     * Same mapPartitions batch shape as mmFeatures (codec per partition,
-    * iterator in/out). No DuckDB oracle (imperative) — rows-only check.
+    * iterator in/out); oracle-checked the same way (integer halving of
+    * the stub dimensions).
     */
   private def mmResize(s: SparkSession, d: String): DataFrame = {
     val media = mediaTable(s, d).select("media_id", "payload")
@@ -171,8 +176,42 @@ object Multimodal extends QueryModule {
     "mm_framesample" -> mmFrameSample _,
   )
 
+  /** DuckDB twin of [[FakeDecoder.decode]] as CTE columns over
+    * `documents` (payload bytes == ASCII codepoints, proven by the
+    * byte-slice equality mm_framesample already exercises).
+    */
+  private val fakeDecodeCte =
+    """f AS (
+      |  SELECT doc_id AS media_id, length(text) AS n,
+      |    CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
+      |    CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE list_sum(list_transform(range(length(text)),
+      |        i -> ord(substr(text, i + 1, 1))))::DOUBLE / length(text)
+      |    END AS brightness
+      |  FROM documents)""".stripMargin
+
+  private val mmFeaturesOracle =
+    s"""WITH $fakeDecodeCte
+       |SELECT media_id, (16 + b0 % 64)::INT AS width,
+       |  (16 + b1 % 64)::INT AS height, 3::INT AS channels, brightness
+       |FROM f ORDER BY media_id""".stripMargin
+
+  private val mmResizeOracle =
+    s"""WITH $fakeDecodeCte,
+       |d AS (
+       |  SELECT media_id, (16 + b0 % 64)::INT AS src_w,
+       |    (16 + b1 % 64)::INT AS src_h FROM f)
+       |SELECT media_id, src_w, src_h,
+       |  greatest(src_w // 2, 1)::INT AS dst_w,
+       |  greatest(src_h // 2, 1)::INT AS dst_h,
+       |  (greatest(src_w // 2, 1)::BIGINT * greatest(src_h // 2, 1) * 3)::BIGINT AS out_bytes
+       |FROM d ORDER BY media_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_meta"        -> mmMetaOracle,
+    "mm_features"    -> mmFeaturesOracle,
+    "mm_resize"      -> mmResizeOracle,
     "mm_framesample" -> mmFrameSampleOracle,
   )
 }

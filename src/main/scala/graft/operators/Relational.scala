@@ -73,11 +73,21 @@ object Relational extends QueryModule {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  /** HLL sketch — no DuckDB-exact oracle (approximate); rows-only check. */
+  /** HLL sketch. The approximate value itself can't hash-match an exact
+    * engine, so the query emits the exact count PLUS the sketch's
+    * relative-error bound check (|approx-exact|/exact ≤ 10%, 2× the
+    * default rsd) — the oracle asserts the bound holds (`TRUE`), which
+    * is a strictly stronger check than the rows-only fallback.
+    */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("approx") - col("n_parts")).cast("double") /
+          col("n_parts") <= 0.10).as("within_10pct"))
       .orderBy("l_returnflag")
 
   // ---- joins ----------------------------------------------------------
@@ -280,6 +290,10 @@ object Relational extends QueryModule {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS within_10pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_join_inner" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,

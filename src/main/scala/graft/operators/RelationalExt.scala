@@ -347,28 +347,41 @@ object RelationalExt extends QueryModule {
     * query. The merge hint keeps the tiny local fixture from taking the
     * broadcast path that would hide the property being demonstrated.
     */
-  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val suffix = (d.hashCode & 0x7fffffff).toString
-    val (ot, ct) = (s"graft_orders_b_$suffix", s"graft_cust_b_$suffix")
-    // a previous JVM's warehouse dir survives while the in-memory
-    // catalog doesn't — drop both the entry and the leftover location,
-    // else CREATE TABLE fails with LOCATION_ALREADY_EXISTS
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:").replaceFirst("^//", "/")
-    Seq(ot, ct).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
+  /** Write both bucketed tables once per (session, sfDir) — the one-time
+    * layout cost of the bucketing pattern. Memoized so repeated
+    * bucketedJoin calls (bench sweeps, spec + query in one JVM) time the
+    * JOIN, not the table rewrite that round 3's bench conflated into it.
+    */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+  def ensureBucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketedTables.computeIfAbsent((s, d), _ => {
+      val suffix = (d.hashCode & 0x7fffffff).toString
+      val (ot, ct) = (s"graft_orders_b_$suffix", s"graft_cust_b_$suffix")
+      // a previous JVM's warehouse dir survives while the in-memory
+      // catalog doesn't — drop both the entry and the leftover location,
+      // else CREATE TABLE fails with LOCATION_ALREADY_EXISTS
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:").replaceFirst("^//", "/")
+      Seq(ot, ct).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(wh, t.toLowerCase))
       }
-      rm(new java.io.File(wh, t.toLowerCase))
-    }
-    orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .format("parquet").saveAsTable(ot)
-    customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
-      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .format("parquet").saveAsTable(ct)
+      orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable(ot)
+      customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable(ct)
+      (ot, ct)
+    })
+
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (ot, ct) = ensureBucketedTables(s, d)
     s.table(ot).hint("merge")
       .join(s.table(ct).hint("merge"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_mktsegment")

@@ -1,0 +1,74 @@
+package graft
+
+/** Plan-shape assertions: the oracle compare proves the right ANSWER;
+  * these prove the right PLAN — the properties that decide whether the
+  * same query survives a 100× scale-up. Filter pushdown and column
+  * pruning bound what a 100 TB scan reads; broadcast choice and the
+  * top-k operator bound what it shuffles; whole-stage codegen bounds
+  * per-row CPU; and the cartesian sweep guards against a join
+  * degenerating into an all-pairs product when a condition stops being
+  * equi-joinable.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("rel_filter pushes its predicates into the parquet scan") {
+    val plan = planOf("rel_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull") ||
+      plan.contains("PushedFilters: [EqualTo"),
+      s"no pushed filters on the scan:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"equality predicate not pushed:\n$plan")
+  }
+
+  test("rel_scan_project prunes unreferenced columns from the scan") {
+    val plan = planOf("rel_scan_project")
+    assert(plan.contains("ReadSchema"), plan)
+    // lineitem has 16 columns; the projection names 5 — none of the
+    // wide ones may reach the reader
+    Seq("l_comment", "l_shipinstruct", "l_partkey").foreach { c =>
+      assert(!plan.contains(c), s"column $c not pruned from the scan:\n$plan")
+    }
+  }
+
+  test("rel_topk plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("rel_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a full sort:\n$plan")
+  }
+
+  test("rel_join_multi broadcasts the small dimension tables") {
+    val plan = planOf("rel_join_multi")
+    val n = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(n >= 2, s"expected nation+region broadcast joins, got $n:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rel_agg_pricing runs inside whole-stage codegen") {
+    // AQE prints codegen spans only on the FINAL plan, so execute first
+    val df = SparkEntry.queries("rel_agg_pricing")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a "*(stageId)" prefix in the tree
+    val spans = """\*\(\d+\) HashAggregate""".r.findAllIn(plan).size
+    assert(spans >= 2,
+      s"partial+final aggregation not inside whole-stage codegen:\n$plan")
+  }
+
+  test("no batch query plans a CartesianProduct (except the cross join)") {
+    // streams execute eagerly on construction and dedup_cc runs its
+    // iterative loop — both are covered by their own specs; everything
+    // else is cheap to PLAN (not execute) here
+    val skip = Set("rel_join_cross", "dedup_cc", "text_pipeline_dedup")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .filterNot(_.startsWith("stream_"))
+      .filterNot(_.startsWith("src_"))
+      .filterNot(_.startsWith("mm_"))
+    val offenders = names.filter(n => planOf(n).contains("CartesianProduct"))
+    assert(offenders.isEmpty,
+      s"unintended cartesian products in: ${offenders.mkString(", ")}")
+  }
+}

@@ -140,36 +140,44 @@ object TextAnalysis extends QueryModule {
   // ---- document fingerprinting ----------------------------------------
 
   /** Whitespace-normalized content hash + min-k-gram rolling fingerprint
-    * (winnowing-style: the min md5 over all 8-char grams). The per-gram
-    * md5 runs in a codegen'd projection over exploded positions and
-    * collapses through a partial min — the per-row
-    * `array_min(transform(...))` form evaluates the lambda interpreted
-    * (see Dedup for the same rewrite).
+    * (winnowing-style: the min base-31 polynomial hash over all 8-char
+    * grams — real winnowing uses cheap rolling hashes, and the
+    * polynomial is exact 64-bit integer math an exact-arithmetic oracle
+    * recomputes identically). The whole fingerprint is ONE codegen'd
+    * projection over the scan via the custom
+    * [[org.apache.spark.sql.graft.MinGramHash]] expression: no explode,
+    * no shuffle amplification, O(len) per document. The earlier
+    * explode+substr form was O(len²) per document (UTF8String substr
+    * walks to position i) and 5× slower at sf0.1.
     */
-  private def fingerprint(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .withColumn("norm",
         expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"))
-      .select(col("doc_id"), col("norm"))
-    val minGram = base
-      .select(col("doc_id"), col("norm"),
-        explode(expr("sequence(1, greatest(length(norm)-7, 1))")).as("i"))
-      .select(col("doc_id"), md5(expr("substr(norm, i, 8)")).as("g"))
-      .groupBy("doc_id").agg(min("g").as("fp_min_gram"))
-    base.join(minGram, "doc_id")
-      .select(col("doc_id"), md5(col("norm")).as("fp_norm"), col("fp_min_gram"))
+      .select(col("doc_id"), md5(col("norm")).as("fp_norm"),
+        org.apache.spark.sql.graft.TextColumns.minGramHash(col("norm"))
+          .as("fp_min_gram"))
       .orderBy("doc_id")
-  }
 
   private val fingerprintOracle =
     """WITH n AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-      |  FROM documents)
-      |SELECT doc_id, md5(norm) AS fp_norm,
-      |  list_min(list_transform(range(greatest(length(norm)-7, 1)),
-      |    i -> md5(substr(norm, i+1, 8)))) AS fp_min_gram
-      |FROM n ORDER BY doc_id""".stripMargin
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, md5(norm) AS fp_norm, norm || '        ' AS n8,
+      |    greatest(length(norm)-7, 1) AS m FROM n)
+      |SELECT doc_id, fp_norm,
+      |  list_min(list_transform(range(m),
+      |    i -> ord(substr(n8, i+1, 1))::BIGINT*27512614111
+      |       + ord(substr(n8, i+2, 1))::BIGINT*887503681
+      |       + ord(substr(n8, i+3, 1))::BIGINT*28629151
+      |       + ord(substr(n8, i+4, 1))::BIGINT*923521
+      |       + ord(substr(n8, i+5, 1))::BIGINT*29791
+      |       + ord(substr(n8, i+6, 1))::BIGINT*961
+      |       + ord(substr(n8, i+7, 1))::BIGINT*31
+      |       + ord(substr(n8, i+8, 1))::BIGINT)) AS fp_min_gram
+      |FROM g ORDER BY doc_id""".stripMargin
 
   // ---- tf-idf ---------------------------------------------------------
 

@@ -21,5 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
         DotProductD(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("min_gram_hash"),
+      new ExpressionInfo(classOf[MinGramHash].getName, "min_gram_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "min_gram_hash(s) takes exactly 1 argument")
+        MinGramHash(children.head)
+      }))
   }
 }

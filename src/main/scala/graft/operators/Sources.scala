@@ -170,7 +170,7 @@ object Sources extends QueryModule {
     * one row per (hour, type)).
     */
   private def streamTumbling(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -189,7 +189,7 @@ object Sources extends QueryModule {
     * each event lands in two overlapping window states.
     */
   private def streamSliding(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val name = "graft_stream_sliding_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -232,7 +232,7 @@ object Sources extends QueryModule {
     * DISTINCT oracle matches exactly.
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -255,7 +255,7 @@ object Sources extends QueryModule {
     * watermark + append so merged sessions finalize past the watermark.
     */
   private def streamSession(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val name = "graft_stream_session_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -325,7 +325,7 @@ object Sources extends QueryModule {
     * microsecond integers.
     */
   private def streamTumblingAppend(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val base = System.getProperty("java.io.tmpdir") +
         "/graft_stream_append_" + streamSeq.incrementAndGet()
       // fresh dirs per run — a bounded replay must not resume a previous

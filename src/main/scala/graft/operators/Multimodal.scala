@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, processed in partition-parallel batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (see [[FakeDecoder]]); everything
-  * Spark-side — the schema (binary + metadata struct), the
-  * `mapPartitions` batch shape, partitioning, and the metadata-only
-  * fast path that never touches payload bytes — is real and tested.
+  * The container has no image/audio LIBRARIES, but PPM (P6) is a real
+  * binary raster format simple enough to codec in pure JVM code — so
+  * the decode step is a genuine binary parse ([[PpmCodec]]: magic,
+  * comment-aware header tokenizer, raw RGB plane), not a stub. The
+  * image CONTENT is synthesized deterministically from document text
+  * (there are no real images in the fixtures), which keeps the features
+  * SQL-recomputable for the DuckDB oracle while the Spark side
+  * exercises the real codec path: encode in one `mapPartitions` batch,
+  * decode/resize/re-encode in another.
   *
   * Scale notes: payloads stay columnar in parquet and are only
   * materialized inside the partition iterator (no driver collect, no
@@ -57,25 +61,132 @@ object Multimodal extends QueryModule {
       |  md5(text) AS payload_md5
       |FROM documents ORDER BY media_id""".stripMargin
 
-  // ---- batched decode / feature extraction (STUB decode) --------------
+  // ---- batched encode / decode: a real binary raster codec ------------
 
-  /** STUB: a real pipeline would decode image/audio bytes here (PIL/
-    * ffmpeg/torchvision equivalents are not in this container). The fake
-    * is deterministic in the payload bytes so the plumbing is testable:
-    * "width/height" from leading bytes, "brightness" = mean byte value.
+  /** Pure-JVM PPM (P6) codec — binary "P6\n<w> <h>\n255\n" header plus a
+    * raw interleaved RGB plane. `decode` is a real parser (magic check,
+    * whitespace/comment-tolerant header tokenizer per the netpbm spec,
+    * strict plane-length check), the shape a libjpeg/ffmpeg binding
+    * would take in this slot.
     */
-  object FakeDecoder {
-    final case class Features(
-        width: Int, height: Int, channels: Int, brightness: Double)
-
-    def decode(payload: Array[Byte]): Features = {
-      val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
-      val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-      val mean =
-        if (payload.isEmpty) 0.0
-        else payload.iterator.map(b => (b & 0xff).toDouble).sum / payload.length
-      Features(16 + b0 % 64, 16 + b1 % 64, 3, mean)
+  object PpmCodec {
+    final case class Image(width: Int, height: Int, pixels: Array[Byte]) {
+      def channels: Int = 3
+      /** Mean pixel byte as exact integer sum / count (one double
+        * division — bit-identical to an integer-SQL recomputation). */
+      def brightness: Double = {
+        var s = 0L
+        var i = 0
+        while (i < pixels.length) { s += pixels(i) & 0xff; i += 1 }
+        if (pixels.length == 0) 0.0 else s.toDouble / pixels.length
+      }
     }
+
+    def encode(img: Image): Array[Byte] = {
+      require(img.pixels.length == img.width * img.height * 3,
+        s"plane length ${img.pixels.length} != ${img.width}x${img.height}x3")
+      val header = s"P6\n${img.width} ${img.height}\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + img.pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+      out
+    }
+
+    def decode(payload: Array[Byte]): Image = {
+      var pos = 0
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"bad PPM at byte $pos: $msg")
+      def skipSpaceAndComments(): Unit = {
+        var more = true
+        while (more && pos < payload.length) {
+          val c = payload(pos)
+          if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+          else if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+          else more = false
+        }
+      }
+      def readInt(): Int = {
+        skipSpaceAndComments()
+        val start = pos
+        var v = 0
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        if (pos == start) fail("expected integer")
+        v
+      }
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        fail("not a P6 ppm")
+      pos = 2
+      val (w, h, maxval) = (readInt(), readInt(), readInt())
+      if (maxval != 255) fail(s"unsupported maxval $maxval")
+      pos += 1 // the single whitespace byte separating header from plane
+      val n = w * h * 3
+      if (payload.length - pos != n)
+        fail(s"plane length ${payload.length - pos} != $n")
+      Image(w, h, java.util.Arrays.copyOfRange(payload, pos, pos + n))
+    }
+
+    /** Nearest-neighbor downscale by 2 (the resize a thumbnail pipeline
+      * runs): output pixel (x,y) = input pixel (2x,2y).
+      */
+    def halve(img: Image): Image = {
+      val (dw, dh) = (math.max(img.width / 2, 1), math.max(img.height / 2, 1))
+      val out = new Array[Byte](dw * dh * 3)
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          val src = ((y * 2) * img.width + (x * 2)) * 3
+          val dst = (y * dw + x) * 3
+          out(dst) = img.pixels(src)
+          out(dst + 1) = img.pixels(src + 1)
+          out(dst + 2) = img.pixels(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Image(dw, dh, out)
+    }
+
+    /** Deterministic image synthesis from document text: dimensions from
+      * (length, first byte), pixel plane = the text bytes cycled (zeros
+      * for empty text). This stands in for real camera/render content so
+      * the decoded features are SQL-recomputable from `text`.
+      */
+    def synthesize(mediaId: Long, text: Array[Byte]): Image = {
+      val b0 = if (text.nonEmpty) text(0) & 0xff else 0
+      val (w, h) = (16 + text.length % 48, 16 + b0 % 48)
+      val pixels = new Array[Byte](w * h * 3)
+      if (text.nonEmpty) {
+        var i = 0
+        while (i < pixels.length) { pixels(i) = text(i % text.length); i += 1 }
+      }
+      Image(w, h, pixels)
+    }
+  }
+
+  private val ppmSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType)))
+
+  /** The encode stage: synthesize and PPM-encode each document's image
+    * in partition-parallel batches (one codec instance per partition,
+    * iterator in/out). A real ingest pipeline has exactly this shape
+    * with the synthesis replaced by reading raw camera/render bytes.
+    */
+  private def ppmTable(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(ppmSchema)
+    documents(s, d).select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("text_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, PpmCodec.encode(
+            PpmCodec.synthesize(id, r.getAs[Array[Byte]](1))))
+        }
+      }(enc)
   }
 
   private val featureSchema = StructType(Seq(
@@ -85,29 +196,27 @@ object Multimodal extends QueryModule {
     StructField("channels", IntegerType),
     StructField("brightness", DoubleType)))
 
-  /** Partition-parallel batch decode via mapPartitions: one decoder
-    * instance per partition (where a real codec would be initialized
-    * once), iterator-in/iterator-out so rows stream without
-    * materializing the partition. The STUB decode is deterministic
-    * ASCII-byte arithmetic (payload = UTF-8 of ASCII text, so byte k ==
-    * codepoint of char k), which makes it SQL-expressible — the oracle
-    * recomputes width/height from the leading codepoints and brightness
-    * as the exact integer byte sum over length (a single double
-    * division on both engines, bit-identical).
+  /** Partition-parallel batch decode via mapPartitions: the PPM payload
+    * is parsed for real (header tokenizer + plane), features are the
+    * parsed dimensions and the exact mean pixel byte. Because the image
+    * content is synthesized deterministically from text, the oracle
+    * recomputes the same features from `text` in SQL: brightness over
+    * the cycled plane is (full_cycles·Σbytes + prefix-sum(remainder)) /
+    * plane_len, all exact integers until one double division.
     */
   private def mmFeatures(s: SparkSession, d: String): DataFrame = {
-    val media = mediaTable(s, d).select("media_id", "payload")
+    val media = ppmTable(s, d)
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(featureSchema)
     media.mapPartitions { rows =>
       // real pipeline: initialize codec / model session here, once
       rows.map { r =>
-        val f = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getLong(0), f.width, f.height, f.channels, f.brightness)
+        val img = PpmCodec.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), img.width, img.height, img.channels, img.brightness)
       }
     }(enc).orderBy("media_id")
   }
 
-  // ---- batched resize (STUB codec, real plumbing) ---------------------
+  // ---- batched resize (decode → halve → re-encode) --------------------
 
   private val resizeSchema = StructType(Seq(
     StructField("media_id", LongType),
@@ -117,22 +226,23 @@ object Multimodal extends QueryModule {
     StructField("dst_h", IntegerType),
     StructField("out_bytes", LongType)))
 
-  /** STUB resize: halves the fake-decoded dimensions and models the
-    * output payload size; a real pipeline would transcode pixels here.
+  /** Full transcode: parse the PPM, nearest-neighbor downscale by 2,
+    * re-encode, report the real output payload size (header included).
     * Same mapPartitions batch shape as mmFeatures (codec per partition,
-    * iterator in/out); oracle-checked the same way (integer halving of
-    * the stub dimensions).
+    * iterator in/out); the oracle recomputes the output size as
+    * header_len(dst dims) + dst_w·dst_h·3.
     */
   private def mmResize(s: SparkSession, d: String): DataFrame = {
-    val media = mediaTable(s, d).select("media_id", "payload")
+    val media = ppmTable(s, d)
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(resizeSchema)
     media.mapPartitions { rows =>
       // real pipeline: initialize the codec once per partition
       rows.map { r =>
-        val f = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
-        val (dw, dh) = (math.max(f.width / 2, 1), math.max(f.height / 2, 1))
-        Row(r.getLong(0), f.width, f.height, dw, dh,
-          dw.toLong * dh * f.channels)
+        val img = PpmCodec.decode(r.getAs[Array[Byte]](1))
+        val small = PpmCodec.halve(img)
+        val out = PpmCodec.encode(small)
+        Row(r.getLong(0), img.width, img.height, small.width, small.height,
+          out.length.toLong)
       }
     }(enc).orderBy("media_id")
   }
@@ -176,37 +286,51 @@ object Multimodal extends QueryModule {
     "mm_framesample" -> mmFrameSample _,
   )
 
-  /** DuckDB twin of [[FakeDecoder.decode]] as CTE columns over
-    * `documents` (payload bytes == ASCII codepoints, proven by the
-    * byte-slice equality mm_framesample already exercises).
+  /** DuckDB twin of [[PpmCodec.synthesize]]'s decoded features, as a CTE
+    * over `documents` (payload pixel bytes == cycled ASCII codepoints of
+    * `text`, proven by the byte-slice equality mm_framesample already
+    * exercises). `m` is the plane length w·h·3; the cycled-plane byte
+    * sum is full_cycles·Σ(all bytes) + Σ(first m mod n bytes) — exact
+    * BIGINT arithmetic, one double division at the end.
     */
-  private val fakeDecodeCte =
+  private val ppmDecodeCte =
     """f AS (
       |  SELECT doc_id AS media_id, length(text) AS n,
-      |    CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
-      |    CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1,
-      |    CASE WHEN length(text) = 0 THEN 0.0
-      |      ELSE list_sum(list_transform(range(length(text)),
-      |        i -> ord(substr(text, i + 1, 1))))::DOUBLE / length(text)
+      |    CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0
+      |  FROM documents),
+      |d AS (
+      |  SELECT media_id, n, (16 + n % 48)::INT AS w, (16 + b0 % 48)::INT AS h,
+      |    ((16 + n % 48)::BIGINT * (16 + b0 % 48) * 3) AS m
+      |  FROM f),
+      |br AS (
+      |  SELECT d.media_id, d.w, d.h,
+      |    CASE WHEN d.n = 0 THEN 0.0
+      |      ELSE ((d.m // d.n) * COALESCE(list_sum(list_transform(range(d.n),
+      |          i -> ord(substr(t.text, i + 1, 1))::BIGINT)), 0)
+      |        + COALESCE(list_sum(list_transform(range((d.m % d.n)::INT),
+      |          i -> ord(substr(t.text, i + 1, 1))::BIGINT)), 0))::DOUBLE / d.m
       |    END AS brightness
-      |  FROM documents)""".stripMargin
+      |  FROM d JOIN documents t ON t.doc_id = d.media_id)""".stripMargin
 
   private val mmFeaturesOracle =
-    s"""WITH $fakeDecodeCte
-       |SELECT media_id, (16 + b0 % 64)::INT AS width,
-       |  (16 + b1 % 64)::INT AS height, 3::INT AS channels, brightness
-       |FROM f ORDER BY media_id""".stripMargin
+    s"""WITH $ppmDecodeCte
+       |SELECT media_id, w AS width, h AS height, 3::INT AS channels, brightness
+       |FROM br ORDER BY media_id""".stripMargin
 
+  /** PPM output size: "P6\n" + dims + "\n255\n" header (9 bytes plus the
+    * decimal digits of each dimension) + the dst_w·dst_h·3 plane.
+    */
   private val mmResizeOracle =
-    s"""WITH $fakeDecodeCte,
-       |d AS (
-       |  SELECT media_id, (16 + b0 % 64)::INT AS src_w,
-       |    (16 + b1 % 64)::INT AS src_h FROM f)
-       |SELECT media_id, src_w, src_h,
-       |  greatest(src_w // 2, 1)::INT AS dst_w,
-       |  greatest(src_h // 2, 1)::INT AS dst_h,
-       |  (greatest(src_w // 2, 1)::BIGINT * greatest(src_h // 2, 1) * 3)::BIGINT AS out_bytes
-       |FROM d ORDER BY media_id""".stripMargin
+    s"""WITH $ppmDecodeCte,
+       |r AS (
+       |  SELECT media_id, w AS src_w, h AS src_h,
+       |    greatest(w // 2, 1)::INT AS dst_w,
+       |    greatest(h // 2, 1)::INT AS dst_h
+       |  FROM br)
+       |SELECT media_id, src_w, src_h, dst_w, dst_h,
+       |  (9 + length(dst_w::VARCHAR) + length(dst_h::VARCHAR)
+       |    + dst_w::BIGINT * dst_h * 3)::BIGINT AS out_bytes
+       |FROM r ORDER BY media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_meta"        -> mmMetaOracle,

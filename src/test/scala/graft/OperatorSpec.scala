@@ -73,11 +73,29 @@ class OperatorSpec extends SparkSpec {
     assert(sim.columns.toSeq == Seq("va", "vb", "label", "sim"))
   }
 
-  test("multimodal fake decoder is deterministic and total") {
-    val f1 = operators.Multimodal.FakeDecoder.decode("hello".getBytes)
-    val f2 = operators.Multimodal.FakeDecoder.decode("hello".getBytes)
-    assert(f1 == f2)
-    val empty = operators.Multimodal.FakeDecoder.decode(Array.emptyByteArray)
-    assert(empty.width >= 16 && empty.height >= 16)
+  test("PPM codec round-trips, rejects garbage, and halves exactly") {
+    import operators.Multimodal.PpmCodec
+    val img = PpmCodec.synthesize(7L, "hello world".getBytes)
+    val back = PpmCodec.decode(PpmCodec.encode(img))
+    assert(back.width == img.width && back.height == img.height)
+    assert(java.util.Arrays.equals(back.pixels, img.pixels))
+    // header tokenizer handles comments and extra whitespace (netpbm spec)
+    val commented = ("P6 #c\n# full comment line\n " +
+      s"${img.width}\t${img.height}\n255\n")
+      .getBytes("US-ASCII") ++ img.pixels
+    assert(PpmCodec.decode(commented).brightness == img.brightness)
+    val empty = PpmCodec.synthesize(0L, Array.emptyByteArray)
+    assert(empty.width >= 16 && empty.height >= 16 && empty.brightness == 0.0)
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode("JFIF....".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated plane
+      PpmCodec.decode(PpmCodec.encode(img).dropRight(1))
+    }
+    val half = PpmCodec.halve(img)
+    assert(half.width == img.width / 2 && half.height == img.height / 2)
+    // nearest-neighbor: output (0,0) is input (0,0), output (1,0) is input (2,0)
+    assert(half.pixels(0) == img.pixels(0))
+    assert(half.pixels(3) == img.pixels(6))
   }
 }

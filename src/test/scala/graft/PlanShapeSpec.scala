@@ -57,6 +57,50 @@ class PlanShapeSpec extends SparkSpec {
       s"partial+final aggregation not inside whole-stage codegen:\n$plan")
   }
 
+  test("src_partitioned prunes partitions at the scan") {
+    val plan = planOf("src_partitioned")
+    // the lang='en' predicate must become a PartitionFilter on the
+    // partitioned read — directory pruning, not a post-scan filter
+    assert("""PartitionFilters: \[[^\]]*lang#\d+ = en""".r
+      .findFirstIn(plan).isDefined,
+      s"lang predicate did not reach PartitionFilters:\n$plan")
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one hot key carrying ~100k rows vs 9 keys of 10 rows: with the
+    // skew thresholds scaled down to fixture size, AQE must rewrite the
+    // sort-merge join to read the hot partition as parallel sub-splits
+    // (the production defense when salting isn't wired in)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of rows on one key, the rest spread over 1000 keys; the pay
+      // column is referenced by the aggregate so it cannot be pruned and
+      // the hot shuffle partition is genuinely megabytes vs a tiny median
+      val left = spark.range(0, 100000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id") % 1000).as("k"),
+          lpad(col("id").cast("string"), 64, "x").as("pay"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("r"))
+      val joined = left.join(right, "k").agg(sum(col("r") + length(col("pay"))))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no batch query plans a CartesianProduct (except the cross join)") {
     // streams execute eagerly on construction and dedup_cc runs its
     // iterative loop — both are covered by their own specs; everything

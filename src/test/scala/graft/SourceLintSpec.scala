@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source lint: operator modules must stay distributed. A `.collect()`
+  * or `.coalesce(1)` in an operator is a driver-side bottleneck that a
+  * fixture-scale test will never catch — at 100 TB it is an OOM or a
+  * single-task stage. The harness mains are exempt where noted
+  * (Verify's coalesce(1) exists because the driver hash-compares one
+  * file per query).
+  */
+class SourceLintSpec extends AnyFunSuite {
+
+  private val mainRoot = Paths.get("src/main/scala")
+
+  private def sources(sub: String): Seq[(String, String)] = {
+    val dir = mainRoot.resolve(sub)
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map(p => (p.toString, new String(Files.readAllBytes(p))))
+      .toSeq
+  }
+
+  private def offenders(pattern: String, sub: String,
+      exempt: Set[String] = Set.empty): Seq[String] =
+    sources(sub).collect {
+      case (path, text)
+          if text.contains(pattern) && !exempt.exists(path.endsWith) =>
+        path
+    }
+
+  test("operator and streaming modules never collect() to the driver") {
+    val hits = offenders(".collect()", "graft/operators") ++
+      offenders(".collect()", "graft/streaming") ++
+      offenders(".toLocalIterator", "graft")
+    assert(hits.isEmpty, s"driver-side materialization in: $hits")
+  }
+
+  test("coalesce(1) appears only in the Verify harness") {
+    val hits = offenders(".coalesce(1)", "graft",
+      exempt = Set("graft/Verify.scala"))
+    assert(hits.isEmpty, s"single-partition funnel in: $hits")
+  }
+
+  test("no sleeps or processing-time hacks in main sources") {
+    val hits = offenders("Thread.sleep", "graft")
+    assert(hits.isEmpty, s"wall-clock sleep in: $hits")
+  }
+
+  test("driver-side head() only on the CC fixpoint aggregate") {
+    // .head() on a 1-row aggregate is the legitimate driver touchpoint
+    // of an iterative loop; anywhere else it is probably a mistake
+    val hits = offenders(".head()", "graft",
+      exempt = Set("graft/operators/ConnectedComponents.scala"))
+    assert(hits.isEmpty, s"unexpected driver-side head() in: $hits")
+  }
+}

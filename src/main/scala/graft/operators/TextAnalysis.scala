@@ -187,11 +187,18 @@ object TextAnalysis extends QueryModule {
   private def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val nDocs = docs.select(countDistinct("doc_id").as("nd"))
-    val tok = withWords(docs).select(col("doc_id"), explode(col("words")).as("word"))
+    // explode + row filter instead of the array filter-lambda: the
+    // lambda body evaluates interpreted (HOFs don't codegen), the row
+    // filter runs inside whole-stage codegen
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
     val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val dl = tf.groupBy("doc_id").agg(sum("c").as("dlen"))
-    val dfreq = tok.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // tf is already distinct on (doc_id, word), so document frequency
+    // derives from it — one tokenize pass feeds the whole query instead
+    // of tf and dfreq each re-reading and re-splitting the corpus
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     tf.join(dl, "doc_id")

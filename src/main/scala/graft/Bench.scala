@@ -99,15 +99,23 @@ object Bench {
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"failed_names":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    new java.io.File("target").mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_detail.json"), detail)
+    // best-effort: an unwritable cwd must not kill the run AFTER all
+    // measurements succeeded — the stdout summary below is the one
+    // artifact that must always make it out
+    try {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_detail.json"), detail)
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+    }
     val slowest = ok.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // ONE compact stdout line, well under the tail window.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"slowest":$slowest,"detail":"target/bench_detail.json","sf":"$sfDir"}""")
     graft.operators.Dedup.clearCaches()
+    graft.operators.RelationalExt.clearCaches()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
   }

@@ -39,11 +39,7 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           // A stale result dir from a previous run must not survive a
           // failure — the driver's compare would silently pass on it.
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(new java.io.File(s"$outDir/$name"))
+          graft.Fs.rmTree(new java.io.File(s"$outDir/$name"))
         }
       }
     }
@@ -67,6 +63,7 @@ object Verify {
     // consumed by now, and a long-lived process must not accumulate
     // block-manager memory across runs.
     graft.operators.Dedup.clearCaches()
+    graft.operators.RelationalExt.clearCaches()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
   }

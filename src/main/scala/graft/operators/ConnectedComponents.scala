@@ -32,6 +32,20 @@ object ConnectedComponents {
       s"connected components did not converge after $iters rounds " +
         "(pointer jumping makes this ~2^iters of diameter — raise maxIters)")
 
+  /** Release a localCheckpointed round's blocks. `Dataset.unpersist` is
+    * a NO-OP here: it routes through the CacheManager, which never
+    * registered the checkpoint's RDD-level persist — the blocks must be
+    * unpersisted on the underlying RDD of the checkpoint's LogicalRDD.
+    * Only call once every consumer of the round has been materialized:
+    * a truncated-lineage RDD cannot be recomputed after unpersisting.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
   /** One row per node of `nodes(id)`: (id, component) where component is
     * the smallest node id reachable via `edges(src, dst)` (undirected;
     * symmetrized internally).
@@ -87,8 +101,10 @@ object ConnectedComponents {
       val nextSum = lblSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      lbls.unpersist()
-      mins.unpersist()
+      // next is checkpointed EAGERLY above, so the previous round's and
+      // the intermediate min table's blocks are no longer reachable
+      freeCheckpoint(lbls)
+      freeCheckpoint(mins)
       lbls = next
       iters += 1
     }

@@ -121,8 +121,13 @@ object Multimodal extends QueryModule {
       pos = 2
       val (w, h, maxval) = (readInt(), readInt(), readInt())
       if (maxval != 255) fail(s"unsupported maxval $maxval")
+      // bounds BEFORE the plane-length product: a crafted header like
+      // 65536x65536 overflows w*h*3 in Int (to 0, matching an empty
+      // plane) and must be rejected, not decoded
+      if (w < 1 || h < 1 || w > 16384 || h > 16384)
+        fail(s"dimensions out of range: ${w}x$h")
       pos += 1 // the single whitespace byte separating header from plane
-      val n = w * h * 3
+      val n = w * h * 3 // safe: bounded dims keep the product < 2^31
       if (payload.length - pos != n)
         fail(s"plane length ${payload.length - pos} != $n")
       Image(w, h, java.util.Arrays.copyOfRange(payload, pos, pos + n))
@@ -155,7 +160,7 @@ object Multimodal extends QueryModule {
       * for empty text). This stands in for real camera/render content so
       * the decoded features are SQL-recomputable from `text`.
       */
-    def synthesize(mediaId: Long, text: Array[Byte]): Image = {
+    def synthesize(text: Array[Byte]): Image = {
       val b0 = if (text.nonEmpty) text(0) & 0xff else 0
       val (w, h) = (16 + text.length % 48, 16 + b0 % 48)
       val pixels = new Array[Byte](w * h * 3)
@@ -182,9 +187,8 @@ object Multimodal extends QueryModule {
         encode(col("text"), "UTF-8").as("text_bytes"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val id = r.getLong(0)
-          Row(id, PpmCodec.encode(
-            PpmCodec.synthesize(id, r.getAs[Array[Byte]](1))))
+          Row(r.getLong(0), PpmCodec.encode(
+            PpmCodec.synthesize(r.getAs[Array[Byte]](1))))
         }
       }(enc)
   }

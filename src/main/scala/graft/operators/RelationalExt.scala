@@ -354,6 +354,14 @@ object RelationalExt extends QueryModule {
     */
   private val bucketedTables =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+
+  /** Drop the memo entries — the values are just table names, but the
+    * KEYS strong-reference SparkSessions, so a long-lived process that
+    * stops sessions would pin them forever (the same leak shape as the
+    * Dedup caches). Called by Verify/Bench alongside Dedup.clearCaches.
+    */
+  def clearCaches(): Unit = bucketedTables.clear()
+
   def ensureBucketedTables(s: SparkSession, d: String): (String, String) =
     bucketedTables.computeIfAbsent((s, d), _ => {
       val suffix = (d.hashCode & 0x7fffffff).toString
@@ -365,11 +373,7 @@ object RelationalExt extends QueryModule {
         .stripPrefix("file:").replaceFirst("^//", "/")
       Seq(ot, ct).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(wh, t.toLowerCase))
+        graft.Fs.rmTree(new java.io.File(wh, t.toLowerCase))
       }
       orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")

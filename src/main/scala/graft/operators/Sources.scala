@@ -330,11 +330,7 @@ object Sources extends QueryModule {
         "/graft_stream_append_" + streamSeq.incrementAndGet()
       // fresh dirs per run — a bounded replay must not resume a previous
       // run's checkpoint or re-read its leftover output files
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      graft.Fs.rmTree(new java.io.File(base))
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -347,7 +343,21 @@ object Sources extends QueryModule {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.parquet(s"$base/out").orderBy("bucket", "event_type")
+      // explicit schema: a replay where no window end crosses the final
+      // watermark commits ZERO files (just _spark_metadata), and a
+      // schema-inferring read would throw instead of returning the empty
+      // frame the oracle computes for that input
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value_sum",
+          org.apache.spark.sql.types.DoubleType)))
+      s.read.schema(outSchema).parquet(s"$base/out")
+        .orderBy("bucket", "event_type")
     }
 
   private val streamTumblingAppendOracle =

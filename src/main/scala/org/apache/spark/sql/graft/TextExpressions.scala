@@ -72,6 +72,7 @@ case class MinGramHash(child: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
+      val c = ctx.freshName("c")
       s"""
          |byte[] $bytes = $s.getBytes();
          |int $len = $bytes.length;
@@ -80,8 +81,8 @@ case class MinGramHash(child: Expression)
          |for (int $i = 0; $i < $m; $i++) {
          |  long $h = 0L;
          |  for (int $j = 0; $j < 8; $j++) {
-         |    long c = ($i + $j < $len) ? (long) ($bytes[$i + $j] & 0xff) : 32L;
-         |    $h = $h * 31L + c;
+         |    long $c = ($i + $j < $len) ? (long) ($bytes[$i + $j] & 0xff) : 32L;
+         |    $h = $h * 31L + $c;
          |  }
          |  if ($h < $best) $best = $h;
          |}

@@ -75,7 +75,7 @@ class OperatorSpec extends SparkSpec {
 
   test("PPM codec round-trips, rejects garbage, and halves exactly") {
     import operators.Multimodal.PpmCodec
-    val img = PpmCodec.synthesize(7L, "hello world".getBytes)
+    val img = PpmCodec.synthesize("hello world".getBytes)
     val back = PpmCodec.decode(PpmCodec.encode(img))
     assert(back.width == img.width && back.height == img.height)
     assert(java.util.Arrays.equals(back.pixels, img.pixels))
@@ -84,10 +84,13 @@ class OperatorSpec extends SparkSpec {
       s"${img.width}\t${img.height}\n255\n")
       .getBytes("US-ASCII") ++ img.pixels
     assert(PpmCodec.decode(commented).brightness == img.brightness)
-    val empty = PpmCodec.synthesize(0L, Array.emptyByteArray)
+    val empty = PpmCodec.synthesize(Array.emptyByteArray)
     assert(empty.width >= 16 && empty.height >= 16 && empty.brightness == 0.0)
     intercept[IllegalArgumentException] {
       PpmCodec.decode("JFIF....".getBytes)
+    }
+    intercept[IllegalArgumentException] { // w*h*3 overflows Int to 0
+      PpmCodec.decode("P6\n65536 65536\n255\n".getBytes)
     }
     intercept[IllegalArgumentException] { // truncated plane
       PpmCodec.decode(PpmCodec.encode(img).dropRight(1))

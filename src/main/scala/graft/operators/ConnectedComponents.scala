@@ -50,7 +50,16 @@ object ConnectedComponents {
     * the smallest node id reachable via `edges(src, dst)` (undirected;
     * symmetrized internally).
     */
-  def labels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame =
+  def labels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    // The fixpoint check sums labels as DECIMAL(38,0); a non-numeric id
+    // type would cast to NULL, coalesce to 0, and declare convergence
+    // after one round — wrong labels with no signal. Enforce the numeric
+    // contract instead of silently mis-converging.
+    val idType = nodes.schema("id").dataType
+    require(Seq("byte", "short", "integer", "long", "decimal")
+        .exists(idType.typeName.startsWith),
+      s"ConnectedComponents.labels needs integral node ids, got $idType " +
+        "(hash or dictionary-encode other key types first)")
     // Constraint propagation OFF for the whole loop: each round is
     // checkpointed so inferred constraints buy nothing, and the
     // pointer-jump projection (coalesce over both join sides) would
@@ -115,4 +124,5 @@ object ConnectedComponents {
     sym.unpersist()
     out
     }
+  }
 }

@@ -56,8 +56,7 @@ object Dedup extends QueryModule {
       |      THEN list_transform(range(len(words)-2),
       |        i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
       |      ELSE [array_to_string(words, ' ')] END) AS shingles
-      |  FROM sh0) """.stripMargin
-      .replace("FROM sh0", "FROM docs")
+      |  FROM docs) """.stripMargin
 
   // ---- exact dedup ----------------------------------------------------
 
@@ -95,13 +94,22 @@ object Dedup extends QueryModule {
     */
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** Every frame this module persisted, cached-or-not — clearCaches
+    * must release the INNER persists (the shingle base below) too, not
+    * just the memoized outer frames.
+    */
+  private val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private def tracked(df: DataFrame): DataFrame = {
+    persisted.add(df); df
+  }
   private def sigTable(s: SparkSession, d: String): DataFrame =
     sigCache.computeIfAbsent((s, d), _ => {
       // persist the shingle arrays FIRST: both the md5 explode pipeline
       // and the final join consume them, and without the cache the
       // interpreted shingle-building pass runs once per consumer
-      val base = withShingles(documents(s, d)).select("doc_id", "shingles")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val base = tracked(withShingles(documents(s, d)).select("doc_id", "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK))
       val ex = base.select(col("doc_id"), explode(col("shingles")).as("sh"))
       val mins = ex
         .select(col("doc_id") +: (0 until K).map(k =>
@@ -242,9 +250,11 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           explode(expr("filter(split(text, '[^a-z]+'), x -> x <> '')")).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
-        // the first 16 hex chars as four 32-bit ints: one conv per chunk,
-        // then each of the 64 bit counts is a shift+mask, not a string test
-        .select(col("doc_id") +: (0 until 4).map(j =>
+        // the first 16 hex chars as two 32-bit chunks: one conv per
+        // chunk, then each of the 64 bit counts is a shift+mask, not a
+        // string test (bit i reads hex char i/4, so only chars 1..16 —
+        // chunks 0 and 1 — are ever consumed)
+        .select(col("doc_id") +: (0 until 2).map(j =>
           expr(s"CAST(conv(substr(h, ${8 * j + 1}, 8), 16, 10) AS BIGINT)").as(s"v$j")): _*)
       val cnts = ex.groupBy("doc_id").agg(
         count(lit(1)).as("size0"),
@@ -402,12 +412,20 @@ object Dedup extends QueryModule {
     */
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame =
-    ccCache.computeIfAbsent((s, d), _ =>
+  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame = {
+    // NOT computeIfAbsent: the CC loop runs eager Spark actions for
+    // seconds, and computeIfAbsent would hold the map bin lock that
+    // whole time, blocking unrelated keys in the same bin. A racing
+    // duplicate computation is acceptable; putIfAbsent keeps one winner
+    // (the loser's persist marker is dropped unmaterialized).
+    val key = (s, d)
+    val cached = ccCache.get(key)
+    if (cached != null) cached
+    else {
       // the iterated tables are label/edge sets (LSH survivors) — tiny
       // relative to the corpus — so per-round task-launch overhead
       // dominates at the session's default fan-out
-      graft.Tuning.withShufflePartitions(s, 8) {
+      val fresh = graft.Tuning.withShufflePartitions(s, 8) {
         val sig = sigTable(s, d)
         val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
         val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
@@ -421,7 +439,11 @@ object Dedup extends QueryModule {
             pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-      })
+      }
+      val prev = ccCache.putIfAbsent(key, fresh)
+      if (prev != null) { fresh.unpersist(false); prev } else fresh
+    }
+  }
 
   /** Release every DataFrame this module persisted and drop the memo
     * maps — Verify/Bench call it before session stop so a long-lived
@@ -433,6 +455,8 @@ object Dedup extends QueryModule {
       c.values.forEach(df => { df.unpersist(false); () })
       c.clear()
     }
+    persisted.forEach(df => { df.unpersist(false); () })
+    persisted.clear()
   }
 
   private def ccClusters(s: SparkSession, d: String): DataFrame =

@@ -109,12 +109,17 @@ object Multimodal extends QueryModule {
       def readInt(): Int = {
         skipSpaceAndComments()
         val start = pos
-        var v = 0
+        // accumulate in Long and cap: Int accumulation would wrap a
+        // crafted value like 4294967297 back to 1 and slip past the
+        // dimension bounds check below
+        var v = 0L
         while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
-          v = v * 10 + (payload(pos) - '0'); pos += 1
+          v = v * 10 + (payload(pos) - '0')
+          if (v > 1000000000L) fail("integer field out of range")
+          pos += 1
         }
         if (pos == start) fail("expected integer")
-        v
+        v.toInt
       }
       if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
         fail("not a P6 ppm")

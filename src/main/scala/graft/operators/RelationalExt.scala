@@ -245,7 +245,7 @@ object RelationalExt extends QueryModule {
       .select(col("k"), col("t"), lit(0).as("is_event"), lit(nulledLong).as("event_id"),
         col("t").as("ord_day"), col("n_orders"), col("day_total"))
       .unionByName(ev.select(col("k"), col("t"), lit(1).as("is_event"), col("event_id"),
-        lit(nulledTs).as("ord_day"), lit(nulledLong2).as("n_orders"),
+        lit(nulledTs).as("ord_day"), lit(nulledLong).as("n_orders"),
         lit(nulledDouble).as("day_total")))
     val w = Window.partitionBy("k")
       .orderBy(col("t"), col("is_event"))
@@ -265,7 +265,6 @@ object RelationalExt extends QueryModule {
 
   // typed NULL literals for the union's padding columns
   private def nulledLong = expr("CAST(NULL AS BIGINT)")
-  private def nulledLong2 = expr("CAST(NULL AS BIGINT)")
   private def nulledTs = expr("CAST(NULL AS TIMESTAMP)")
   private def nulledDouble = expr("CAST(NULL AS DOUBLE)")
 

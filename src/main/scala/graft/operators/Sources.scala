@@ -26,13 +26,21 @@ object Sources extends QueryModule {
 
   import Tables._
 
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_src/$name"
+  /** Scratch sink dir, unique per (process, dataset): two JVMs sharing
+    * a tmpdir — or one JVM round-tripping two datasets — must not
+    * overwrite each other's sink while a lazily-evaluated read-back
+    * still references the files.
+    */
+  private def scratch(name: String, d: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val ds = (d.hashCode & 0x7fffffff).toHexString
+    s"${System.getProperty("java.io.tmpdir")}/graft_src_$pid/${name}_$ds"
+  }
 
   // ---- CSV round-trip -------------------------------------------------
 
   private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = scratch("csv_supplier")
+    val out = scratch("csv_supplier", d)
     supplier(s, d)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         col("s_acctbal").cast("decimal(12,2)").as("bal"))
@@ -56,7 +64,7 @@ object Sources extends QueryModule {
   // ---- JSON round-trip ------------------------------------------------
 
   private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = scratch("json_events")
+    val out = scratch("json_events", d)
     events(s, d)
       .select(col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k_val"),
@@ -86,7 +94,7 @@ object Sources extends QueryModule {
     * counts — and the oracle on the original table — are unchanged.
     */
   private def textRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = scratch("text_documents")
+    val out = scratch("text_documents", d)
     documents(s, d).select(col("text")).write.mode("overwrite").text(out)
     s.read.text(out)
       .select(explode(split(col("value"), "[^A-Za-z]+")).as("word"))
@@ -109,7 +117,7 @@ object Sources extends QueryModule {
     * non-matching partitions are never opened.
     */
   private def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = scratch("parquet_documents_bylang")
+    val out = scratch("parquet_documents_bylang", d)
     documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(out)
@@ -132,7 +140,7 @@ object Sources extends QueryModule {
     * proves types (decimal, date) survive the format boundary.
     */
   private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = scratch("orc_orders")
+    val out = scratch("orc_orders", d)
     orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
         col("o_totalprice").cast("decimal(18,2)").as("price"),

@@ -92,6 +92,9 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // w*h*3 overflows Int to 0
       PpmCodec.decode("P6\n65536 65536\n255\n".getBytes)
     }
+    intercept[IllegalArgumentException] { // digit accumulation must not wrap
+      PpmCodec.decode(("P6\n4294967297 1\n255\n" + "xxx").getBytes)
+    }
     intercept[IllegalArgumentException] { // truncated plane
       PpmCodec.decode(PpmCodec.encode(img).dropRight(1))
     }

@@ -30,8 +30,15 @@ object SparkEntry {
     operators.WordCount.dataframeWordCount(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    // toMap silently keeps the LAST entry on a name collision — a
+    // cross-module clash would shrink the driver surface with every
+    // check still green, so fail loudly instead
+    val dups = all.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names across modules: $dups")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

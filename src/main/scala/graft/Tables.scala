@@ -22,15 +22,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench/
-    * tests). Convert the nanos long to TimestampType (µs) with integer
-    * division — double division would lose precision at 1.7e18 ns.
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` — set here on the
+    * session (it is runtime-settable) so the registry is self-contained
+    * for a driver whose own session builder omits it. Convert the nanos
+    * long to TimestampType (µs) with FLOOR division via pmod — `div`
+    * truncates toward zero, which would land pre-epoch nanos 1 µs late;
+    * double division would lose precision at 1.7e18 ns.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.withColumn("ts",
+        expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

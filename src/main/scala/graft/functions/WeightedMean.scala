@@ -28,6 +28,9 @@ object WeightedMean
     (a._1 + b._1, a._2 + b._2)
 
   // identical to the oracle's CAST(sum AS DOUBLE) / CAST(sum AS DOUBLE)
+  // — including a zero weight sum: both engines evaluate 0.0/0.0 to NaN
+  // (x/0.0 to ±Inf) under IEEE double division, and the compare treats
+  // NaN==NaN, so degenerate groups stay cross-engine consistent
   override def finish(b: (BigDecimal, BigDecimal)): Double =
     b._1.toDouble / b._2.toDouble
 

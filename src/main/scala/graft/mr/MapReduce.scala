@@ -49,6 +49,12 @@ object MapReduce {
     val mapped = input.flatMap(mapFn)
     numPartitions match {
       case Some(n) =>
+        // NB: RDD groupByKey materializes each key's values in memory
+        // (CompactBuffer) — same memory contract as the reference, whose
+        // reducer also receives a fully-built per-key vector
+        // (mr/word_count.h:34-38); the None branch below streams the
+        // value iterator instead, so a skewed key that fits there can
+        // OOM here. Choose R only when that trade is understood.
         val reduced = mapped.rdd
           .groupByKey(n)
           .map { case (k, vs) => reduceFn(k, vs.iterator) }

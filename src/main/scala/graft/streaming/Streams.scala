@@ -51,13 +51,31 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
-  /** Streaming exact dedup on a key with watermark-bounded state — the
-    * streaming form of Dedup.exactKeep.
+  /** Streaming EXACT dedup on a key — the streaming form of
+    * Dedup.exactKeep: every key's first occurrence passes, all later
+    * ones drop, regardless of how far apart they arrive. Exact dedup
+    * inherently keeps state proportional to the distinct-key count (the
+    * watermark cannot evict a key that must still suppress duplicates
+    * arbitrarily far in the future) — acceptable when keys are bounded
+    * (entities, content digests); otherwise use
+    * [[dedupStreamWithinWatermark]].
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicates(keyCols)
+
+  /** Watermark-BOUNDED dedup: duplicates are only suppressed while the
+    * first occurrence is younger than the watermark delay, and state is
+    * evicted past it — the 100 TB/day shape when the key space is
+    * unbounded and duplicates are known to arrive close together
+    * (at-least-once redelivery).
+    */
+  def dedupStreamWithinWatermark(events: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   // ---- custom state: flatMapGroupsWithState --------------------------
 
@@ -102,11 +120,17 @@ object Streams {
             Iterator(SessionOut(userId, s.nEvents, s.valueSum, closed = true))
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            val init = state.getOption.getOrElse(UserSessionState(0L, 0.0, 0L))
+            // Long.MinValue sentinel, NOT 0: epoch-zero timestamps are
+            // legitimate events and must not disable gap detection
+            val init =
+              state.getOption.getOrElse(UserSessionState(0L, 0.0, Long.MinValue))
             var (n, v, last) = (init.nEvents, init.valueSum, init.lastTs)
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              if (last != 0L && e.ts.getTime - last > gapMs) {
+              // >= gap closes, matching session_window's half-open
+              // [start, last+gap) — an event at exactly last+gap starts
+              // a NEW session in both operators
+              if (last != Long.MinValue && e.ts.getTime - last >= gapMs) {
                 closed += SessionOut(userId, n, v, closed = true)
                 n = 0L; v = 0.0
               }

@@ -38,6 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinGramHash(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
+  private val P7 = 27512614111L // 31^7, the outgoing byte's coefficient
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -47,16 +49,17 @@ case class MinGramHash(child: Expression)
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val len = bytes.length
     val m = math.max(len - 7, 1)
-    var best = Long.MaxValue
-    var i = 0
+    // rolling update h' = (h − c_out·31^7)·31 + c_in: ~2 multiply-adds
+    // per position instead of 8; exact — max intermediate 255·31^8 ≈
+    // 2.2e14, far under 2^63, so no modular reduction is needed
+    def at(k: Int): Long = if (k < len) (bytes(k) & 0xff).toLong else 32L
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = h * 31L + at(j); j += 1 }
+    var best = h
+    var i = 1
     while (i < m) {
-      var h = 0L
-      var j = 0
-      while (j < 8) {
-        val c = if (i + j < len) (bytes(i + j) & 0xff).toLong else 32L
-        h = h * 31L + c
-        j += 1
-      }
+      h = (h - at(i - 1) * P7) * 31L + at(i + 7)
       if (h < best) best = h
       i += 1
     }
@@ -72,18 +75,21 @@ case class MinGramHash(child: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
-      val c = ctx.freshName("c")
+      val at = ctx.freshName("at")
+      // same rolling recurrence as the interpreted eval: ~2 multiply-adds
+      // per position, exact in 64-bit (max intermediate 255*31^8 ~ 2.2e14)
       s"""
          |byte[] $bytes = $s.getBytes();
          |int $len = $bytes.length;
          |int $m = java.lang.Math.max($len - 7, 1);
-         |long $best = Long.MAX_VALUE;
-         |for (int $i = 0; $i < $m; $i++) {
-         |  long $h = 0L;
-         |  for (int $j = 0; $j < 8; $j++) {
-         |    long $c = ($i + $j < $len) ? (long) ($bytes[$i + $j] & 0xff) : 32L;
-         |    $h = $h * 31L + $c;
-         |  }
+         |long $h = 0L;
+         |for (int $j = 0; $j < 8; $j++) {
+         |  $h = $h * 31L + (($j < $len) ? (long) ($bytes[$j] & 0xff) : 32L);
+         |}
+         |long $best = $h;
+         |for (int $i = 1; $i < $m; $i++) {
+         |  long $at = ($i + 7 < $len) ? (long) ($bytes[$i + 7] & 0xff) : 32L;
+         |  $h = ($h - (long) ($bytes[$i - 1] & 0xff) * ${P7}L) * 31L + $at;
          |  if ($h < $best) $best = $h;
          |}
          |${ev.value} = $best;

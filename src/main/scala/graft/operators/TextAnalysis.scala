@@ -64,10 +64,18 @@ object TextAnalysis extends QueryModule {
       .withColumn("space_ratio",
         round((length(col("text")) - col("n_alpha_chars")).cast("double") /
           col("ncz"), 6))
+      // The score combines the rounded components in INTEGER millionths
+      // (scaled to 1e8 so the 0.5/0.3/0.2 weights stay integral, then
+      // half-up to 6dp via (+50) div 100): summing the component doubles
+      // and round()ing landed exactly on a .5e-6 tie for 2/5000 docs at
+      // sf0.1, where the engines' round() implementations split. The
+      // round(x*1e6) recoveries are safe — the component doubles sit
+      // ~0.5 away from the nearest integer boundary, not on a tie.
       .withColumn("quality_score",
-        round(least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
-          (lit(1.0) - col("stop_ratio")) * 0.3 +
-          least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2, 6))
+        expr("""CAST((least(n_words * 500000, 50000000)
+            |  + 30000000 - CAST(round(stop_ratio * 1000000) AS BIGINT) * 30
+            |  + least(CAST(round(avg_word_len * 1000000) AS BIGINT) * 2, 20000000)
+            |  + 50) div 100 AS DOUBLE) / 1000000""".stripMargin))
       .select("doc_id", "n_words", "avg_word_len", "stop_ratio",
         "space_ratio", "quality_score")
       .orderBy("doc_id")
@@ -86,10 +94,12 @@ object TextAnalysis extends QueryModule {
        |  round(n_alpha_chars::DOUBLE / nullif(n_words, 0), 6) AS avg_word_len,
        |  round(n_stop::DOUBLE / nullif(n_words, 0), 6) AS stop_ratio,
        |  round((n_chars0 - n_alpha_chars)::DOUBLE / nullif(n_chars0, 0), 6) AS space_ratio,
-       |  round(least(n_words::DOUBLE / 100.0, 1.0) * 0.5 +
-       |    (1.0 - round(n_stop::DOUBLE / nullif(n_words, 0), 6)) * 0.3 +
-       |    least(round(n_alpha_chars::DOUBLE / nullif(n_words, 0), 6) / 10.0, 1.0) * 0.2, 6)
-       |    AS quality_score
+       |  ((least(n_words * 500000, 50000000)
+       |    + 30000000
+       |    - round(round(n_stop::DOUBLE / nullif(n_words, 0), 6) * 1000000)::BIGINT * 30
+       |    + least(round(round(n_alpha_chars::DOUBLE / nullif(n_words, 0), 6) * 1000000)::BIGINT * 2,
+       |        20000000)
+       |    + 50) // 100)::DOUBLE / 1000000 AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
 
   // ---- language ID (stopword-profile heuristic) -----------------------

@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt "runMain graft.Bench"` output
+// as JSON (BENCH_r2-r4 all came back `parsed: null`): the forked JVM's
+// stdout must reach the console UNPREFIXED — sbt's default LoggedOutput
+// strategy brackets it as `[info] {...}`, which is not valid JSON — and
+// sbt's own "[success] Total time" trailer must not land after it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -112,11 +112,19 @@ object Bench {
     val slowest = ok.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // ONE compact stdout line, well under the tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"slowest":$slowest,"detail":"target/bench_detail.json","sf":"$sfDir"}""")
+    // Terminal-line contract: the JSON line must be the LAST thing on the
+    // combined output, so every noisy step — cache release (the
+    // checkpoint-block unpersist logs a MapPartitionsRDD WARN), session
+    // stop — runs BEFORE the println, at ERROR log level. build.sbt
+    // strips sbt's [info] prefix and [success] trailer.
+    spark.sparkContext.setLogLevel("ERROR")
     graft.operators.Dedup.clearCaches()
     graft.operators.RelationalExt.clearCaches()
+    graft.operators.Similarity.clearCaches()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
+    // ONE compact line, well under the driver's output-tail window.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"slowest":$slowest,"detail":"target/bench_detail.json","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

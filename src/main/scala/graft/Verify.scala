@@ -64,6 +64,7 @@ object Verify {
     // block-manager memory across runs.
     graft.operators.Dedup.clearCaches()
     graft.operators.RelationalExt.clearCaches()
+    graft.operators.Similarity.clearCaches()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
   }

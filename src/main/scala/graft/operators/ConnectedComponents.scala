@@ -107,15 +107,24 @@ object ConnectedComponents {
         .select(col("m.id").as("id"),
           coalesce(col("p_lbl"), col("m.lbl")).as("lbl"))
         .localCheckpoint(true)
-      val nextSum = lblSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      iters += 1
+      // Fixpoint check every 2nd round (and on the last permitted one):
+      // per-node labels are monotone non-increasing, so
+      // sum(r) == sum(r-2) forces sum(r-1) — and every individual
+      // label — unchanged through both rounds: the same fixpoint, half
+      // the driver round-trips (each lblSum is a blocking 1-row action
+      // serialized between rounds; the eager checkpoint above is the
+      // only other per-round action).
+      if (iters % 2 == 0 || iters == maxIters) {
+        val nextSum = lblSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      }
       // next is checkpointed EAGERLY above, so the previous round's and
       // the intermediate min table's blocks are no longer reachable
       freeCheckpoint(lbls)
       freeCheckpoint(mins)
       lbls = next
-      iters += 1
     }
     if (!converged) { sym.unpersist(); throw new NotConverged(maxIters) }
     val out = nodes.select("id")

@@ -131,7 +131,13 @@ object Multimodal extends QueryModule {
       // plane) and must be rejected, not decoded
       if (w < 1 || h < 1 || w > 16384 || h > 16384)
         fail(s"dimensions out of range: ${w}x$h")
-      pos += 1 // the single whitespace byte separating header from plane
+      // the single byte separating header from plane MUST be whitespace
+      // per the spec — accepting any byte here would let a malformed
+      // header like "P6\n2 2\n255X<plane>" decode successfully
+      if (pos >= payload.length || !(payload(pos) == ' ' || payload(pos) == '\n' ||
+          payload(pos) == '\r' || payload(pos) == '\t'))
+        fail("missing whitespace after maxval")
+      pos += 1
       val n = w * h * 3 // safe: bounded dims keep the product < 2^31
       if (payload.length - pos != n)
         fail(s"plane length ${payload.length - pos} != $n")
@@ -277,12 +283,18 @@ object Multimodal extends QueryModule {
       .orderBy("media_id", "frame_idx")
 
   private val mmFrameSampleOracle =
-    """SELECT media_id, frame_idx, frame_md5 FROM (
+    """WITH tt AS (
+      |  SELECT doc_id, CASE WHEN octet_length(encode(text)) = length(text)
+      |    THEN text
+      |    ELSE error('non-ASCII text: byte frames differ from char frames')
+      |    END AS text
+      |  FROM documents)
+      |SELECT media_id, frame_idx, frame_md5 FROM (
       |  SELECT doc_id AS media_id,
       |    unnest(range(greatest((length(text)-1) // 256, 0) + 1)) AS frame_idx,
       |    unnest(list_transform(range(greatest((length(text)-1) // 256, 0) + 1),
       |      i -> md5(substr(text, i*256+1, 256)))) AS frame_md5
-      |  FROM documents)
+      |  FROM tt)
       |WHERE frame_idx % 4 = 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
@@ -301,12 +313,23 @@ object Multimodal extends QueryModule {
     * exercises). `m` is the plane length w·h·3; the cycled-plane byte
     * sum is full_cycles·Σ(all bytes) + Σ(first m mod n bytes) — exact
     * BIGINT arithmetic, one double division at the end.
+    *
+    * The whole derivation assumes codepoint == byte, i.e. ASCII text;
+    * the `tt` CTE CHECKS that where it is assumed (octet_length of the
+    * UTF-8 encoding vs char length) and raises via error() on a
+    * non-ASCII fixture instead of silently deriving wrong features.
     */
   private val ppmDecodeCte =
-    """f AS (
+    """tt AS (
+      |  SELECT doc_id, CASE WHEN octet_length(encode(text)) = length(text)
+      |    THEN text
+      |    ELSE error('non-ASCII text invalidates the byte=codepoint oracle derivation')
+      |    END AS text
+      |  FROM documents),
+      |f AS (
       |  SELECT doc_id AS media_id, length(text) AS n,
       |    CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0
-      |  FROM documents),
+      |  FROM tt),
       |d AS (
       |  SELECT media_id, n, (16 + n % 48)::INT AS w, (16 + b0 % 48)::INT AS h,
       |    ((16 + n % 48)::BIGINT * (16 + b0 % 48) * 3) AS m
@@ -319,7 +342,7 @@ object Multimodal extends QueryModule {
       |        + COALESCE(list_sum(list_transform(range((d.m % d.n)::INT),
       |          i -> ord(substr(t.text, i + 1, 1))::BIGINT)), 0))::DOUBLE / d.m
       |    END AS brightness
-      |  FROM d JOIN documents t ON t.doc_id = d.media_id)""".stripMargin
+      |  FROM d JOIN tt t ON t.doc_id = d.media_id)""".stripMargin
 
   private val mmFeaturesOracle =
     s"""WITH $ppmDecodeCte

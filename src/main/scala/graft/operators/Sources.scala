@@ -178,7 +178,7 @@ object Sources extends QueryModule {
     * one row per (hour, type)).
     */
   private def streamTumbling(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 4) {
+    withStreamFanout(s) {
       val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -197,7 +197,7 @@ object Sources extends QueryModule {
     * each event lands in two overlapping window states.
     */
   private def streamSliding(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 4) {
+    withStreamFanout(s) {
       val name = "graft_stream_sliding_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -216,10 +216,14 @@ object Sources extends QueryModule {
     * store setup dominates, so the stream queries run with a reduced
     * partition count via [[graft.Tuning.withShufflePartitions]] (each
     * fresh run starts a fresh checkpoint, so the pinned count is
-    * per-query).
+    * per-query). Fan-out 2 (r4 ran 4): results are partition-count
+    * invariant — the oracles prove it — and halving the store count
+    * halves the per-query fixture floor; a production deployment sizes
+    * this to the stream's real key cardinality, not the fixture's.
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T =
-    graft.Tuning.withShufflePartitions(s, n)(f)
+  private val STREAM_FANOUT = 2
+  private def withStreamFanout[T](s: SparkSession)(f: => T): T =
+    graft.Tuning.withShufflePartitions(s, STREAM_FANOUT)(f)
 
   /** events as an unbounded source (same ns→µs ts normalization as the
     * batch loader).
@@ -240,7 +244,7 @@ object Sources extends QueryModule {
     * DISTINCT oracle matches exactly.
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 4) {
+    withStreamFanout(s) {
       val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -263,7 +267,7 @@ object Sources extends QueryModule {
     * watermark + append so merged sessions finalize past the watermark.
     */
   private def streamSession(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 4) {
+    withStreamFanout(s) {
       val name = "graft_stream_session_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -286,7 +290,7 @@ object Sources extends QueryModule {
     * stream scale.
     */
   private def streamJoin(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 4) {
+    withStreamFanout(s) {
       val name = "graft_stream_join_" + streamSeq.incrementAndGet()
       // ONE source pass, watermarked once, branched per side — round 3
       // built two independent streamEvents scans (the whole events file
@@ -333,9 +337,14 @@ object Sources extends QueryModule {
     * microsecond integers.
     */
   private def streamTumblingAppend(s: SparkSession, d: String): DataFrame =
-    withShufflePartitions(s, 4) {
+    withStreamFanout(s) {
+      // unique per (process, dataset, run) like scratch(): a bare
+      // restarting counter would let two JVMs sharing a tmpdir rmTree
+      // each other's live checkpoint/output mid-run
       val base = System.getProperty("java.io.tmpdir") +
-        "/graft_stream_append_" + streamSeq.incrementAndGet()
+        s"/graft_stream_append_${ProcessHandle.current().pid()}" +
+        s"_${(d.hashCode & 0x7fffffff).toHexString}" +
+        s"_${streamSeq.incrementAndGet()}"
       // fresh dirs per run — a bounded replay must not resume a previous
       // run's checkpoint or re-read its leftover output files
       graft.Fs.rmTree(new java.io.File(base))

@@ -51,16 +51,29 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Per-(key, ts) dedup — the original `dedupStream` contract: two
+    * events are duplicates only if key AND timestamp match (at-least-once
+    * redelivery of the same record), so the watermark CAN evict state
+    * (a given (key, ts) stops being re-deliverable once ts falls behind
+    * it) and state stays bounded on unbounded key spaces. For
+    * first-occurrence-only semantics use [[dedupStreamExact]] — kept a
+    * separate, opt-in name because its state is NOT watermark-evictable.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Streaming EXACT dedup on a key — the streaming form of
     * Dedup.exactKeep: every key's first occurrence passes, all later
     * ones drop, regardless of how far apart they arrive. Exact dedup
     * inherently keeps state proportional to the distinct-key count (the
     * watermark cannot evict a key that must still suppress duplicates
     * arbitrarily far in the future) — acceptable when keys are bounded
-    * (entities, content digests); otherwise use
+    * (entities, content digests); otherwise use [[dedupStream]] or
     * [[dedupStreamWithinWatermark]].
     */
-  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+  def dedupStreamExact(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicates(keyCols)

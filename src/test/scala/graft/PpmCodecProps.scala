@@ -32,6 +32,15 @@ object PpmCodecProps extends Properties("PpmCodec") {
         a.width == b.width && java.util.Arrays.equals(a.pixels, b.pixels)
     }
 
+  property("decode rejects a non-whitespace header/plane separator") =
+    Prop.forAll(imageGen) { img =>
+      // corrupt the single whitespace byte after maxval ("255\n" → "255X")
+      val enc = PpmCodec.encode(img)
+      val sep = enc.indexOfSlice("255\n".getBytes) + 3
+      enc(sep) = 'X'.toByte
+      Prop.throws(classOf[IllegalArgumentException])(PpmCodec.decode(enc))
+    }
+
   property("halve round-trips through encode and keeps exact corners") =
     Prop.forAll(imageGen) { img =>
       val half = PpmCodec.halve(img)

@@ -36,7 +36,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming dedup drops in-window duplicates") {
+  test("streaming dedup drops exact (key, ts) redeliveries, keeps later same-key events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
@@ -46,11 +46,62 @@ class StreamingSpec extends SparkSpec {
       .queryName("dedup_out").start()
     try {
       input.addData(
-        (ts(1), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0),
+        (ts(1), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0), // redelivery
+        (ts(9), 1L, "click", 1.0), // same key, later ts: NOT a duplicate
         (ts(2), 1L, "view", 1.0))
       q.processAllAvailable()
-      assert(spark.table("dedup_out").count() == 2)
+      assert(spark.table("dedup_out").count() == 3)
     } finally q.stop()
+  }
+
+  test("streaming exact dedup keeps only each key's first occurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.dedupStreamExact(events, Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_exact_out").start()
+    try {
+      input.addData(
+        (ts(1), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0),
+        (ts(9), 1L, "click", 1.0), // same key, later ts: still dropped
+        (ts(2), 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_exact_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("unbounded rate source runs under a processing-time trigger") {
+    // The one streaming shape the oracle-checked replay queries never
+    // exercise: a genuinely unbounded source (no AvailableNow), a
+    // continuous processing-time trigger, stopped by the caller after
+    // observing real micro-batches. Shape-asserted only — an unbounded
+    // source has no batch oracle, so it stays out of SparkEntry.queries.
+    import spark.implicits._
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .groupBy((col("value") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rate_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (System.currentTimeMillis() < deadline &&
+          q.recentProgress.count(_.numInputRows > 0) < 2)
+        Thread.sleep(100)
+      assert(q.isActive, s"rate query died: ${q.exception}")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "rate source delivered fewer than 2 non-empty micro-batches in 30s")
+    } finally q.stop()
+    val out = spark.table("rate_out")
+    assert(out.columns.toSeq == Seq("bucket", "n"))
+    val (buckets, total) = (out.select("bucket").as[Long].collect().toSet,
+      out.agg(sum("n")).head().getLong(0))
+    assert(total > 0 && buckets.subsetOf((0L to 9L).toSet))
   }
 
   test("flatMapGroupsWithState sessionization closes sessions on gap") {

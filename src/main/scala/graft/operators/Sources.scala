@@ -295,9 +295,9 @@ object Sources extends QueryModule {
       // ONE source pass, watermarked once, branched per side — round 3
       // built two independent streamEvents scans (the whole events file
       // read and filtered twice); the watermark metadata follows the
-      // column through the per-side renames. Fan-out 4 (not 8): the join
-      // instantiates a state store per side per partition, and store
-      // setup dominates at fixture scale.
+      // column through the per-side renames. Reduced fan-out matters
+      // doubly here: the join instantiates a state store per side per
+      // partition, and store setup dominates at fixture scale.
       val ev = streamEvents(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_type"), col("ts"))

@@ -67,7 +67,13 @@ object Bench {
     // sweep showed a wide 1.0-1.5s noise band under the older 1.5s cut.
     val RETRY_ABOVE = 1.0
     def slow(v: Double): Boolean = v.isNaN || v > RETRY_ABOVE
+    // Optional comma-separated filter for LOCAL timing-pinning runs
+    // (re-measuring one suspect query minutes after a full sweep, per
+    // the round-4 discipline). The driver never sets it → full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { case (name, fn) =>
       best(name) = once(name, fn)

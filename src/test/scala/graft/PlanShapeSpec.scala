@@ -101,6 +101,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_kmeans reads the trained codebook from cache in both consumers") {
+    // the persisted k-means codebook is referenced by probe scoring AND
+    // the final cell assignment; without the persist each reference
+    // re-executes the whole Lloyd training chain (round-5 fix)
+    val plan = planOf("sim_ivf_kmeans")
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 2,
+      s"codebook not served from cache to both consumers ($scans scans):\n$plan")
+  }
+
   test("no batch query plans a CartesianProduct (except the cross join)") {
     // streams execute eagerly on construction and dedup_cc runs its
     // iterative loop — both are covered by their own specs; everything

@@ -351,16 +351,24 @@ object Similarity extends QueryModule {
 
   /** Nearest cell per vector under the given centroids (argmin rounded
     * squared L2, ties to the lower cell id).
+    *
+    * The argmin is an AGGREGATE — `min(struct(dist2, cell))` — not a
+    * window: partial aggregation collapses the k candidate rows per
+    * vector map-side, so the shuffle carries ONE row per vector, where
+    * a `row_number` window would shuffle and then SORT all k rows per
+    * vector. At 100 TB that is the difference between shuffling the
+    * corpus and shuffling k× the corpus plus a per-group sort. Struct
+    * ordering is lexicographic, so ties break to the lower cell id —
+    * exactly the oracle's (dist2 ASC, cell ASC) row_number contract.
     */
   private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
     val c2 = cent.withColumn("c2", vecDot(col("cvec"), col("cvec")))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cell"))
     emb.crossJoin(broadcast(c2))
       .withColumn("dist2", round(
         col("e2") - lit(2.0) * vecDot(col("embedding"), col("cvec")) + col("c2"), 6))
-      .withColumn("arnk", row_number().over(w))
-      .filter(col("arnk") === 1)
-      .select("vec_id", "cell")
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
   }
 
   private def topkIvfKmeans(s: SparkSession, d: String): DataFrame = {

@@ -21,6 +21,27 @@ object Tuning {
     try f finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** Run `f` with the trailing no-data microbatch disabled, restoring
+    * after.
+    *
+    * A bounded `Trigger.AvailableNow` replay runs one extra empty batch
+    * after the data is consumed, solely to advance the watermark and
+    * emit/evict watermark-gated state. Queries whose OUTPUT never waits
+    * on the watermark — complete-mode aggregations (the full result is
+    * rewritten in the last data batch) and streaming dedup (each row is
+    * emitted in the batch it arrives; the extra batch only evicts
+    * state) — pay that batch's full state-store commit cycle for
+    * nothing, and at fixture scale the commit cycle IS the cost.
+    * Queries that finalize on the watermark (append-mode windows,
+    * session merge, stream-stream join) MUST keep it.
+    */
+  def withoutNoDataMicroBatch[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = s.conf.get(key)
+    s.conf.set(key, "false")
+    try f finally s.conf.set(key, old)
+  }
+
   /** Run `f` with constraint propagation disabled, restoring after.
     *
     * Iterative driver loops gain nothing from inferred constraints (each

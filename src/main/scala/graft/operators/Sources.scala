@@ -178,7 +178,7 @@ object Sources extends QueryModule {
     * one row per (hour, type)).
     */
   private def streamTumbling(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
       val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -191,13 +191,13 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("bucket", "event_type")
-    }
+    } }
 
   /** Sliding windows over the replayed stream (1 hour every 30 min) —
     * each event lands in two overlapping window states.
     */
   private def streamSliding(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
       val name = "graft_stream_sliding_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -209,7 +209,7 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("bucket")
-    }
+    } }
 
   /** Stateful streaming ops instantiate one state store per shuffle
     * partition per stateful operator; for the tiny replayed fixture the
@@ -222,14 +222,59 @@ object Sources extends QueryModule {
     * this to the stream's real key cardinality, not the fixture's.
     */
   private val STREAM_FANOUT = 2
+
+  /** Checkpoint base for the replay fixtures: tmpfs when available.
+    * Every micro-batch commit cycle fsyncs a handful of tiny files
+    * (offset log, commit log, per-partition state deltas); on a disk
+    * tmpdir that latency IS the fixture floor, and none of it buys
+    * durability a bounded replay needs. Production checkpoints go to
+    * durable shared storage — this only relocates the TEST harness's
+    * scratch. Pid-scoped (two JVMs must not share checkpoint dirs:
+    * query names restart at 1 per JVM) and cleared on first use so a
+    * recycled pid can never resume a dead run's completed checkpoint
+    * (which would replay nothing and return an empty result).
+    */
+  private[operators] lazy val streamScratchRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.getPath
+    else System.getProperty("java.io.tmpdir")
+  }
+
+  private lazy val streamCkptBase: String = {
+    val base = s"$streamScratchRoot/graft_stream_ckpt_${ProcessHandle.current().pid()}"
+    graft.Fs.rmTree(new java.io.File(base))
+    base
+  }
+
+  /** Shared fixture scope for the replayed streams: reduced fan-out plus
+    * the tmpfs checkpoint base (each query's unique `queryName` becomes
+    * its subdir under the base, restoring the session conf after).
+    */
   private def withStreamFanout[T](s: SparkSession)(f: => T): T =
-    graft.Tuning.withShufflePartitions(s, STREAM_FANOUT)(f)
+    graft.Tuning.withShufflePartitions(s, STREAM_FANOUT) {
+      val key = "spark.sql.streaming.checkpointLocation"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, streamCkptBase)
+      try f finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+
+  /** events schema per dataset dir, resolved once: a streaming file
+    * source needs an explicit schema, and re-deriving it per query is a
+    * redundant footer read + file listing. Schemas are immutable
+    * metadata, so unlike result caches this memo never needs releasing.
+    */
+  private val eventsSchema =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
 
   /** events as an unbounded source (same ns→µs ts normalization as the
     * batch loader).
     */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val schema = eventsSchema.computeIfAbsent(
+      d, dir => s.read.parquet(s"$dir/events.parquet").schema)
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
     if (raw.schema("ts").dataType == LongType)
@@ -244,7 +289,7 @@ object Sources extends QueryModule {
     * DISTINCT oracle matches exactly.
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
       val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -254,7 +299,7 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("user_id", "event_type")
-    }
+    } }
 
   private val streamDedupOracle =
     """SELECT DISTINCT user_id, event_type FROM events
@@ -267,7 +312,7 @@ object Sources extends QueryModule {
     * watermark + append so merged sessions finalize past the watermark.
     */
   private def streamSession(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
       val name = "graft_stream_session_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -280,7 +325,7 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("user_id", "session_start")
-    }
+    } }
 
   /** Stream-stream inner join: clicks joined to the user's purchases
     * within the following 30 minutes. Both sides are unbounded; the
@@ -290,7 +335,10 @@ object Sources extends QueryModule {
     * stream scale.
     */
   private def streamJoin(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    // INNER join: matches emit in the data batch where both sides are
+    // present; the trailing no-data batch only evicts state (an OUTER
+    // join would need it to emit its null-padded rows on the watermark)
+    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
       val name = "graft_stream_join_" + streamSeq.incrementAndGet()
       // ONE source pass, watermarked once, branched per side — round 3
       // built two independent streamEvents scans (the whole events file
@@ -316,7 +364,7 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("user_id", "click_s", "purchase_s")
-    }
+    } }
 
   private val streamJoinOracle =
     """SELECT c.user_id, floor(epoch(c.ts))::BIGINT AS click_s,
@@ -341,7 +389,7 @@ object Sources extends QueryModule {
       // unique per (process, dataset, run) like scratch(): a bare
       // restarting counter would let two JVMs sharing a tmpdir rmTree
       // each other's live checkpoint/output mid-run
-      val base = System.getProperty("java.io.tmpdir") +
+      val base = streamScratchRoot +
         s"/graft_stream_append_${ProcessHandle.current().pid()}" +
         s"_${(d.hashCode & 0x7fffffff).toHexString}" +
         s"_${streamSeq.incrementAndGet()}"

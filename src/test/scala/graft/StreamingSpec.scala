@@ -172,4 +172,41 @@ class StreamingSpec extends SparkSpec {
       assert(sessions == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("stateful aggregation runs unchanged on the RocksDB state store") {
+    // The default state store keeps every key's state on the executor
+    // heap — the one streaming component that does NOT survive a 100 TB
+    // scale-up (state O(keys) vs heap O(GB)). Spark's RocksDB provider
+    // spills state to local disk with the same exactly-once contract;
+    // this proves the engine's stateful queries are provider-agnostic:
+    // the SAME tumblingCounts plan, only the session conf differs — at
+    // cluster scale the provider is a config flip, not a rewrite.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long, String, Double)]
+      val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+      val q = Streams.tumblingCounts(events).writeStream
+        .outputMode("append").format("memory").queryName("rocksdb_out").start()
+      try {
+        input.addData(
+          (ts(5), 1L, "click", 1.0), (ts(10), 2L, "click", 2.0),
+          (ts(40), 1L, "view", 3.0))
+        q.processAllAvailable()
+        input.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 9L, "late", 0.0))
+        q.processAllAvailable()
+        val out = spark.table("rocksdb_out")
+          .select("event_type", "n").as[(String, Long)].collect().toMap
+        // identical to the heap-provider result in the first test
+        assert(out == Map("click" -> 2L, "view" -> 1L))
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -127,6 +127,7 @@ object Bench {
     graft.operators.Dedup.clearCaches()
     graft.operators.RelationalExt.clearCaches()
     graft.operators.Similarity.clearCaches()
+    graft.operators.Sources.clearStreamScratch()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
     // ONE compact line, well under the driver's output-tail window.

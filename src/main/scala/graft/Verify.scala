@@ -65,6 +65,7 @@ object Verify {
     graft.operators.Dedup.clearCaches()
     graft.operators.RelationalExt.clearCaches()
     graft.operators.Similarity.clearCaches()
+    graft.operators.Sources.clearStreamScratch()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
   }

@@ -243,7 +243,29 @@ object Sources extends QueryModule {
   private lazy val streamCkptBase: String = {
     val base = s"$streamScratchRoot/graft_stream_ckpt_${ProcessHandle.current().pid()}"
     graft.Fs.rmTree(new java.io.File(base))
+    // every JVM that touches stream scratch releases it on exit — the
+    // test JVMs have no Verify/Bench-style cleanup call site, and on a
+    // tmpfs root an orphan set per JVM is leaked RAM (all stream
+    // queries are awaited before their results return, so nothing is
+    // still writing at shutdown)
+    sys.addShutdownHook(clearStreamScratch())
     base
+  }
+
+  /** Release this process's stream scratch (checkpoints + append-sink
+    * dirs). Called by Verify/Bench before session stop — same
+    * discipline as the module clearCaches() hooks: on a tmpfs root the
+    * leftovers are RAM, and a long-lived host accumulating one orphan
+    * set per JVM would leak it (the first-use rmTree only covers pid
+    * reuse, not the steady state).
+    */
+  def clearStreamScratch(): Unit = {
+    val pid = ProcessHandle.current().pid()
+    graft.Fs.rmTree(new java.io.File(streamCkptBase))
+    val root = new java.io.File(streamScratchRoot)
+    val mine = root.listFiles(
+      (_, n) => n.startsWith(s"graft_stream_append_${pid}_"))
+    if (mine != null) mine.foreach(graft.Fs.rmTree)
   }
 
   /** Shared fixture scope for the replayed streams: reduced fan-out plus

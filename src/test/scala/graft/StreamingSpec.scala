@@ -173,6 +173,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream fixture scopes restore every session conf they touch") {
+    // the replay fixtures transiently pin shuffle partitions, the
+    // checkpoint base, and the no-data micro-batch flag; a broken
+    // restore would silently degrade every LATER query in the session
+    // (e.g. batch shuffles stuck at fan-out 2, or batch queries
+    // inheriting a streaming checkpoint dir), which no per-query oracle
+    // can catch — so assert the conf round-trip explicitly
+    val keys = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.streaming.checkpointLocation",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    val out = SparkEntry.queries("stream_tumbling")(spark, sfDir)
+    assert(out.count() > 0)
+    val after = keys.map(k => k -> spark.conf.getOption(k))
+    assert(after == before,
+      s"stream fixture leaked session conf: $before -> $after")
+  }
+
   test("stateful aggregation runs unchanged on the RocksDB state store") {
     // The default state store keeps every key's state on the executor
     // heap — the one streaming component that does NOT survive a 100 TB

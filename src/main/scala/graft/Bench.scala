@@ -124,12 +124,20 @@ object Bench {
     // stop — runs BEFORE the println, at ERROR log level. build.sbt
     // strips sbt's [info] prefix and [success] trailer.
     spark.sparkContext.setLogLevel("ERROR")
-    graft.operators.Dedup.clearCaches()
-    graft.operators.RelationalExt.clearCaches()
-    graft.operators.Similarity.clearCaches()
-    graft.operators.Sources.clearStreamScratch()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    spark.stop()
+    // Best-effort: a cleanup failure must never swallow the terminal
+    // line — every timed result above is already in hand, and the JVM
+    // exit (plus the scratch shutdown hook) reclaims whatever a failed
+    // step here leaves behind.
+    try {
+      graft.operators.Dedup.clearCaches()
+      graft.operators.RelationalExt.clearCaches()
+      graft.operators.Similarity.clearCaches()
+      graft.operators.Sources.clearStreamScratch()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cleanup failed (ignored): ${e.getMessage}")
+    }
     // ONE compact line, well under the driver's output-tail window.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"slowest":$slowest,"detail":"target/bench_detail.json","sf":"$sfDir"}""")
     System.out.flush()

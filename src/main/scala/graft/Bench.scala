@@ -107,14 +107,19 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"failed_names":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // best-effort: an unwritable cwd must not kill the run AFTER all
     // measurements succeeded — the stdout summary below is the one
-    // artifact that must always make it out
-    try {
-      new java.io.File("target").mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_detail.json"), detail)
-    } catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
-    }
+    // artifact that must always make it out. On failure the terminal
+    // line carries detail:null rather than a path that would resolve to
+    // a STALE previous run's file and pass for this run's numbers.
+    val detailRef =
+      try {
+        new java.io.File("target").mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_detail.json"), detail)
+        "\"target/bench_detail.json\""
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+        "null"
+      }
     val slowest = ok.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -128,18 +133,12 @@ object Bench {
     // line — every timed result above is already in hand, and the JVM
     // exit (plus the scratch shutdown hook) reclaims whatever a failed
     // step here leaves behind.
-    try {
-      graft.operators.Dedup.clearCaches()
-      graft.operators.RelationalExt.clearCaches()
-      graft.operators.Similarity.clearCaches()
-      graft.operators.Sources.clearStreamScratch()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      spark.stop()
-    } catch { case e: Throwable =>
+    try Cleanup.releaseAll(spark)
+    catch { case e: Throwable =>
       System.err.println(s"[bench] cleanup failed (ignored): ${e.getMessage}")
     }
     // ONE compact line, well under the driver's output-tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"slowest":$slowest,"detail":"target/bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"slowest":$slowest,"detail":$detailRef,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

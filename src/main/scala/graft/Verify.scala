@@ -65,14 +65,8 @@ object Verify {
     // Best-effort: every result and oracle_sql.json is already on disk;
     // a cleanup failure must not fail the run's exit code (the JVM exit
     // and the scratch shutdown hook reclaim what a failed step leaves).
-    try {
-      graft.operators.Dedup.clearCaches()
-      graft.operators.RelationalExt.clearCaches()
-      graft.operators.Similarity.clearCaches()
-      graft.operators.Sources.clearStreamScratch()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      spark.stop()
-    } catch { case e: Throwable =>
+    try Cleanup.releaseAll(spark)
+    catch { case e: Throwable =>
       System.err.println(s"[verify] cleanup failed (ignored): ${e.getMessage}")
     }
   }

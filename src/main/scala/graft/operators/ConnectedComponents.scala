@@ -108,14 +108,17 @@ object ConnectedComponents {
           coalesce(col("p_lbl"), col("m.lbl")).as("lbl"))
         .localCheckpoint(true)
       iters += 1
-      // Fixpoint check every 2nd round (and on the last permitted one):
-      // per-node labels are monotone non-increasing, so
-      // sum(r) == sum(r-2) forces sum(r-1) — and every individual
-      // label — unchanged through both rounds: the same fixpoint, half
-      // the driver round-trips (each lblSum is a blocking 1-row action
-      // serialized between rounds; the eager checkpoint above is the
-      // only other per-round action).
-      if (iters % 2 == 0 || iters == maxIters) {
+      // Fixpoint check every 2nd round: per-node labels are monotone
+      // non-increasing, so sum(r) == sum(r-2) forces sum(r-1) — and
+      // every individual label — unchanged through both rounds: the
+      // same fixpoint, half the driver round-trips (each lblSum is a
+      // blocking 1-row action serialized between rounds; the eager
+      // checkpoint above is the only other per-round action). Near the
+      // budget edge check EVERY round (>= maxIters - 1, not just the
+      // last): a lone gap-2 check at an even maxIters compares r to r-2
+      // and reads "converged exactly at round maxIters-1" as a sum
+      // change — a false NotConverged on a graph that did converge.
+      if (iters % 2 == 0 || iters >= maxIters - 1) {
         val nextSum = lblSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum

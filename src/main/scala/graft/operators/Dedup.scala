@@ -98,11 +98,8 @@ object Dedup extends QueryModule {
     * must release the INNER persists (the shingle base below) too, not
     * just the memoized outer frames.
     */
-  private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-  private def tracked(df: DataFrame): DataFrame = {
-    persisted.add(df); df
-  }
+  private val persisted = new graft.PersistRegistry
+  private def tracked(df: DataFrame): DataFrame = persisted.track(df)
   private def sigTable(s: SparkSession, d: String): DataFrame =
     sigCache.computeIfAbsent((s, d), _ => {
       // persist the shingle arrays FIRST: both the md5 explode pipeline
@@ -455,7 +452,6 @@ object Dedup extends QueryModule {
       c.values.forEach(df => { df.unpersist(false); () })
       c.clear()
     }
-    persisted.forEach(df => { df.unpersist(false); () })
     persisted.clear()
   }
 

@@ -282,13 +282,23 @@ object Multimodal extends QueryModule {
       .withColumn("frame_idx", col("frame_idx").cast("long"))
       .orderBy("media_id", "frame_idx")
 
+  /** DuckDB CTE `tt`: `documents.text`, guarded by the ASCII
+    * precondition every byte-level mm oracle assumes (byte == codepoint,
+    * so DuckDB's char functions see the same values Spark's UTF-8 bytes
+    * carry). The guard raises via error() where the assumption is MADE,
+    * so a future non-ASCII fixture fails the derivation loudly instead
+    * of silently invalidating it (round-4 advice).
+    */
+  private def asciiTextCte(why: String): String =
+    s"""tt AS (
+       |  SELECT doc_id, CASE WHEN octet_length(encode(text)) = length(text)
+       |    THEN text
+       |    ELSE error('$why')
+       |    END AS text
+       |  FROM documents)""".stripMargin
+
   private val mmFrameSampleOracle =
-    """WITH tt AS (
-      |  SELECT doc_id, CASE WHEN octet_length(encode(text)) = length(text)
-      |    THEN text
-      |    ELSE error('non-ASCII text: byte frames differ from char frames')
-      |    END AS text
-      |  FROM documents)
+    s"""WITH ${asciiTextCte("non-ASCII text: byte frames differ from char frames")}
       |SELECT media_id, frame_idx, frame_md5 FROM (
       |  SELECT doc_id AS media_id,
       |    unnest(range(greatest((length(text)-1) // 256, 0) + 1)) AS frame_idx,
@@ -320,12 +330,7 @@ object Multimodal extends QueryModule {
     * non-ASCII fixture instead of silently deriving wrong features.
     */
   private val ppmDecodeCte =
-    """tt AS (
-      |  SELECT doc_id, CASE WHEN octet_length(encode(text)) = length(text)
-      |    THEN text
-      |    ELSE error('non-ASCII text invalidates the byte=codepoint oracle derivation')
-      |    END AS text
-      |  FROM documents),
+    s"""${asciiTextCte("non-ASCII text invalidates the byte=codepoint oracle derivation")},
       |f AS (
       |  SELECT doc_id AS media_id, length(text) AS n,
       |    CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0

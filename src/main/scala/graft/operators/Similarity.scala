@@ -43,12 +43,8 @@ object Similarity extends QueryModule {
     * never memoized across calls: a bench retry sweep must re-pay
     * training, not measure a warm cache.
     */
-  private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-  def clearCaches(): Unit = {
-    persisted.forEach(df => { df.unpersist(false); () })
-    persisted.clear()
-  }
+  private val persisted = new graft.PersistRegistry
+  def clearCaches(): Unit = persisted.clear()
   /** Distinguishes each call's codebook plan: without it the
     * CacheManager plan-matches call N's persist to call 1's cached
     * blocks ("already cached" WARN) and a bench retry sweep would
@@ -384,7 +380,7 @@ object Similarity extends QueryModule {
       .withColumn("cnrm", vecNorm(col("cvec")))
       .withColumn("train_run", lit(trainRun.incrementAndGet()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(cent)
+    persisted.track(cent)
     val assign = assignCells(emb, cent)
     val q = emb.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),

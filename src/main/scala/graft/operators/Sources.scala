@@ -32,9 +32,40 @@ object Sources extends QueryModule {
     * still references the files.
     */
   private def scratch(name: String, d: String): String = {
+    scratchReaped
     val pid = ProcessHandle.current().pid()
     val ds = (d.hashCode & 0x7fffffff).toHexString
     s"${System.getProperty("java.io.tmpdir")}/graft_src_$pid/${name}_$ds"
+  }
+
+  /** Reap scratch left by JVMs that died without running their shutdown
+    * hook (OOM-kill, SIGKILL — plausible for Spark under memory
+    * pressure). Every scratch dir is pid-tagged, so a dir whose owning
+    * pid no longer exists is garbage; on the tmpfs stream root those
+    * orphans are pinned RAM that no OS tmp-cleaner ever reclaims. Each
+    * new JVM sweeps once on first scratch use, so a kill leaks only
+    * until the next run. A live unrelated process that recycled the pid
+    * keeps the dir — the first-use rmTree/overwrite semantics of each
+    * path cover that case.
+    */
+  private lazy val scratchReaped: Unit = {
+    def pidOf(dirName: String, prefix: String): Option[Long] = {
+      val digits = dirName.drop(prefix.length).takeWhile(_.isDigit)
+      if (digits.isEmpty) None else Some(digits.toLong)
+    }
+    val self = ProcessHandle.current().pid()
+    val roots = Seq(
+      streamScratchRoot -> Seq("graft_stream_ckpt_", "graft_stream_append_"),
+      System.getProperty("java.io.tmpdir") -> Seq("graft_src_"))
+    for ((root, prefixes) <- roots) {
+      val entries = new java.io.File(root).listFiles()
+      if (entries != null) for (f <- entries; p <- prefixes)
+        if (f.getName.startsWith(p))
+          pidOf(f.getName, p).foreach { pid =>
+            if (pid != self && !ProcessHandle.of(pid).isPresent)
+              graft.Fs.rmTree(f)
+          }
+    }
   }
 
   // ---- CSV round-trip -------------------------------------------------
@@ -178,7 +209,7 @@ object Sources extends QueryModule {
     * one row per (hour, type)).
     */
   private def streamTumbling(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
+    withStreamFanout(s) {
       val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -191,13 +222,13 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("bucket", "event_type")
-    } }
+    }
 
   /** Sliding windows over the replayed stream (1 hour every 30 min) —
     * each event lands in two overlapping window states.
     */
   private def streamSliding(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
+    withStreamFanout(s) {
       val name = "graft_stream_sliding_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -209,7 +240,7 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("bucket")
-    } }
+    }
 
   /** Stateful streaming ops instantiate one state store per shuffle
     * partition per stateful operator; for the tiny replayed fixture the
@@ -241,6 +272,7 @@ object Sources extends QueryModule {
   }
 
   private lazy val streamCkptBase: String = {
+    scratchReaped
     val base = s"$streamScratchRoot/graft_stream_ckpt_${ProcessHandle.current().pid()}"
     graft.Fs.rmTree(new java.io.File(base))
     // every JVM that touches stream scratch releases it on exit — the
@@ -268,16 +300,25 @@ object Sources extends QueryModule {
     if (mine != null) mine.foreach(graft.Fs.rmTree)
   }
 
-  /** Shared fixture scope for the replayed streams: reduced fan-out plus
+  /** Shared fixture scope for the replayed streams: reduced fan-out,
     * the tmpfs checkpoint base (each query's unique `queryName` becomes
-    * its subdir under the base, restoring the session conf after).
+    * its subdir under the base, restoring the session conf after), and
+    * — unless `noDataBatch` — no trailing no-data micro-batch: the
+    * complete-mode aggs, dedup, and the INNER join emit everything in
+    * their data batch, so the extra batch only evicted state the
+    * bounded replay is about to discard anyway. The append-mode window
+    * sink is the one query that passes noDataBatch = true: its windows
+    * finalize ON the watermark, which only advances in that batch.
     */
-  private def withStreamFanout[T](s: SparkSession)(f: => T): T =
+  private def withStreamFanout[T](s: SparkSession,
+      noDataBatch: Boolean = false)(f: => T): T =
     graft.Tuning.withShufflePartitions(s, STREAM_FANOUT) {
       val key = "spark.sql.streaming.checkpointLocation"
       val old = s.conf.getOption(key)
       s.conf.set(key, streamCkptBase)
-      try f finally old match {
+      def body: T =
+        if (noDataBatch) f else graft.Tuning.withoutNoDataMicroBatch(s)(f)
+      try body finally old match {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
       }
@@ -311,7 +352,7 @@ object Sources extends QueryModule {
     * DISTINCT oracle matches exactly.
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
+    withStreamFanout(s) {
       val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -321,7 +362,7 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("user_id", "event_type")
-    } }
+    }
 
   private val streamDedupOracle =
     """SELECT DISTINCT user_id, event_type FROM events
@@ -334,7 +375,7 @@ object Sources extends QueryModule {
     * watermark + append so merged sessions finalize past the watermark.
     */
   private def streamSession(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
+    withStreamFanout(s) {
       val name = "graft_stream_session_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -347,7 +388,7 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("user_id", "session_start")
-    } }
+    }
 
   /** Stream-stream inner join: clicks joined to the user's purchases
     * within the following 30 minutes. Both sides are unbounded; the
@@ -360,7 +401,7 @@ object Sources extends QueryModule {
     // INNER join: matches emit in the data batch where both sides are
     // present; the trailing no-data batch only evicts state (an OUTER
     // join would need it to emit its null-padded rows on the watermark)
-    withStreamFanout(s) { graft.Tuning.withoutNoDataMicroBatch(s) {
+    withStreamFanout(s) {
       val name = "graft_stream_join_" + streamSeq.incrementAndGet()
       // ONE source pass, watermarked once, branched per side — round 3
       // built two independent streamEvents scans (the whole events file
@@ -386,7 +427,7 @@ object Sources extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("user_id", "click_s", "purchase_s")
-    } }
+    }
 
   private val streamJoinOracle =
     """SELECT c.user_id, floor(epoch(c.ts))::BIGINT AS click_s,
@@ -407,7 +448,7 @@ object Sources extends QueryModule {
     * microsecond integers.
     */
   private def streamTumblingAppend(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    withStreamFanout(s, noDataBatch = true) {
       // unique per (process, dataset, run) like scratch(): a bare
       // restarting counter would let two JVMs sharing a tmpdir rmTree
       // each other's live checkpoint/output mid-run

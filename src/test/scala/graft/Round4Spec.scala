@@ -29,6 +29,19 @@ class Round4Spec extends SparkSpec {
     assert(got == (0L until n).map(i => i -> 0L).toMap)
   }
 
+  test("even maxIters converges on a graph that settles in its last round") {
+    // one edge: round 1 relabels node 1, round 2 changes nothing. With
+    // maxIters = 2 a lone gap-2 check at the budget edge would compare
+    // round 2 against round 0 — a sum change — and falsely throw
+    // NotConverged on a converged graph; the every-round checks near
+    // the edge (iters >= maxIters - 1) see the round-1/round-2 fixpoint.
+    val nodes = (0L until 2L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val got = operators.ConnectedComponents.labels(nodes, edges, maxIters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("non-convergence throws NotConverged instead of returning labels") {
     val n = 32L
     val nodes = (0L until n).toDF("id")

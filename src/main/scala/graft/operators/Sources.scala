@@ -48,7 +48,9 @@ object Sources extends QueryModule {
     * keeps the dir — the first-use rmTree/overwrite semantics of each
     * path cover that case.
     */
-  private lazy val scratchReaped: Unit = {
+  private lazy val scratchReaped: Unit = reapDeadPidScratch()
+
+  private[operators] def reapDeadPidScratch(): Unit = {
     def pidOf(dirName: String, prefix: String): Option[Long] = {
       val digits = dirName.drop(prefix.length).takeWhile(_.isDigit)
       if (digits.isEmpty) None else Some(digits.toLong)

@@ -57,7 +57,12 @@ object Relational extends QueryModule {
       .agg(
         round(min("c_acctbal"), 2).as("min_bal"),
         round(max("c_acctbal"), 2).as("max_bal"),
-        round(avg("c_acctbal"), 4).as("avg_bal"),
+        // exact DECIMAL sum → one double division: built-in avg()
+        // accumulates doubles in partition order and can drift from
+        // DuckDB's scan-order sum into a different round(…,4) at ties
+        // (the text_quality failure mode); min/max are order-exact
+        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 4).as("avg_bal"),
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
@@ -280,7 +285,7 @@ object Relational extends QueryModule {
       """SELECT c_mktsegment,
         |  round(min(c_acctbal), 2) AS min_bal,
         |  round(max(c_acctbal), 2) AS max_bal,
-        |  round(avg(c_acctbal), 4) AS avg_bal,
+        |  round(sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE / count(*), 4) AS avg_bal,
         |  count(*) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "rel_distinct" ->

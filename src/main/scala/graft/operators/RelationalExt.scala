@@ -125,14 +125,19 @@ object RelationalExt extends QueryModule {
 
   /** RANGE frame over a numeric day index — the rolling time-series
     * aggregate (value-based frame, unlike the ROWS frames elsewhere).
-    * Day index = epoch seconds div 86400, identical in both engines.
+    * Day index = FLOOR(epoch seconds / 86400) via the pmod trick:
+    * DuckDB's `//` floors while Spark's `div` truncates toward zero,
+    * so the bare quotient disagrees on pre-1970 dates (latent with the
+    * 1992+ TPC-H fixture, wrong on principle).
     */
   private def windowRange(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("day")
       .rangeBetween(-30, 0)
     orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
-        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400").as("day"),
+        expr("(CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG)" +
+          " - pmod(CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG), 86400))" +
+          " div 86400").as("day"),
         col("o_totalprice"))
       .withColumn("spend_30d",
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))

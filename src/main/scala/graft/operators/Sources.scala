@@ -286,12 +286,15 @@ object Sources extends QueryModule {
     base
   }
 
-  /** Release this process's stream scratch (checkpoints + append-sink
-    * dirs). Called by Verify/Bench before session stop — same
-    * discipline as the module clearCaches() hooks: on a tmpfs root the
-    * leftovers are RAM, and a long-lived host accumulating one orphan
-    * set per JVM would leak it (the first-use rmTree only covers pid
-    * reuse, not the steady state).
+  /** Release this process's scratch: stream checkpoints, append-sink
+    * dirs, AND the round-trip sink dirs under graft_src_<pid> (a clean
+    * exit must not leave five table copies in tmpdir waiting for some
+    * future JVM's dead-pid reaper). Called by Verify/Bench before
+    * session stop and by the shutdown hook — same discipline as the
+    * module clearCaches() hooks: on a tmpfs root the leftovers are
+    * RAM, and a long-lived host accumulating one orphan set per JVM
+    * would leak it (the first-use rmTree only covers pid reuse, not
+    * the steady state).
     */
   def clearStreamScratch(): Unit = {
     val pid = ProcessHandle.current().pid()
@@ -300,6 +303,8 @@ object Sources extends QueryModule {
     val mine = root.listFiles(
       (_, n) => n.startsWith(s"graft_stream_append_${pid}_"))
     if (mine != null) mine.foreach(graft.Fs.rmTree)
+    graft.Fs.rmTree(new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_src_$pid"))
   }
 
   /** Shared fixture scope for the replayed streams: reduced fan-out,
@@ -335,15 +340,22 @@ object Sources extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
 
   /** events as an unbounded source (same ns→µs ts normalization as the
-    * batch loader).
+    * batch loader: FLOOR division via pmod — `div` truncates toward
+    * zero, which lands pre-epoch nanos 1 µs late and disagrees with
+    * the batch oracle on boundary timestamps; Tables.scala documents
+    * the contract).
     */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    // same defensive conf as Tables.events: without it the NANOS
+    // column makes the schema probe itself throw on a driver session
+    // whose builder omitted the flag
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventsSchema.computeIfAbsent(
       d, dir => s.read.parquet(s"$dir/events.parquet").schema)
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     else raw
   }
 

@@ -22,20 +22,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** ns→µs normalization for `events.ts`: FLOOR division via pmod —
+    * `div` truncates toward zero, which would land pre-epoch nanos 1 µs
+    * late; double division would lose precision at 1.7e18 ns. ONE
+    * definition shared by the batch loader below and the streaming
+    * source (Sources.streamEvents), so the two paths cannot drift;
+    * floor semantics pinned by TsNormalizationSpec.
+    */
+  private[graft] val nsToMicrosTs =
+    "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
     * with `spark.sql.legacy.parquet.nanosAsLong=true` — set here on the
     * session (it is runtime-settable) so the registry is self-contained
-    * for a driver whose own session builder omits it. Convert the nanos
-    * long to TimestampType (µs) with FLOOR division via pmod — `div`
-    * truncates toward zero, which would land pre-epoch nanos 1 µs late;
-    * double division would lose precision at 1.7e18 ns.
+    * for a driver whose own session builder omits it.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts",
-        expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      df.withColumn("ts", expr(nsToMicrosTs))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

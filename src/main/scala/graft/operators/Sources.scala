@@ -339,11 +339,10 @@ object Sources extends QueryModule {
   private val eventsSchema =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
 
-  /** events as an unbounded source (same ns→µs ts normalization as the
-    * batch loader: FLOOR division via pmod — `div` truncates toward
-    * zero, which lands pre-epoch nanos 1 µs late and disagrees with
-    * the batch oracle on boundary timestamps; Tables.scala documents
-    * the contract).
+  /** events as an unbounded source — the SAME ns→µs normalization
+    * expression as the batch loader (`Tables.nsToMicrosTs`), so the
+    * stream and its batch oracle cannot disagree on boundary
+    * timestamps.
     */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     // same defensive conf as Tables.events: without it the NANOS
@@ -355,7 +354,7 @@ object Sources extends QueryModule {
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      raw.withColumn("ts", expr(Tables.nsToMicrosTs))
     else raw
   }
 

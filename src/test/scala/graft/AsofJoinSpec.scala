@@ -7,10 +7,18 @@ import org.apache.spark.sql.functions._
   * the event time, events with no prior order keep nulls on every order
   * column, and the match is monotone per user as event time advances.
   */
-class AsofJoinSpec extends SparkSpec {
+class AsofJoinSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val out =
     operators.RelationalExt.queries("rel_asof_join")(spark, sfDir).cache()
+
+  override protected def afterAll(): Unit = {
+    // the shared JVM-wide session outlives this suite — release the
+    // suite-scoped cache instead of pinning it for every later suite
+    out.unpersist()
+    super.afterAll()
+  }
 
   test("matched order day never exceeds the event time") {
     val bad = out.filter(col("last_order_day").isNotNull &&

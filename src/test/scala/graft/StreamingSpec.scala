@@ -14,13 +14,20 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
-  test("tumbling watermark aggregation over a memory stream") {
+  /** Drive tumblingCounts over the canonical 3-event fixture and assert
+    * the EXACT emitted row sequence. Row-level on purpose: collapsing
+    * to a Map would silently absorb a duplicate window emission — the
+    * exactly-once failure mode a streaming test exists to catch. Shared
+    * by the heap-provider and RocksDB-provider tests so both providers
+    * are held to the identical fixture and assertion.
+    */
+  private def assertTumblingFixture(queryName: String): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
     val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
     val q = Streams.tumblingCounts(events).writeStream
-      .outputMode("append").format("memory").queryName("tumble_out").start()
+      .outputMode("append").format("memory").queryName(queryName).start()
     try {
       input.addData(
         (ts(5), 1L, "click", 1.0), (ts(10), 2L, "click", 2.0),
@@ -30,10 +37,15 @@ class StreamingSpec extends SparkSpec {
       // watermark far ahead to close the 10:00 window
       input.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 9L, "late", 0.0))
       q.processAllAvailable()
-      val out = spark.table("tumble_out")
-        .select("event_type", "n").as[(String, Long)].collect().toMap
-      assert(out == Map("click" -> 2L, "view" -> 1L))
+      val rows = spark.table(queryName)
+        .select("event_type", "n").as[(String, Long)].collect()
+        .sortBy(_._1).toSeq
+      assert(rows == Seq("click" -> 2L, "view" -> 1L))
     } finally q.stop()
+  }
+
+  test("tumbling watermark aggregation over a memory stream") {
+    assertTumblingFixture("tumble_out")
   }
 
   test("streaming dedup drops exact (key, ts) redeliveries, keeps later same-key events") {
@@ -50,7 +62,11 @@ class StreamingSpec extends SparkSpec {
         (ts(9), 1L, "click", 1.0), // same key, later ts: NOT a duplicate
         (ts(2), 1L, "view", 1.0))
       q.processAllAvailable()
-      assert(spark.table("dedup_out").count() == 3)
+      // assert WHICH rows survived, not just how many — a dedup that
+      // kept the wrong occurrence would still count 3
+      val kept = spark.table("dedup_out").select("ts", "event_type")
+        .as[(Timestamp, String)].collect().sortBy(_._1.getTime).toSeq
+      assert(kept == Seq(ts(1) -> "click", ts(2) -> "view", ts(9) -> "click"))
     } finally q.stop()
   }
 
@@ -68,7 +84,11 @@ class StreamingSpec extends SparkSpec {
         (ts(9), 1L, "click", 1.0), // same key, later ts: still dropped
         (ts(2), 1L, "view", 1.0))
       q.processAllAvailable()
-      assert(spark.table("dedup_exact_out").count() == 2)
+      // the kept ts values prove FIRST-occurrence semantics: keeping
+      // the ts(9) click instead would also count 2
+      val kept = spark.table("dedup_exact_out").select("ts", "event_type")
+        .as[(Timestamp, String)].collect().sortBy(_._1.getTime).toSeq
+      assert(kept == Seq(ts(1) -> "click", ts(2) -> "view"))
     } finally q.stop()
   }
 
@@ -90,7 +110,9 @@ class StreamingSpec extends SparkSpec {
       .start()
     try {
       val deadline = System.currentTimeMillis() + 30000L
-      while (System.currentTimeMillis() < deadline &&
+      // q.isActive in the loop condition: a query that dies on its
+      // first micro-batch must fail fast, not spin the full deadline
+      while (System.currentTimeMillis() < deadline && q.isActive &&
           q.recentProgress.count(_.numInputRows > 0) < 2)
         Thread.sleep(100)
       assert(q.isActive, s"rate query died: ${q.exception}")
@@ -200,29 +222,15 @@ class StreamingSpec extends SparkSpec {
     // this proves the engine's stateful queries are provider-agnostic:
     // the SAME tumblingCounts plan, only the session conf differs — at
     // cluster scale the provider is a config flip, not a rewrite.
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val input = MemoryStream[(Timestamp, Long, String, Double)]
-      val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
-      val q = Streams.tumblingCounts(events).writeStream
-        .outputMode("append").format("memory").queryName("rocksdb_out").start()
-      try {
-        input.addData(
-          (ts(5), 1L, "click", 1.0), (ts(10), 2L, "click", 2.0),
-          (ts(40), 1L, "view", 3.0))
-        q.processAllAvailable()
-        input.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 9L, "late", 0.0))
-        q.processAllAvailable()
-        val out = spark.table("rocksdb_out")
-          .select("event_type", "n").as[(String, Long)].collect().toMap
-        // identical to the heap-provider result in the first test
-        assert(out == Map("click" -> 2L, "view" -> 1L))
-      } finally q.stop()
+      // the SAME fixture and assertion as the heap-provider test —
+      // shared runner, so the provider-agnostic claim is always tested
+      // against an identical workload
+      assertTumblingFixture("rocksdb_out")
     } finally old match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

@@ -9,7 +9,8 @@ import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
   * double accumulation) — that equivalence is what lets the Similarity
   * oracles stay on DuckDB's list_dot_product.
   */
-class VectorExpressionSpec extends SparkSpec {
+class VectorExpressionSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val emb =
     Tables.embeddings(spark, sfDir).limit(50).cache()
@@ -60,13 +61,35 @@ class VectorExpressionSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
-  test("codegen and interpreted paths agree") {
-    // Force the interpreted path through a filter that defeats codegen
-    // fallback comparison is implicit: eval() is exercised by the
-    // constant-folding of foldable children.
-    val Row(d: Double) = spark.sql(
-      "SELECT CAST(array(1.0, 2.0, 3.0) AS ARRAY<DOUBLE>) AS a")
-      .select(vecDot(col("a"), col("a"))).head()
-    assert(d === 14.0)
+  test("codegen and interpreted paths agree on real embeddings") {
+    // Codegen path: the expression compiled inside WholeStageCodegen
+    // over the non-foldable parquet column. Interpreted path: direct
+    // eval() on the expression node over the SAME vectors — no codegen
+    // context anywhere in that evaluation. A doGenCode/nullSafeEval
+    // divergence in DotProductD fails here vector by vector.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.DotProductD
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val viaCodegen = emb
+      .select(col("vec_id").cast("long"),
+        vecDot(col("embedding"), col("embedding")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    assert(vecs.nonEmpty)
+    vecs.foreach { case (id, arr) =>
+      val lit = Literal.create(arr.toSeq, ArrayType(FloatType))
+      val interp = DotProductD(lit, lit).eval(null).asInstanceOf[Double]
+      assert(interp == viaCodegen(id),
+        s"vec $id: interpreted $interp vs codegen ${viaCodegen(id)}")
+    }
+  }
+
+  override protected def afterAll(): Unit = {
+    // the shared JVM-wide session outlives this suite — release the
+    // suite-scoped cache instead of pinning it for every later suite
+    emb.unpersist()
+    super.afterAll()
   }
 }

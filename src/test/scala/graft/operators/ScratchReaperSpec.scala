@@ -30,7 +30,11 @@ class ScratchReaperSpec extends AnyFunSuite {
       new java.io.File(s"$tmp/graft_src_nopid"))
     (dead ++ kept).foreach { d =>
       assert(d.mkdirs() || d.isDirectory, s"fixture dir $d")
-      assert(new java.io.File(d, "marker").createNewFile() || true)
+      // a real file inside each dir so the reap exercises the
+      // recursive delete, not just an empty-dir rmdir
+      val marker = new java.io.File(d, "marker")
+      marker.createNewFile()
+      assert(marker.exists(), s"fixture marker in $d")
     }
     try {
       Sources.reapDeadPidScratch()

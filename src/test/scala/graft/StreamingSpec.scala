@@ -92,6 +92,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup suppresses near duplicates and evicts old state") {
+    // the third dedup discipline (dropDuplicatesWithinWatermark): a key
+    // is suppressed only while its first occurrence is younger than the
+    // watermark delay — so the SAME key must pass again after the
+    // watermark evicts its state, which is exactly what distinguishes
+    // this from dedupStreamExact (and what bounds state at 100 TB/day)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.dedupStreamWithinWatermark(events, Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm_out").start()
+    try {
+      input.addData(
+        (ts(1), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0), // redelivery
+        (ts(3), 1L, "click", 1.0)) // same key within the delay: suppressed
+      q.processAllAvailable()
+      // another user's far-future event pushes the watermark past
+      // user 1's first occurrence + 2h delay, evicting its state
+      val day2 = Timestamp.valueOf("2024-01-02 10:00:00")
+      input.addData((day2, 2L, "view", 0.0))
+      q.processAllAvailable()
+      // same key again, after eviction: passes (exact dedup would drop it)
+      val day2b = Timestamp.valueOf("2024-01-02 10:30:00")
+      input.addData((day2b, 1L, "click", 1.0))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_wm_out").select("ts", "user_id")
+        .as[(Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      assert(kept == Seq(ts(1) -> 1L, day2 -> 2L, day2b -> 1L))
+    } finally q.stop()
+  }
+
   test("unbounded rate source runs under a processing-time trigger") {
     // The one streaming shape the oracle-checked replay queries never
     // exercise: a genuinely unbounded source (no AvailableNow), a

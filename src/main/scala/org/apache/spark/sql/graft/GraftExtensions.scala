@@ -18,14 +18,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
+        // AnalysisException (WRONG_NUM_ARGS), not a bare require: the
+        // builder runs inside the analyzer, and a wrong arity is a user
+        // error that must carry the standard error class + position the
+        // way built-in functions report it
+        if (children.length != 2)
+          throw org.apache.spark.sql.errors.QueryCompilationErrors
+            .wrongNumArgsError("vec_dot", Seq(2), children.length)
         DotProductD(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("min_gram_hash"),
       new ExpressionInfo(classOf[MinGramHash].getName, "min_gram_hash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 1, "min_gram_hash(s) takes exactly 1 argument")
+        if (children.length != 1)
+          throw org.apache.spark.sql.errors.QueryCompilationErrors
+            .wrongNumArgsError("min_gram_hash", Seq(1), children.length)
         MinGramHash(children.head)
       }))
   }

@@ -24,8 +24,12 @@ import org.apache.spark.sql.types._
   * Semantics (chosen to agree bit-for-bit with DuckDB's
   * `list_dot_product` on the oracle side): elements are upcast to double
   * and accumulated strictly left-to-right; arrays of unequal length use
-  * the common prefix; array elements must be non-null (embedding vectors
-  * — enforced by the fixtures' schema).
+  * the common prefix; a NULL ELEMENT in the common prefix makes the
+  * result NULL — the same propagation as the interpreted
+  * `aggregate(zip_with(...))` formulation this expression replaces.
+  * (`vec_dot` is registered for arbitrary SQL, so it cannot lean on the
+  * fixtures' non-null schema: reading a null slot as 0.0 would be
+  * silently wrong data with no diagnostic.)
   */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -35,21 +39,26 @@ case class DotProductD(left: Expression, right: Expression)
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  // element types are fixed after analysis — resolve once, not per row
+  // on the interpreted path
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val n = math.min(x.numElements(), y.numElements())
-    val (fx, fy) = (elemType(left) == FloatType, elemType(right) == FloatType)
     var sum = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       sum += xv * yv
       i += 1
     }
@@ -59,14 +68,15 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (i, n, sum) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("sum"))
-      def get(arr: String, e: Expression): String =
-        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+      def get(arr: String, isFloat: Boolean): String =
+        if (isFloat) s"(double) $arr.getFloat($i)"
         else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += ${get(a, left)} * ${get(b, right)};
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $sum += ${get(a, leftFloat)} * ${get(b, rightFloat)};
          |}
          |${ev.value} = $sum;
        """.stripMargin
@@ -86,8 +96,4 @@ object VectorColumns {
 
   /** L2 norm of a float/double array column, as double. */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
-
-  /** cosine(a,b) given precomputed norms (one norm per row, not per pair). */
-  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    vecDot(a, b) / (na * nb)
 }

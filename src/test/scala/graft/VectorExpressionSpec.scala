@@ -53,6 +53,36 @@ class VectorExpressionSpec extends SparkSpec
     assert(d === 11.0)
   }
 
+  test("a null ELEMENT in the common prefix yields NULL, matching the HOF form") {
+    // vec_dot is public SQL — reading a null slot as 0.0 would be
+    // silently wrong data; the contract is the HOF formulation's null
+    // propagation. Literal arrays constant-fold (exercising eval), so
+    // the codegen null branch needs a non-foldable DataFrame column.
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)),
+        |               array(2.0D, 3.0D)) AS d,
+        |       vec_dot(array(1.0D, 2.0D, CAST(NULL AS DOUBLE)),
+        |               array(9.0D)) AS prefix_ok""".stripMargin).head()
+    assert(r.isNullAt(0), "null element inside the common prefix (eval path)")
+    assert(r.getDouble(1) === 9.0, "null element OUTSIDE the common prefix is never read")
+    val df = Seq(
+        (Seq(Option(1.0), None), Seq(Option(2.0), Option(3.0))),
+        (Seq(Option(1.0), Option(2.0)), Seq(Option(4.0), Option(0.5))))
+      .toDF("a", "b")
+      .select(vecDot(col("a"), col("b")).as("d"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0), "null element inside the common prefix (codegen path)")
+    assert(rows(1).getDouble(0) === 5.0, "null-free row unaffected")
+  }
+
+  test("wrong arity raises an AnalysisException, not an internal error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0D))").head()
+    }
+    assert(e.getMessage.contains("vec_dot"))
+  }
+
   test("vecNorm equals sqrt of self-dot") {
     val bad = emb.select(
         vecNorm(col("embedding")).as("n"),

@@ -72,6 +72,14 @@ object Bench {
     // the round-4 discipline). The driver never sets it → full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would otherwise yield an EMPTY run that still prints
+    // a well-formed zero-total success line — the opposite of what a
+    // timing-pinning re-measurement wants
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()

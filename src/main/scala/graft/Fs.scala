@@ -5,9 +5,15 @@ package graft
   * data paths go through Spark's committers, never through this.
   */
 object Fs {
-  /** Recursive delete; missing paths are fine. */
+  /** Recursive delete; missing paths are fine. A symlink to a directory
+    * is deleted as a LINK, never followed: `File.isDirectory` resolves
+    * links, so recursing would delete the target's contents — and the
+    * scratch roots this sweeps (`/tmp`, tmpfs) are world-writable, where
+    * a planted symlink must not become an arbitrary-tree delete.
+    */
   def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).foreach(_.foreach(rmTree))
     f.delete(); ()
   }
 }

@@ -32,8 +32,10 @@ object Tuning {
     * emitted in the batch it arrives; the extra batch only evicts
     * state) — pay that batch's full state-store commit cycle for
     * nothing, and at fixture scale the commit cycle IS the cost.
-    * Queries that finalize on the watermark (append-mode windows,
-    * session merge, stream-stream join) MUST keep it.
+    * Queries that finalize on the watermark (append-mode windows and
+    * session merges, OUTER stream-stream joins emitting null pads)
+    * MUST keep it; an INNER stream-stream join may skip it because
+    * matches emit in the data batch where both sides are present.
     */
   def withoutNoDataMicroBatch[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"

@@ -44,27 +44,58 @@ object Sources extends QueryModule {
     * pid no longer exists is garbage; on the tmpfs stream root those
     * orphans are pinned RAM that no OS tmp-cleaner ever reclaims. Each
     * new JVM sweeps once on first scratch use, so a kill leaks only
-    * until the next run. A live unrelated process that recycled the pid
-    * keeps the dir — the first-use rmTree/overwrite semantics of each
-    * path cover that case.
+    * until the next run that finds the dir quiet (below). A live
+    * unrelated process that recycled the pid keeps the dir — the
+    * first-use rmTree/overwrite semantics of each path cover that case.
+    *
+    * Two guards beyond the pid check, because this DELETES trees in
+    * world-writable roots:
+    *  - pid-absence alone is unsound when the scratch root is a volume
+    *    shared across pid namespaces (two containers mounting one /tmp:
+    *    each sees only its own pids, so each would reap the other's
+    *    LIVE run). A live run keeps writing, so we additionally require
+    *    the whole tree untouched for REAP_QUIET_MS — dead scratch ages
+    *    into eligibility, live scratch never does.
+    *  - a planted symlink named like graft scratch must not become an
+    *    arbitrary-tree delete: symlinked entries are skipped outright
+    *    (and Fs.rmTree independently refuses to follow links).
     */
   private lazy val scratchReaped: Unit = reapDeadPidScratch()
+
+  /** Tree must be this quiet (newest mtime anywhere) before a dead-pid
+    * dir is reaped. Costs nothing for truly dead scratch — it just waits
+    * out the hour — and makes the cross-namespace false positive need a
+    * run that wrote NOTHING for an hour mid-query.
+    */
+  private[operators] val REAP_QUIET_MS: Long = 60L * 60 * 1000
 
   private[operators] def reapDeadPidScratch(): Unit = {
     def pidOf(dirName: String, prefix: String): Option[Long] = {
       val digits = dirName.drop(prefix.length).takeWhile(_.isDigit)
       if (digits.isEmpty) None else Some(digits.toLong)
     }
+    def isLink(f: java.io.File): Boolean =
+      java.nio.file.Files.isSymbolicLink(f.toPath)
+    def newestMtime(f: java.io.File): Long = {
+      val own = f.lastModified
+      if (f.isDirectory && !isLink(f))
+        Option(f.listFiles)
+          .map(_.foldLeft(own)((m, c) => math.max(m, newestMtime(c))))
+          .getOrElse(own)
+      else own
+    }
     val self = ProcessHandle.current().pid()
+    val cutoff = System.currentTimeMillis() - REAP_QUIET_MS
     val roots = Seq(
       streamScratchRoot -> Seq("graft_stream_ckpt_", "graft_stream_append_"),
       System.getProperty("java.io.tmpdir") -> Seq("graft_src_"))
     for ((root, prefixes) <- roots) {
       val entries = new java.io.File(root).listFiles()
       if (entries != null) for (f <- entries; p <- prefixes)
-        if (f.getName.startsWith(p))
+        if (f.getName.startsWith(p) && !isLink(f))
           pidOf(f.getName, p).foreach { pid =>
-            if (pid != self && !ProcessHandle.of(pid).isPresent)
+            if (pid != self && !ProcessHandle.of(pid).isPresent &&
+                newestMtime(f) < cutoff)
               graft.Fs.rmTree(f)
           }
     }
@@ -211,7 +242,9 @@ object Sources extends QueryModule {
     * one row per (hour, type)).
     */
   private def streamTumbling(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    // complete mode re-emits full state every data batch — nothing
+    // waits on the watermark, so the trailing batch is pure overhead
+    withStreamFanout(s, skipNoDataBatch = true) {
       val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -230,7 +263,8 @@ object Sources extends QueryModule {
     * each event lands in two overlapping window states.
     */
   private def streamSliding(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    // complete mode: full state emits in the data batch (as tumbling)
+    withStreamFanout(s, skipNoDataBatch = true) {
       val name = "graft_stream_sliding_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -307,24 +341,28 @@ object Sources extends QueryModule {
       s"${System.getProperty("java.io.tmpdir")}/graft_src_$pid"))
   }
 
-  /** Shared fixture scope for the replayed streams: reduced fan-out,
+  /** Shared fixture scope for the replayed streams: reduced fan-out and
     * the tmpfs checkpoint base (each query's unique `queryName` becomes
-    * its subdir under the base, restoring the session conf after), and
-    * — unless `noDataBatch` — no trailing no-data micro-batch: the
-    * complete-mode aggs, dedup, and the INNER join emit everything in
-    * their data batch, so the extra batch only evicted state the
-    * bounded replay is about to discard anyway. The append-mode window
-    * sink is the one query that passes noDataBatch = true: its windows
-    * finalize ON the watermark, which only advances in that batch.
+    * its subdir under the base, restoring the session conf after).
+    *
+    * The trailing no-data micro-batch stays ON by default — it is what
+    * lets watermark-finalized results (append-mode windows, merged
+    * sessions, outer-join null pads) actually emit, so skipping it for
+    * a query that needs it silently TRUNCATES output with no error.
+    * `skipNoDataBatch = true` is a per-query opt-out, valid only with
+    * an argument for why every row is emitted in the data batch itself
+    * (complete-mode aggs, pass-through dedup, the INNER interval join);
+    * for those the extra batch only evicts state the bounded replay is
+    * about to discard, so skipping it is pure fixture-floor savings.
     */
   private def withStreamFanout[T](s: SparkSession,
-      noDataBatch: Boolean = false)(f: => T): T =
+      skipNoDataBatch: Boolean = false)(f: => T): T =
     graft.Tuning.withShufflePartitions(s, STREAM_FANOUT) {
       val key = "spark.sql.streaming.checkpointLocation"
       val old = s.conf.getOption(key)
       s.conf.set(key, streamCkptBase)
       def body: T =
-        if (noDataBatch) f else graft.Tuning.withoutNoDataMicroBatch(s)(f)
+        if (skipNoDataBatch) graft.Tuning.withoutNoDataMicroBatch(s)(f) else f
       try body finally old match {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
@@ -365,7 +403,9 @@ object Sources extends QueryModule {
     * DISTINCT oracle matches exactly.
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    // first occurrences pass through IN the data batch; the trailing
+    // batch would only evict state the bounded replay discards anyway
+    withStreamFanout(s, skipNoDataBatch = true) {
       val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -388,7 +428,9 @@ object Sources extends QueryModule {
     * watermark + append so merged sessions finalize past the watermark.
     */
   private def streamSession(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s) {
+    // complete mode: merged sessions re-emit fully every data batch
+    // (append mode would need the no-data batch to finalize them)
+    withStreamFanout(s, skipNoDataBatch = true) {
       val name = "graft_stream_session_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -414,7 +456,7 @@ object Sources extends QueryModule {
     // INNER join: matches emit in the data batch where both sides are
     // present; the trailing no-data batch only evicts state (an OUTER
     // join would need it to emit its null-padded rows on the watermark)
-    withStreamFanout(s) {
+    withStreamFanout(s, skipNoDataBatch = true) {
       val name = "graft_stream_join_" + streamSeq.incrementAndGet()
       // ONE source pass, watermarked once, branched per side — round 3
       // built two independent streamEvents scans (the whole events file
@@ -461,7 +503,7 @@ object Sources extends QueryModule {
     * microsecond integers.
     */
   private def streamTumblingAppend(s: SparkSession, d: String): DataFrame =
-    withStreamFanout(s, noDataBatch = true) {
+    withStreamFanout(s) {
       // unique per (process, dataset, run) like scratch(): a bare
       // restarting counter would let two JVMs sharing a tmpdir rmTree
       // each other's live checkpoint/output mid-run
@@ -488,16 +530,9 @@ object Sources extends QueryModule {
       // watermark commits ZERO files (just _spark_metadata), and a
       // schema-inferring read would throw instead of returning the empty
       // frame the oracle computes for that input
-      val outSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("bucket",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("value_sum",
-          org.apache.spark.sql.types.DoubleType)))
-      s.read.schema(outSchema).parquet(s"$base/out")
+      s.read
+        .schema("bucket BIGINT, event_type STRING, n BIGINT, value_sum DOUBLE")
+        .parquet(s"$base/out")
         .orderBy("bucket", "event_type")
     }
 

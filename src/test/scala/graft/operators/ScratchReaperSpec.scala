@@ -15,7 +15,26 @@ class ScratchReaperSpec extends AnyFunSuite {
   // impossible, and the assertion below fails loudly if it ever does
   private val deadPid = 4194303L
 
-  test("reaper removes dead-pid dirs, keeps live-pid and pid-less names") {
+  /** Backdate a tree past the quiet window: eligibility requires the
+    * NEWEST mtime anywhere in the tree to be old, so every entry must
+    * be pushed back, not just the root.
+    */
+  private def backdate(f: java.io.File): Unit = {
+    val old = System.currentTimeMillis() - Sources.REAP_QUIET_MS - 60000
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(backdate))
+    assert(f.setLastModified(old), s"backdate $f")
+  }
+
+  private def mkFixture(d: java.io.File): Unit = {
+    assert(d.mkdirs() || d.isDirectory, s"fixture dir $d")
+    // a real file inside each dir so the reap exercises the
+    // recursive delete, not just an empty-dir rmdir
+    val marker = new java.io.File(d, "marker")
+    marker.createNewFile()
+    assert(marker.exists(), s"fixture marker in $d")
+  }
+
+  test("reaper removes quiet dead-pid dirs, keeps live-pid and pid-less names") {
     assert(!ProcessHandle.of(deadPid).isPresent, "sentinel pid is alive")
     val self = ProcessHandle.current().pid()
     val tmp = System.getProperty("java.io.tmpdir")
@@ -28,18 +47,49 @@ class ScratchReaperSpec extends AnyFunSuite {
     val kept = Seq(
       new java.io.File(s"$tmp/graft_src_${self}_reapertest"),
       new java.io.File(s"$tmp/graft_src_nopid"))
-    (dead ++ kept).foreach { d =>
-      assert(d.mkdirs() || d.isDirectory, s"fixture dir $d")
-      // a real file inside each dir so the reap exercises the
-      // recursive delete, not just an empty-dir rmdir
-      val marker = new java.io.File(d, "marker")
-      marker.createNewFile()
-      assert(marker.exists(), s"fixture marker in $d")
-    }
+    (dead ++ kept).foreach(mkFixture)
+    (dead ++ kept).foreach(backdate)
     try {
       Sources.reapDeadPidScratch()
       dead.foreach(d => assert(!d.exists(), s"$d should be reaped"))
       kept.foreach(d => assert(d.exists(), s"$d must survive"))
     } finally (dead ++ kept).foreach(graft.Fs.rmTree)
+  }
+
+  test("reaper keeps a RECENT dead-pid dir (cross-namespace quiet guard)") {
+    assert(!ProcessHandle.of(deadPid).isPresent, "sentinel pid is alive")
+    val tmp = System.getProperty("java.io.tmpdir")
+    // fresh mtime = a run in another pid namespace could still be
+    // writing it; only an hour of silence makes it provably dead
+    val fresh = new java.io.File(s"$tmp/graft_src_$deadPid")
+    mkFixture(fresh)
+    try {
+      Sources.reapDeadPidScratch()
+      assert(fresh.exists(), "recent dead-pid dir must survive the sweep")
+    } finally graft.Fs.rmTree(fresh)
+  }
+
+  test("reaper and rmTree never follow a planted symlink") {
+    assert(!ProcessHandle.of(deadPid).isPresent, "sentinel pid is alive")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val victim = new java.io.File(s"$tmp/graft_reapertest_victim")
+    mkFixture(victim)
+    val link = new java.io.File(s"$tmp/graft_src_${deadPid - 1}")
+    java.nio.file.Files.deleteIfExists(link.toPath)
+    java.nio.file.Files.createSymbolicLink(link.toPath, victim.toPath)
+    backdate(victim) // eligible by age+pid — only the link guards apply
+    try {
+      Sources.reapDeadPidScratch()
+      assert(new java.io.File(victim, "marker").exists(),
+        "reaper must not delete through a symlink")
+      // rmTree on the link itself removes the LINK, not the target
+      graft.Fs.rmTree(link)
+      assert(!java.nio.file.Files.isSymbolicLink(link.toPath), "link removed")
+      assert(new java.io.File(victim, "marker").exists(),
+        "rmTree must delete a dir symlink as a link")
+    } finally {
+      java.nio.file.Files.deleteIfExists(link.toPath)
+      graft.Fs.rmTree(victim)
+    }
   }
 }

@@ -9,6 +9,11 @@ object Verify {
     // Optional extra args: restrict to named queries (local iteration only;
     // the driver always passes exactly two args → full run).
     val only: Set[String] = args.drop(2).toSet
+    // same guard as Bench's SPARK_GRAFT_ONLY: a typo'd name would verify
+    // ZERO queries, still write oracle_sql.json, and exit 0 — and stale
+    // result dirs for the real name would pass the downstream compare
+    require(only.subsetOf(SparkEntry.queries.keySet),
+      s"query names not in SparkEntry.queries: ${only.diff(SparkEntry.queries.keySet).toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -69,10 +69,15 @@ object Sources extends QueryModule {
     */
   private[operators] val REAP_QUIET_MS: Long = 60L * 60 * 1000
 
-  private[operators] def reapDeadPidScratch(): Unit = {
+  private[operators] def reapDeadPidScratch(): Unit = try {
     def pidOf(dirName: String, prefix: String): Option[Long] = {
       val digits = dirName.drop(prefix.length).takeWhile(_.isDigit)
-      if (digits.isEmpty) None else Some(digits.toLong)
+      // toLongOption, not toLong: a >19-digit numeric name planted in
+      // these world-writable roots must read as "not ours" — an
+      // unguarded parse would fail the lazy initializer, and a failed
+      // lazy is RE-RUN (and re-thrown) on every access, bricking every
+      // scratch-using query in every JVM until the dir is hand-removed
+      if (digits.isEmpty) None else digits.toLongOption
     }
     def isLink(f: java.io.File): Boolean =
       java.nio.file.Files.isSymbolicLink(f.toPath)
@@ -99,6 +104,11 @@ object Sources extends QueryModule {
               graft.Fs.rmTree(f)
           }
     }
+  } catch {
+    // best-effort janitor: anything unexpected in these world-writable
+    // roots (races, permissions) skips the sweep, never the queries
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] dead-pid scratch sweep skipped: $e")
   }
 
   // ---- CSV round-trip -------------------------------------------------
@@ -332,7 +342,12 @@ object Sources extends QueryModule {
     */
   def clearStreamScratch(): Unit = {
     val pid = ProcessHandle.current().pid()
-    graft.Fs.rmTree(new java.io.File(streamCkptBase))
+    // path derived from the pid, NOT via the streamCkptBase lazy val:
+    // cleanup of a run that never touched a stream must not force that
+    // initializer (dead-pid sweep, first-use rmTree, shutdown hook)
+    // just to delete a dir that may not exist
+    graft.Fs.rmTree(new java.io.File(
+      s"$streamScratchRoot/graft_stream_ckpt_$pid"))
     val root = new java.io.File(streamScratchRoot)
     val mine = root.listFiles(
       (_, n) => n.startsWith(s"graft_stream_append_${pid}_"))

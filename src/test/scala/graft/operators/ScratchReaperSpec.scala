@@ -69,6 +69,20 @@ class ScratchReaperSpec extends AnyFunSuite {
     } finally graft.Fs.rmTree(fresh)
   }
 
+  test("reaper treats an over-long numeric name as not-ours, not a crash") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    // 20 digits > Long.MaxValue: an unguarded parse would throw and a
+    // failing (hence re-run) lazy initializer would brick every
+    // scratch-using query until the dir is hand-removed
+    val huge = new java.io.File(s"$tmp/graft_src_99999999999999999999")
+    mkFixture(huge)
+    backdate(huge)
+    try {
+      Sources.reapDeadPidScratch()
+      assert(huge.exists(), "unparseable-pid dir must survive the sweep")
+    } finally graft.Fs.rmTree(huge)
+  }
+
   test("reaper and rmTree never follow a planted symlink") {
     assert(!ProcessHandle.of(deadPid).isPresent, "sentinel pid is alive")
     val tmp = System.getProperty("java.io.tmpdir")

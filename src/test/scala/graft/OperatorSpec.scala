@@ -43,12 +43,16 @@ class OperatorSpec extends SparkSpec {
     assert(l.crossJoin(r).count() == 9)
   }
 
-  test("dedup idempotence on documents") {
+  test("dedup keeps exactly the min-doc_id keeper per distinct text") {
+    // independently recompute the keeper set (doc_id is unique, so a
+    // doc_id-based re-dedup of the output could never fail — the real
+    // invariants are one keeper per distinct text, and it's the MIN one)
     val once = operators.Dedup.queries("dedup_exact_keep")(spark, sfDir)
-    val n1 = once.count()
-    // dedup of an already-deduped set keeps everything
-    val again = once.dropDuplicates("doc_id")
-    assert(again.count() == n1)
+    val expected = Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text"))).agg(min("doc_id").as("doc_id"))
+    assert(once.count() == expected.count(), "one keeper per distinct text")
+    assert(once.select("doc_id").except(expected.select("doc_id")).count() == 0,
+      "every keeper is its text group's min doc_id")
   }
 
   test("windows: row_number bounded by partition size") {
@@ -64,9 +68,20 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("cosine similarity: self-similarity is 1") {
+    import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
+    // the named invariant, asserted directly: dot(v,v)/|v||v| == 1 for
+    // every non-zero embedding (the pair/topk queries exclude self-pairs,
+    // so they can never witness it)
+    val self = Tables.embeddings(spark, sfDir)
+      .select(vecNorm(col("embedding")).as("n"),
+        (vecDot(col("embedding"), col("embedding")) /
+          (vecNorm(col("embedding")) * vecNorm(col("embedding")))).as("s"))
+      .where(col("n") > 0) // zero vectors have no cosine (0/0 = NaN)
+    assert(self.count() > 0, "fixture must contribute non-zero vectors")
+    assert(self.where(abs(col("s") - 1.0) > 1e-9).count() == 0,
+      "self-cosine must be 1 for non-zero vectors")
+    // and the query surface stays bounded to [-1, 1]
     val sim = operators.Similarity.queries("sim_cos_pairs")(spark, sfDir)
-    // pairs exclude self; check the brute-force query instead: a query
-    // vector's own row is excluded, so top hit sim < 1 but >= -1
     val brute = operators.Similarity.queries("sim_topk_brute")(spark, sfDir)
     val sims = brute.collect().map(_.getDouble(3))
     assert(sims.forall(s => s >= -1.000001 && s <= 1.000001))

@@ -9,23 +9,25 @@ class Round3Spec extends SparkSpec {
 
   test("dedup_cc labels are canonical component minima") {
     val cc = operators.Dedup.queries("dedup_cc")(spark, sfDir).cache()
-    // labels never exceed the member id (min-propagation invariant)
-    assert(cc.filter(col("cluster_id") > col("doc_id")).count() == 0)
-    // every label is itself a doc whose own label is itself (a root)
-    val roots = cc.filter(col("cluster_id") === col("doc_id"))
-      .select(col("doc_id").as("cluster_id"))
-    val dangling = cc.select("cluster_id").distinct()
-      .join(roots, Seq("cluster_id"), "left_anti")
-    assert(dangling.count() == 0)
-    // near-dup pairs (est_jaccard >= 0.5) land in the same cluster
-    val pairs = operators.Dedup.queries("dedup_minhash_pairs")(spark, sfDir)
-    val ca = cc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "la")
-    val cb = cc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "lb")
-    val split = pairs.join(ca, "doc_a").join(cb, "doc_b")
-      .filter(col("la") =!= col("lb"))
-    assert(split.count() == 0)
-    cc.unpersist()
-    ()
+    // finally, not in-body: suites share one session JVM, and a failed
+    // assert must not leave this cached frame pinned for later suites
+    try {
+      // labels never exceed the member id (min-propagation invariant)
+      assert(cc.filter(col("cluster_id") > col("doc_id")).count() == 0)
+      // every label is itself a doc whose own label is itself (a root)
+      val roots = cc.filter(col("cluster_id") === col("doc_id"))
+        .select(col("doc_id").as("cluster_id"))
+      val dangling = cc.select("cluster_id").distinct()
+        .join(roots, Seq("cluster_id"), "left_anti")
+      assert(dangling.count() == 0)
+      // near-dup pairs (est_jaccard >= 0.5) land in the same cluster
+      val pairs = operators.Dedup.queries("dedup_minhash_pairs")(spark, sfDir)
+      val ca = cc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "la")
+      val cb = cc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "lb")
+      val split = pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(col("la") =!= col("lb"))
+      assert(split.count() == 0)
+    } finally { cc.unpersist(); () }
   }
 
   test("connected components match union-find on random graphs") {
@@ -52,7 +54,11 @@ class Round3Spec extends SparkSpec {
     }
   }
 
-  test("event_funnel steps are strictly ordered") {
+  test("event_funnel steps are ordered (non-strict at output granularity)") {
+    // the operator enforces STRICT µs ordering internally (ts > view_ts),
+    // but the output carries seconds-cast steps, where distinct-µs events
+    // can legitimately collide — so only non-strict order is observable
+    // here; strictness itself is pinned by the DuckDB oracle comparison
     val f = operators.ScalarFns.queries("event_funnel")(spark, sfDir)
     assert(f.filter(col("view_s") > col("click_s") ||
       col("click_s") > col("purchase_s")).count() == 0)

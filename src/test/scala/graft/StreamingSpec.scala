@@ -21,7 +21,11 @@ class StreamingSpec extends SparkSpec {
     * by the heap-provider and RocksDB-provider tests so both providers
     * are held to the identical fixture and assertion.
     */
-  private def assertTumblingFixture(queryName: String): Unit = {
+  /** Returns the query's last progress JSON so callers can assert HOW
+    * the run executed (e.g. which state-store provider engaged), not
+    * just what it produced.
+    */
+  private def assertTumblingFixture(queryName: String): String = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
@@ -41,6 +45,7 @@ class StreamingSpec extends SparkSpec {
         .select("event_type", "n").as[(String, Long)].collect()
         .sortBy(_._1).toSeq
       assert(rows == Seq("click" -> 2L, "view" -> 1L))
+      q.lastProgress.json
     } finally q.stop()
   }
 
@@ -262,8 +267,12 @@ class StreamingSpec extends SparkSpec {
     try {
       // the SAME fixture and assertion as the heap-provider test —
       // shared runner, so the provider-agnostic claim is always tested
-      // against an identical workload
-      assertTumblingFixture("rocksdb_out")
+      // against an identical workload. Assert the provider actually
+      // engaged: a renamed/typo'd conf key would silently fall back to
+      // the heap provider and this test would prove nothing
+      val progress = assertTumblingFixture("rocksdb_out")
+      assert(progress.contains("rocksdb"),
+        s"state-operator metrics show no RocksDB engagement:\n$progress")
     } finally old match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

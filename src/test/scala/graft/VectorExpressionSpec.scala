@@ -21,9 +21,11 @@ class VectorExpressionSpec extends SparkSpec
         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
 
   test("vecDot matches the interpreted HOF aggregate bit-for-bit") {
+    // null-safe inequality: a one-sided NULL divergence must count as a
+    // diff, not evaluate to NULL and slip through the filter
     val diff = emb
       .select(vecDot(col("embedding"), col("embedding")).as("fast"), hofDot.as("slow"))
-      .filter(col("fast") =!= col("slow"))
+      .filter(!(col("fast") <=> col("slow")))
       .count()
     assert(diff === 0L)
   }
@@ -87,7 +89,7 @@ class VectorExpressionSpec extends SparkSpec
     val bad = emb.select(
         vecNorm(col("embedding")).as("n"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("s"))
-      .filter(col("n") =!= col("s")).count()
+      .filter(!(col("n") <=> col("s"))).count()
     assert(bad === 0L)
   }
 

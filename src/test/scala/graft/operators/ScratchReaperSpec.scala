@@ -70,21 +70,34 @@ class ScratchReaperSpec extends AnyFunSuite {
   }
 
   test("reaper treats an over-long numeric name as not-ours, not a crash") {
+    assert(!ProcessHandle.of(deadPid).isPresent, "sentinel pid is alive")
     val tmp = System.getProperty("java.io.tmpdir")
     // 20 digits > Long.MaxValue: an unguarded parse would throw and a
     // failing (hence re-run) lazy initializer would brick every
-    // scratch-using query until the dir is hand-removed
-    val huge = new java.io.File(s"$tmp/graft_src_99999999999999999999")
-    mkFixture(huge)
-    backdate(huge)
+    // scratch-using query until the dir is hand-removed. Planted in the
+    // STREAM root, which the sweep processes before tmpdir…
+    val huge = new java.io.File(
+      s"${Sources.streamScratchRoot}/graft_stream_ckpt_99999999999999999999")
+    // …and an eligible dead-pid dir in tmpdir: the sweep wraps NonFatal,
+    // so "huge survived" alone would also pass if the parse threw and
+    // the whole sweep was skipped — the dead dir being reaped proves the
+    // sweep ran to completion PAST the hostile name (the roots iterate
+    // in sequence order, stream prefixes before graft_src_, so this
+    // ordering holds even when the two roots are the same directory)
+    val dead = new java.io.File(s"$tmp/graft_src_$deadPid")
+    Seq(huge, dead).foreach { d => mkFixture(d); backdate(d) }
     try {
       Sources.reapDeadPidScratch()
       assert(huge.exists(), "unparseable-pid dir must survive the sweep")
-    } finally graft.Fs.rmTree(huge)
+      assert(!dead.exists(),
+        "sweep must complete past the hostile name and reap the dead dir")
+    } finally Seq(huge, dead).foreach(graft.Fs.rmTree)
   }
 
   test("reaper and rmTree never follow a planted symlink") {
-    assert(!ProcessHandle.of(deadPid).isPresent, "sentinel pid is alive")
+    // the link carries deadPid - 1, so THAT pid's absence is what makes
+    // the symlink guard (not the pid-liveness guard) the thing under test
+    assert(!ProcessHandle.of(deadPid - 1).isPresent, "link sentinel pid is alive")
     val tmp = System.getProperty("java.io.tmpdir")
     val victim = new java.io.File(s"$tmp/graft_reapertest_victim")
     mkFixture(victim)

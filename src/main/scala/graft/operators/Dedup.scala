@@ -66,15 +66,22 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
       .orderBy("h")
 
-  /** Keep-first dedup as a window operator (the form a pipeline uses). */
-  private def exactKeep(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+  /** Keep-first dedup: the min-doc_id row per distinct content, carried
+    * whole via min(struct) — doc_id leads the struct, so the lex-min IS
+    * the keeper row. Partial-aggregatable where the equivalent window
+    * (row_number over partitionBy(content)) is not: the window routes
+    * every copy of a duplicated text to ONE task, and a boilerplate doc
+    * duplicated 10^9 times — the exact input dedup exists for — becomes
+    * a single-task sort straggler; min(struct) combines map-side, so the
+    * hot key costs one partial per partition.
+    */
+  private def exactKeep(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("doc_id", "lang", "n_chars")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_chars"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+        col("keep.n_chars").as("n_chars"))
       .orderBy("doc_id")
-  }
 
   // ---- MinHash signature table (shared, computed once) ----------------
 
@@ -139,6 +146,19 @@ object Dedup extends QueryModule {
   /** LSH candidates: docs sharing any of the BANDS band hashes (band hash
     * = md5 of ROWS_PER_BAND consecutive minhashes). Shuffle key is
     * (band, hash) — never a content block.
+    *
+    * Scale law of the within-bucket self-join: pairs per bucket grow
+    * quadratically in bucket OCCUPANCY, so two knobs keep it linear-ish
+    * as the corpus grows. (1) Band width: ROWS_PER_BAND rows of a
+    * 128-bit hash give an effectively unbounded keyspace, so random
+    * occupancy stays O(1); what concentrates a bucket is genuine
+    * similarity. (2) Identical contents (and the degenerate <3-word
+    * shingle [""]) share ALL band hashes — a boilerplate page duplicated
+    * m times contributes m²/2 candidate pairs. A production pipeline
+    * collapses exact duplicates FIRST (exactGroups keeps one
+    * representative per md5(text), the text_pipeline_dedup composition
+    * shows the chaining) and near-dups on representatives; this query
+    * keeps per-doc semantics so the DuckDB oracle stays row-comparable.
     */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val bandHashes = (0 until BANDS).map { b =>
@@ -286,6 +306,14 @@ object Dedup extends QueryModule {
     * Σ bit_count(xor) — the interpreted per-character lambda it
     * replaces was ~10s at sf0.1 (correlated simhash bits make band
     * blocks big, so the per-pair cost is the whole game).
+    *
+    * Scale law: a 16-bit band has only 65,536 codes, so bucket occupancy
+    * — and with it the quadratic within-bucket join — grows linearly in
+    * corpus size (worse under correlated natural-language bits). The
+    * band width is the knob and must widen with log2(N) at larger
+    * corpora (e.g. 2×32-bit bands at billions of docs, trading recall
+    * for blowup); identical/empty docs share all bands and want the
+    * exact-dedup pre-collapse described on [[candidatePairs]].
     */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val t = simhashTable(s, d)
@@ -419,10 +447,7 @@ object Dedup extends QueryModule {
     val cached = ccCache.get(key)
     if (cached != null) cached
     else {
-      // the iterated tables are label/edge sets (LSH survivors) — tiny
-      // relative to the corpus — so per-round task-launch overhead
-      // dominates at the session's default fan-out
-      val fresh = graft.Tuning.withShufflePartitions(s, 8) {
+      val fresh = {
         val sig = sigTable(s, d)
         val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
         val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
@@ -431,11 +456,29 @@ object Dedup extends QueryModule {
           .filter(
             expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))") * 2 >= K)
           .select("doc_a", "doc_b")
-        ConnectedComponents.labels(
-            documents(s, d).select(col("doc_id").as("id")),
-            pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        // Materialize the corpus-scale upstream (signature aggregation,
+        // LSH band join, agreement verify) BEFORE narrowing the fan-out:
+        // shuffle-partition conf is read when a job RUNS, not where its
+        // frame is defined, so without this eager cut a first dedup_cc
+        // call would execute the whole corpus pipeline at 8 reducers.
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        // the iterated tables are label/edge sets (LSH survivors) — tiny
+        // relative to the corpus — so per-round task-launch overhead
+        // dominates at the session's default fan-out
+        val lbl = graft.Tuning.withShufflePartitions(s, 8) {
+          ConnectedComponents.labels(
+              documents(s, d).select(col("doc_id").as("id")), edges)
+            .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
+        // labels() has run its loop by here (eager per-round checkpoints)
+        // and its result carries checkpointed lineage, not the edge plan —
+        // the edge cache can go (non-blocking; consumers materialized)
+        edges.unpersist(false)
+        lbl
       }
       val prev = ccCache.putIfAbsent(key, fresh)
       if (prev != null) { fresh.unpersist(false); prev } else fresh

@@ -366,9 +366,18 @@ object RelationalExt extends QueryModule {
     */
   def clearCaches(): Unit = bucketedTables.clear()
 
+  /** Bucket count for the demo tables. A SCALE-DEPENDENT knob, not part
+    * of the pattern: buckets bound both write parallelism (one task per
+    * bucket per partition) and the no-Exchange join's parallelism, so
+    * size them to ~shuffle-partition-sized slices of the FACT table —
+    * 8 fits the fixture; 100 TB orders wants thousands (e.g. ~128 MB to
+    * ~1 GB per bucket file), chosen once at layout time.
+    */
+  private val BUCKETS = 8
+
   def ensureBucketedTables(s: SparkSession, d: String): (String, String) =
     bucketedTables.computeIfAbsent((s, d), _ => {
-      val suffix = (d.hashCode & 0x7fffffff).toString
+      val suffix = graft.Fs.pathTag(d)
       val (ot, ct) = (s"graft_orders_b_$suffix", s"graft_cust_b_$suffix")
       // a previous JVM's warehouse dir survives while the in-memory
       // catalog doesn't — drop both the entry and the leftover location,
@@ -380,10 +389,10 @@ object RelationalExt extends QueryModule {
         graft.Fs.rmTree(new java.io.File(wh, t.toLowerCase))
       }
       orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .write.mode("overwrite").bucketBy(BUCKETS, "o_custkey").sortBy("o_custkey")
         .format("parquet").saveAsTable(ot)
       customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
-        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .write.mode("overwrite").bucketBy(BUCKETS, "c_custkey").sortBy("c_custkey")
         .format("parquet").saveAsTable(ct)
       (ot, ct)
     })

@@ -171,6 +171,15 @@ object ScalarFns extends QueryModule {
 
   // ---- inverted index (MapReduce paper workload) ----------------------
 
+  /** Posting lists via collect_set: the paper's contract (every doc_id
+    * for every word), so output size IS corpus-scale — each word's
+    * aggregation buffer is O(document frequency), and at web scale a
+    * stopword's posting list alone breaks any single buffer/string. The
+    * operator is honest for index-building at fixture-to-TB scale; a
+    * 100 TB deployment shards the posting value (e.g. key by
+    * (word, doc_id range) or cap with slice after array_sort) instead
+    * of concatenating one row per word.
+    */
   private def invertedIndex(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), "[^a-z]+")).as("word"))

@@ -24,8 +24,12 @@ import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
   *    least one of PAIR_BANDS sign-bit band codes, then exact cosine
   *    verify. Round 1 did all-pairs within a label block — O(n²) in the
   *    block and 38% of the whole bench; banding makes the shuffle key
-  *    (label, band, code) so no block ever goes quadratic at scale.
-  *    Recall is the standard LSH trade and tunable via bands × bits.
+  *    (label, band, code), dividing each block's pair count by 2^bits.
+  *    That divides the quadratic's CONSTANT, not its exponent: bucket
+  *    occupancy is ~n_label/2^PAIR_BITS, so at 1000× the vectors the
+  *    band width must widen with log2(n) (PAIR_BITS is that knob; wider
+  *    bands trade recall, recovered by more PAIR_BANDS) to hold
+  *    per-bucket work flat. Recall is the standard LSH trade.
   *
   * All dot products use the codegen'd [[org.apache.spark.sql.graft.DotProductD]]
   * expression (strict left-to-right double accumulation — bit-identical

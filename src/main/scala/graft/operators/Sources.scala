@@ -34,7 +34,7 @@ object Sources extends QueryModule {
   private def scratch(name: String, d: String): String = {
     scratchReaped
     val pid = ProcessHandle.current().pid()
-    val ds = (d.hashCode & 0x7fffffff).toHexString
+    val ds = graft.Fs.pathTag(d)
     s"${System.getProperty("java.io.tmpdir")}/graft_src_$pid/${name}_$ds"
   }
 
@@ -416,6 +416,15 @@ object Sources extends QueryModule {
     * Emitting only the key columns makes the result the distinct key
     * set — invariant to batch/partition arrival order, so the batch
     * DISTINCT oracle matches exactly.
+    *
+    * State note: global first-occurrence semantics keeps one state entry
+    * per distinct key FOREVER by definition — the watermark below bounds
+    * lateness, but Spark only evicts dedup state when the event-time
+    * column is part of the key set, which global distinct excludes. On
+    * an unbounded key space (billions of users) that is O(keys) state by
+    * contract, not by accident; the bounded-state discipline exists as
+    * `Streams.dedupStreamWithinWatermark` and is what a production
+    * pipeline with an unbounded key domain should run.
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
     // first occurrences pass through IN the data batch; the trailing
@@ -524,7 +533,7 @@ object Sources extends QueryModule {
       // each other's live checkpoint/output mid-run
       val base = streamScratchRoot +
         s"/graft_stream_append_${ProcessHandle.current().pid()}" +
-        s"_${(d.hashCode & 0x7fffffff).toHexString}" +
+        s"_${graft.Fs.pathTag(d)}" +
         s"_${streamSeq.incrementAndGet()}"
       // fresh dirs per run — a bounded replay must not resume a previous
       // run's checkpoint or re-read its leftover output files

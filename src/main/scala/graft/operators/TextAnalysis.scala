@@ -211,8 +211,14 @@ object TextAnalysis extends QueryModule {
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    // dfreq is NOT broadcast: its cardinality is the corpus VOCABULARY,
+    // which grows with the data (a 100 TB crawl has billions of distinct
+    // tokens — typos, codes, concatenations) and would blow the
+    // broadcast/driver limit. A shuffle join on `word` is the
+    // scale-safe shape; AQE still broadcasts it when it is actually
+    // small, so the fixture pays nothing for the honest plan.
     tf.join(dl, "doc_id")
-      .join(broadcast(dfreq), "word")
+      .join(dfreq, "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round((col("c").cast("double") / col("dlen")) *
@@ -323,9 +329,12 @@ object TextAnalysis extends QueryModule {
       .select(col("b.x").as("x"), col("b.y").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
     val nb = bg.agg(sum("cxy").as("n_bg"))
+    // uni (the unigram table) is vocabulary-sized — corpus-derived, so
+    // not broadcast (same reasoning as tfidf's dfreq); the 1-row totals
+    // nw/nb stay broadcast. AQE broadcasts uni at fixture scale anyway.
     bg.filter(col("cxy") >= 5)
-      .join(broadcast(uni.withColumnRenamed("w", "x").withColumnRenamed("cw", "cx")), "x")
-      .join(broadcast(uni.withColumnRenamed("w", "y").withColumnRenamed("cw", "cy")), "y")
+      .join(uni.withColumnRenamed("w", "x").withColumnRenamed("cw", "cx"), "x")
+      .join(uni.withColumnRenamed("w", "y").withColumnRenamed("cw", "cy"), "y")
       .crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
       .withColumn("pmi", round(
         log((col("cxy").cast("double") / col("n_bg")) /
@@ -371,15 +380,21 @@ object TextAnalysis extends QueryModule {
     val gated = withWords(documents(s, d))
       .withColumn("n_words", expr("size(words)").cast("long"))
       .filter(col("n_words") >= 50)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text"))).orderBy("doc_id")
+    // keep-first as a partial-aggregatable min(struct), not a window:
+    // window partitionBy(content) sends EVERY copy of a duplicated text
+    // to one task — the input shape dedup exists for (a boilerplate doc
+    // duplicated 10^9 times) is exactly the one that straggles it.
+    // min over a doc_id-first struct picks the same keeper row with
+    // map-side combine, so the hot content key costs one partial per
+    // partition instead of one global sort task.
     gated
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy("lang")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_words"),
+        length(col("text")).as("n_chars"))).as("keep"))
+      .groupBy(col("keep.lang").as("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum("n_words").as("total_words"),
-        sum(length(col("text"))).as("total_chars"))
+        sum(col("keep.n_words")).as("total_words"),
+        sum(col("keep.n_chars").cast("long")).as("total_chars"))
       .orderBy("lang")
   }
 

@@ -111,6 +111,20 @@ class PlanShapeSpec extends SparkSpec {
       s"codebook not served from cache to both consumers ($scans scans):\n$plan")
   }
 
+  test("keep-first dedup plans as partial aggregation, never a window") {
+    // a window over the content key routes every copy of a duplicated
+    // doc to ONE task — the hot-key straggler the min(struct) rewrite
+    // removed; this pins the plan shape so the rewrite cannot silently
+    // regress to the single-task form
+    val plan = planOf("dedup_exact_keep")
+    assert(!plan.contains("Window"),
+      s"keep-first dedup regressed to a window plan:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"keep-first dedup lost its aggregate form:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"keeper selection is not partially aggregated (no map-side combine):\n$plan")
+  }
+
   test("no batch query plans a CartesianProduct (except the cross join)") {
     // streams execute eagerly on construction and dedup_cc runs its
     // iterative loop — both are covered by their own specs; everything

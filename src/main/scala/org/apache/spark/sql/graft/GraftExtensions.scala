@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql("... vec_dot(a,
@@ -13,28 +13,38 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** One registration path for every function: arity is checked with the
+    * standard WRONG_NUM_ARGS AnalysisException (the builder runs inside
+    * the analyzer — a wrong arity is a user error that must carry the
+    * error class + position the way built-ins report it), and the
+    * ExpressionInfo carries usage text so `DESCRIBE FUNCTION` documents
+    * the semantics instead of showing "N/A".
+    */
+  private def register(ext: SparkSessionExtensions, name: String,
+      className: String, arity: Int, usage: String)(
+      build: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(className, null, name, usage, ""),
+      (children: Seq[Expression]) => {
+        if (children.length != arity)
+          throw org.apache.spark.sql.errors.QueryCompilationErrors
+            .wrongNumArgsError(name, Seq(arity), children.length)
+        build(children)
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[DotProductD].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        // AnalysisException (WRONG_NUM_ARGS), not a bare require: the
-        // builder runs inside the analyzer, and a wrong arity is a user
-        // error that must carry the standard error class + position the
-        // way built-in functions report it
-        if (children.length != 2)
-          throw org.apache.spark.sql.errors.QueryCompilationErrors
-            .wrongNumArgsError("vec_dot", Seq(2), children.length)
-        DotProductD(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("min_gram_hash"),
-      new ExpressionInfo(classOf[MinGramHash].getName, "min_gram_hash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        if (children.length != 1)
-          throw org.apache.spark.sql.errors.QueryCompilationErrors
-            .wrongNumArgsError("min_gram_hash", Seq(1), children.length)
-        MinGramHash(children.head)
-      }))
+    register(ext, "vec_dot", classOf[DotProductD].getName, 2,
+      "vec_dot(a, b) - Dot product of two float/double arrays as DOUBLE, " +
+        "accumulated strictly left-to-right. Returns NULL if either array " +
+        "is NULL, contains a NULL element, or the lengths differ.")(
+      c => DotProductD(c.head, c(1)))
+    register(ext, "min_gram_hash", classOf[MinGramHash].getName, 1,
+      "min_gram_hash(s) - Minimum base-31 polynomial hash over the " +
+        "complete 8-byte windows of s (inputs shorter than 8 bytes hash " +
+        "one space-padded window) as BIGINT; intended for ASCII-normalized " +
+        "text fingerprinting. Returns NULL on NULL input.")(
+      c => MinGramHash(c.head))
   }
 }

@@ -3,7 +3,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -12,13 +12,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Codegen'd winnowing-style fingerprint: the minimum base-31 polynomial
   * hash over every 8-char gram of the input string, as a long.
   *
-  * hash(gram) = Σ_{j=0..7} code(c_{i+j}) · 31^(7−j), positions past the
-  * end of the string read as space (0x20) — i.e. the string is
-  * conceptually right-padded with 8 spaces, so short and empty inputs
-  * are total. The position count is max(len−7, 1), matching the padded
-  * semantics. Max value 255·31^7 ≈ 7.0e12: exact 64-bit integer math an
-  * exact-arithmetic oracle can recompute (`ord(substr(...))` products in
-  * SQL).
+  * hash(gram) = Σ_{j=0..7} code(c_{i+j}) · 31^(7−j), minimized over the
+  * max(len−7, 1) window positions 0..len−8: for len ≥ 8 those are
+  * exactly the COMPLETE in-bounds windows (no padded trailing windows
+  * are hashed); for len < 8 there is a single window at position 0
+  * whose out-of-range bytes read as space (0x20), so short and empty
+  * inputs are total. Any reimplementation (e.g. a SQL oracle) must use
+  * this same position count — a "pad then hash len+1 windows" model
+  * gives different minima on inputs of length ≥ 8. Max value
+  * 255·31^7 ≈ 7.0e12: exact 64-bit integer math an exact-arithmetic
+  * oracle can recompute (`ord(substr(...))` products in SQL).
   *
   * Why an expression and not `explode(sequence(...))` + `substr`:
   * UTF8String `substr(s, i, 8)` walks from the string start to find
@@ -33,10 +36,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * normalize with `regexp_replace(lower(text), '[^a-z0-9]+', ' ')`
   * first, which guarantees it; non-ASCII bytes would still hash
   * deterministically (as their unsigned byte values) but would not match
-  * an `ord`-based oracle.
+  * an `ord`-based oracle. Input type is UTF8_BINARY StringType
+  * deliberately: the hash is over raw bytes, so a fingerprint must not
+  * vary with session collation — collated inputs should be normalized
+  * (which the callers' regexp already does) before fingerprinting.
+  * ImplicitCastInputTypes lets NULL literals and upcastable inputs bind.
   */
 case class MinGramHash(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   private val P7 = 27512614111L // 31^7, the outgoing byte's coefficient
 

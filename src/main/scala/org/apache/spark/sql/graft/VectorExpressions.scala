@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -21,18 +21,25 @@ import org.apache.spark.sql.types._
   * expression compiles to a tight primitive loop (no allocation, no
   * boxing) and stays inside WholeStageCodegen.
   *
-  * Semantics (chosen to agree bit-for-bit with DuckDB's
-  * `list_dot_product` on the oracle side): elements are upcast to double
-  * and accumulated strictly left-to-right; arrays of unequal length use
-  * the common prefix; a NULL ELEMENT in the common prefix makes the
-  * result NULL — the same propagation as the interpreted
-  * `aggregate(zip_with(...))` formulation this expression replaces.
-  * (`vec_dot` is registered for arbitrary SQL, so it cannot lean on the
-  * fixtures' non-null schema: reading a null slot as 0.0 would be
-  * silently wrong data with no diagnostic.)
+  * Semantics: elements are upcast to double and accumulated strictly
+  * left-to-right (bit-identical to DuckDB's `list_dot_product` on the
+  * equal-length, non-null inputs the oracles compare); a NULL element
+  * or a LENGTH MISMATCH makes the result NULL — exactly the propagation
+  * of the interpreted `aggregate(zip_with(...))` formulation this
+  * expression replaces (zip_with null-pads the shorter array, and the
+  * pad poisons the sum). `vec_dot` is registered for arbitrary SQL, so
+  * it cannot lean on the fixtures' clean schema: reading a null slot as
+  * 0.0 — or silently truncating a 384-dim query vector against a
+  * 256-dim index vector to their common prefix — would be plausible
+  * wrong data with no diagnostic, where NULL is visible and filterable.
+  *
+  * ImplicitCastInputTypes (ANSI upcast-only): NULL literals coerce,
+  * `array<int>` upcasts, `array<float>`/`array<double>` bind unchanged
+  * (no cast on the hot path — double cannot up-cast to float, so each
+  * binds its exact collection member).
   */
 case class DotProductD(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
@@ -52,7 +59,8 @@ case class DotProductD(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -72,9 +80,10 @@ case class DotProductD(left: Expression, right: Expression)
         if (isFloat) s"(double) $arr.getFloat($i)"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += ${get(a, leftFloat)} * ${get(b, rightFloat)};
          |}

@@ -38,15 +38,28 @@ class VectorExpressionSpec extends SparkSpec
     assert(d === (1.5 * 2.0 + -2.0 * 0.5 + 3.25 * 4.0))
   }
 
-  test("vecDot is null-safe and handles unequal lengths via common prefix") {
+  test("vecDot is null-safe and yields NULL on a length mismatch") {
+    // a 384-dim query against a 256-dim index must surface as NULL, not
+    // a silently truncated prefix score — and NULL is also what the HOF
+    // aggregate(zip_with(...)) reference returns (zip_with null-pads)
     val df = spark.sql(
       """SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a,
         |       CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>) AS b,
         |       CAST(array(3.0) AS ARRAY<DOUBLE>) AS c""".stripMargin)
     val r = df.select(vecDot(col("a"), col("b")).as("n"),
       vecDot(col("c"), col("b")).as("p")).head()
-    assert(r.isNullAt(0))
-    assert(r.getDouble(1) === 3.0)
+    assert(r.isNullAt(0), "NULL array input propagates")
+    assert(r.isNullAt(1), "length mismatch is NULL, never a prefix sum")
+  }
+
+  test("implicit casts: NULL literal and int arrays bind from SQL") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), NULL) AS n,
+        |       vec_dot(array(1, 2), array(3, 4)) AS i,
+        |       min_gram_hash(NULL) AS g""".stripMargin).head()
+    assert(r.isNullAt(0), "NULL literal coerces and propagates")
+    assert(r.getDouble(1) === 11.0, "int arrays upcast to a numeric array")
+    assert(r.isNullAt(2), "min_gram_hash(NULL) coerces and propagates")
   }
 
   test("vec_dot is registered as a SQL function via GraftExtensions") {
@@ -55,27 +68,39 @@ class VectorExpressionSpec extends SparkSpec
     assert(d === 11.0)
   }
 
-  test("a null ELEMENT in the common prefix yields NULL, matching the HOF form") {
-    // vec_dot is public SQL — reading a null slot as 0.0 would be
-    // silently wrong data; the contract is the HOF formulation's null
-    // propagation. Literal arrays constant-fold (exercising eval), so
-    // the codegen null branch needs a non-foldable DataFrame column.
+  test("a null ELEMENT or length mismatch yields NULL, matching the HOF form") {
+    // vec_dot is public SQL — reading a null slot as 0.0 (or truncating
+    // to a common prefix) would be silently wrong data; the contract is
+    // the HOF formulation's null propagation. Literal arrays
+    // constant-fold (exercising eval), so the codegen branches need
+    // non-foldable DataFrame columns.
     import spark.implicits._
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)),
         |               array(2.0D, 3.0D)) AS d,
         |       vec_dot(array(1.0D, 2.0D, CAST(NULL AS DOUBLE)),
-        |               array(9.0D)) AS prefix_ok""".stripMargin).head()
-    assert(r.isNullAt(0), "null element inside the common prefix (eval path)")
-    assert(r.getDouble(1) === 9.0, "null element OUTSIDE the common prefix is never read")
+        |               array(9.0D)) AS mismatch""".stripMargin).head()
+    assert(r.isNullAt(0), "null element (eval path)")
+    assert(r.isNullAt(1), "length mismatch is NULL (eval path)")
     val df = Seq(
         (Seq(Option(1.0), None), Seq(Option(2.0), Option(3.0))),
-        (Seq(Option(1.0), Option(2.0)), Seq(Option(4.0), Option(0.5))))
+        (Seq(Option(1.0), Option(2.0)), Seq(Option(4.0), Option(0.5))),
+        (Seq(Option(1.0)), Seq(Option(4.0), Option(0.5))))
       .toDF("a", "b")
       .select(vecDot(col("a"), col("b")).as("d"))
     val rows = df.collect()
-    assert(rows(0).isNullAt(0), "null element inside the common prefix (codegen path)")
-    assert(rows(1).getDouble(0) === 5.0, "null-free row unaffected")
+    assert(rows(0).isNullAt(0), "null element (codegen path)")
+    assert(rows(1).getDouble(0) === 5.0, "null-free equal-length row unaffected")
+    assert(rows(2).isNullAt(0), "length mismatch is NULL (codegen path)")
+  }
+
+  test("DESCRIBE FUNCTION documents the registered semantics") {
+    // a SQL user's only discovery surface — must carry the NULL/length
+    // contract, not "Usage: N/A"
+    val d = spark.sql("DESCRIBE FUNCTION vec_dot").collect().map(_.getString(0)).mkString("\n")
+    assert(d.contains("Dot product") && d.contains("lengths differ"), d)
+    val g = spark.sql("DESCRIBE FUNCTION min_gram_hash").collect().map(_.getString(0)).mkString("\n")
+    assert(g.contains("base-31"), g)
   }
 
   test("wrong arity raises an AnalysisException, not an internal error") {

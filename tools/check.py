@@ -41,6 +41,11 @@ def main():
         )
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # same guard as Verify/Bench: a typo'd filter name must not produce
+    # a "0 ok, 0 fail" run that exits 0
+    unknown = only - set(oracles)
+    if unknown:
+        sys.exit(f"query names not in oracle_sql.json: {sorted(unknown)}")
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:

@@ -1,6 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Best-effort detail-file write under `dir`; returns the JSON value
+    * for the compact line's `detail` field — a quoted path on success,
+    * the literal `null` on failure. An unwritable cwd must not kill the
+    * run AFTER all measurements succeeded, and on failure the terminal
+    * line must carry null rather than a path that would resolve to a
+    * STALE previous run's file and pass for this run's numbers.
+    */
+  private[graft] def writeDetailRef(dir: java.io.File, detail: String): String =
+    try {
+      dir.mkdirs()
+      val p = new java.io.File(dir, "bench_detail.json").toPath
+      java.nio.file.Files.writeString(p, detail)
+      "\"" + p.toString + "\""
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+      "null"
+    }
+
+  /** Host/environment facts the timing analysis needs, as a JSON object
+    * string — schema-additive on the bench line. Exists because rounds
+    * 4–5 could only attribute driver-vs-local gaps (1.5×) and two
+    * stream outliers by inference: the artifact now records the
+    * resolved stream checkpoint root (tmpfs vs disk-tmpdir fallback),
+    * whether /dev/shm was writable, the 1-minute load average at sweep
+    * start/end (-1.0 where the JVM can't see one), the worker thread
+    * count vs the host's real CPU count, and the heap ceiling.
+    */
+  private[graft] def envJson(cpus: String, loadStart: Double,
+      loadEnd: Double): String = {
+    def num(v: Double): String =
+      if (v.isNaN || v < 0) "-1"
+      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val shm = new java.io.File("/dev/shm")
+    val heapGb = Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024
+    s"""{"ckpt_root":"${operators.Sources.resolvedStreamScratchRoot}"""" +
+      s""","shm_writable":${shm.isDirectory && shm.canWrite}""" +
+      s""","load_start":${num(loadStart)},"load_end":${num(loadEnd)}""" +
+      s""","cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors}""" +
+      s""","heap_gb":${num(heapGb)}}"""
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,6 +127,8 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val loadStart = loadAvg
+    System.err.println(f"[bench] load_start $loadStart%.2f")
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { case (name, fn) =>
       best(name) = once(name, fn)
@@ -101,6 +148,7 @@ object Bench {
     }
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val env = envJson(cpus, loadStart, loadAvg)
     val ok = best.filterNot(_._2.isNaN)
     val failedNames = best.collect { case (k, v) if v.isNaN => k }.toSeq
     val total = ok.values.sum
@@ -112,22 +160,8 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"failed_names":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    // best-effort: an unwritable cwd must not kill the run AFTER all
-    // measurements succeeded — the stdout summary below is the one
-    // artifact that must always make it out. On failure the terminal
-    // line carries detail:null rather than a path that would resolve to
-    // a STALE previous run's file and pass for this run's numbers.
-    val detailRef =
-      try {
-        new java.io.File("target").mkdirs()
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("target/bench_detail.json"), detail)
-        "\"target/bench_detail.json\""
-      } catch { case e: java.io.IOException =>
-        System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
-        "null"
-      }
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"failed_names":$failedJson,"queries":$qs,"env":$env,"sf":"$sfDir"}"""
+    val detailRef = writeDetailRef(new java.io.File("target"), detail)
     val slowest = ok.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -146,7 +180,7 @@ object Bench {
       System.err.println(s"[bench] cleanup failed (ignored): ${e.getMessage}")
     }
     // ONE compact line, well under the driver's output-tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"slowest":$slowest,"detail":$detailRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":${failedNames.size},"slowest":$slowest,"env":$env,"detail":$detailRef,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

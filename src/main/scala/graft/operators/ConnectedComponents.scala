@@ -32,12 +32,45 @@ object ConnectedComponents {
       s"connected components did not converge after $iters rounds " +
         "(pointer jumping makes this ~2^iters of diameter — raise maxIters)")
 
+  /** Session config key selecting the round-materialization mode: unset
+    * (default) uses `localCheckpoint` — blocks in executor storage,
+    * fastest, correct whenever the job can simply be rerun on executor
+    * loss; set to a directory path it uses reliable `checkpoint()` into
+    * that path, which survives executor loss mid-loop — the shape a
+    * long CC run on a real cluster wants, since a truncated lineage
+    * cannot recompute lost local blocks. Config, not an API parameter,
+    * so deployments flip it without touching call sites. Pair with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (or
+    * periodic dir cleanup) on long-lived sessions: each round writes a
+    * new rdd-N subdir.
+    */
+  val CheckpointDirKey = "spark.graft.cc.checkpointDir"
+
+  /** Materialize a round and CUT its lineage, per [[CheckpointDirKey]].
+    * Both modes are eager: the fixpoint loop frees the previous round's
+    * blocks right after, which is only sound once the new round is fully
+    * materialized. An already-configured SparkContext checkpoint dir is
+    * respected (it is a process-global resource another component may
+    * own); we only set it when unset.
+    */
+  private def ckptRound(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointDirKey) match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+
   /** Release a localCheckpointed round's blocks. `Dataset.unpersist` is
     * a NO-OP here: it routes through the CacheManager, which never
     * registered the checkpoint's RDD-level persist — the blocks must be
     * unpersisted on the underlying RDD of the checkpoint's LogicalRDD.
     * Only call once every consumer of the round has been materialized:
     * a truncated-lineage RDD cannot be recomputed after unpersisting.
+    * Under reliable checkpointing the LogicalRDD's RDD holds no
+    * persisted blocks (the round lives in checkpoint FILES), so the
+    * unpersist is a harmless no-op there.
     */
   private def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
@@ -74,12 +107,11 @@ object ConnectedComponents {
     // union + self-join), so without lineage truncation the logical plan
     // grows geometrically — exponential analysis/planning cost long
     // before any data is big (observed: minutes of Catalyst time by
-    // round ~10 on a 30-node graph). localCheckpoint materializes the
-    // round and CUTS the plan; a cluster deployment would use reliable
-    // checkpoint() to survive executor loss.
-    var lbls = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    // round ~10 on a 30-node graph). ckptRound materializes the round
+    // and CUTS the plan — localCheckpoint by default, reliable
+    // checkpoint() when CheckpointDirKey is set (cluster deployments).
+    var lbls = ckptRound(sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     // coalesce(…, 0): with an empty edge set the sum aggregates zero rows
     // and returns null — the fixpoint compare would NPE on graphs where
     // no pair survived upstream filtering (legitimate at other corpora).
@@ -95,18 +127,17 @@ object ConnectedComponents {
         .select(col("dst").as("id"), col("lbl"))
       // checkpointed so the pointer-jump self-join reads materialized
       // blocks instead of executing the aggregation subtree twice
-      val mins = lbls.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val mins = ckptRound(
+        lbls.union(prop).groupBy("id").agg(min("lbl").as("lbl")))
       // pointer jumping: follow the label's own label. Every label value
       // IS a participant id (labels start as ids and only min-combine),
       // so the lookup is a self-join on the same (id, lbl) table; the
       // left+coalesce guards the invariant rather than assuming it.
-      val next = mins.as("m")
+      val next = ckptRound(mins.as("m")
         .join(mins.select(col("id").as("p_id"), col("lbl").as("p_lbl")),
           col("m.lbl") === col("p_id"), "left")
         .select(col("m.id").as("id"),
-          coalesce(col("p_lbl"), col("m.lbl")).as("lbl"))
-        .localCheckpoint(true)
+          coalesce(col("p_lbl"), col("m.lbl")).as("lbl")))
       iters += 1
       // Fixpoint check every 2nd round: per-node labels are monotone
       // non-increasing, so sum(r) == sum(r-2) forces sum(r-1) — and

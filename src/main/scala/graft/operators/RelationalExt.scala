@@ -388,6 +388,19 @@ object RelationalExt extends QueryModule {
         s.sql(s"DROP TABLE IF EXISTS $t")
         graft.Fs.rmTree(new java.io.File(wh, t.toLowerCase))
       }
+      // One-time migration sweep: pre-r5 JVMs named these tables with a
+      // DECIMAL hashCode suffix ((d.hashCode & 0x7fffffff).toString, ≤10
+      // digits) where the current tag is exactly 12 hex chars — the
+      // per-name cleanup above never matches the old names, so a shared
+      // warehouse dir would keep those orphans forever. The ≤10-all-digit
+      // shape cannot collide with any current-format name, so deleting
+      // on sight is safe even while other JVMs run.
+      val oldFormat = "graft_(?:orders|cust)_b_\\d{1,10}".r
+      Option(new java.io.File(wh).listFiles).foreach(_.foreach { f =>
+        if (oldFormat.matches(f.getName) &&
+            !java.nio.file.Files.isSymbolicLink(f.toPath))
+          graft.Fs.rmTree(f)
+      })
       orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").bucketBy(BUCKETS, "o_custkey").sortBy("o_custkey")
         .format("parquet").saveAsTable(ot)

@@ -69,6 +69,23 @@ object Sources extends QueryModule {
     */
   private[operators] val REAP_QUIET_MS: Long = 60L * 60 * 1000
 
+  /** Opt-in: skip the quiet window and reap dead-pid scratch on sight.
+    * The quiet window exists ONLY for scratch roots shared across pid
+    * namespaces (two containers mounting one /tmp — each sees only its
+    * own pids, so pid-absence alone would reap the other's LIVE run);
+    * on a host where the roots are namespace-local, pid-death is proof
+    * of orphanhood and the hour's grace just pins a crash-looping
+    * driver's tmpfs RAM, one orphan set per dead pid. Deliberately an
+    * explicit flag, never autodetected: whether /tmp or /dev/shm is
+    * shared is a deployment fact the process cannot see from inside.
+    * Env var for deployments; the system property is for tests (env is
+    * immutable in-JVM).
+    */
+  private[operators] def reapImmediate: Boolean =
+    sys.props.get("graft.reap.immediate")
+      .orElse(sys.env.get("SPARK_GRAFT_REAP_IMMEDIATE"))
+      .contains("1")
+
   private[operators] def reapDeadPidScratch(): Unit = try {
     def pidOf(dirName: String, prefix: String): Option[Long] = {
       val digits = dirName.drop(prefix.length).takeWhile(_.isDigit)
@@ -100,7 +117,7 @@ object Sources extends QueryModule {
         if (f.getName.startsWith(p) && !isLink(f))
           pidOf(f.getName, p).foreach { pid =>
             if (pid != self && !ProcessHandle.of(pid).isPresent &&
-                newestMtime(f) < cutoff)
+                (reapImmediate || newestMtime(f) < cutoff))
               graft.Fs.rmTree(f)
           }
     }
@@ -316,6 +333,15 @@ object Sources extends QueryModule {
     if (shm.isDirectory && shm.canWrite) shm.getPath
     else System.getProperty("java.io.tmpdir")
   }
+
+  /** Where stream checkpoints actually resolved — tmpfs or the disk
+    * tmpdir fallback. Surfaced so the bench artifact can record it: a
+    * host without writable /dev/shm pays the per-micro-batch fsync
+    * latency of a DISK checkpoint root, which alone explains a
+    * state-store-bound stream timing being several times its tmpfs
+    * value, and that fact is otherwise invisible in the numbers.
+    */
+  def resolvedStreamScratchRoot: String = streamScratchRoot
 
   private lazy val streamCkptBase: String = {
     scratchReaped

@@ -50,21 +50,28 @@ object MRLawsProps extends Properties("MRLaws") {
       assoc == full
     }
 
-  property("keep-first dedup composition selects the minimum per key") =
+  property("keep-first dedup composition selects the lex-min row per key") =
     Prop.forAll(kvGen) { pairs =>
-      // the window composition Dedup.exactKeep is built from
-      // (row_number over partition-by-content order-by-id, keep rn=1),
-      // checked against a plain-Scala reference model — a law on OUR
-      // composition, not a re-test of Spark's built-in dropDuplicates
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{col, row_number}
-      val df = spark.createDataset(pairs).toDF("k", "v")
-      val w = Window.partitionBy("k").orderBy("v")
-      val kept = df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("k", "v")
-        .as[(String, Int)].collect().toSet
-      val expected =
-        pairs.groupMapReduce(_._1)(_._2)(math.min).toSet
+      // the partial-aggregatable min(struct) composition Dedup.exactKeep
+      // is built from (group by content-hash, min over a struct whose
+      // FIRST field is the keeper-ordering key, carrying the payload
+      // fields behind it), checked against a plain-Scala reference
+      // model — a law on OUR composition, not a re-test of Spark's
+      // built-in dropDuplicates. The payload column makes the carried-
+      // whole contract observable: ties on v must resolve by the struct's
+      // NEXT field, exactly Scala's lexicographic tuple Ordering.
+      import org.apache.spark.sql.functions.{col, min, struct}
+      val df = spark.createDataset(pairs.zipWithIndex)
+        .map { case ((k, v), i) => (k, v, s"p$i") }
+        .toDF("k", "v", "payload")
+      val kept = df.groupBy(col("k"))
+        .agg(min(struct(col("v"), col("payload"))).as("keep"))
+        .select(col("k"), col("keep.v"), col("keep.payload"))
+        .as[(String, Int, String)].collect().toSet
+      val expected = pairs.zipWithIndex
+        .map { case ((k, v), i) => (k, (v, s"p$i")) }
+        .groupMapReduce(_._1)(_._2)(Ordering[(Int, String)].min)
+        .map { case (k, (v, p)) => (k, v, p) }.toSet
       kept == expected
     }
 }

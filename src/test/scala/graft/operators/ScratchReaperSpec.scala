@@ -94,6 +94,31 @@ class ScratchReaperSpec extends AnyFunSuite {
     } finally Seq(huge, dead).foreach(graft.Fs.rmTree)
   }
 
+  test("opt-in immediate mode reaps a RECENT dead-pid dir; live-pid and " +
+      "pid-less names still survive") {
+    assert(!ProcessHandle.of(deadPid).isPresent, "sentinel pid is alive")
+    val self = ProcessHandle.current().pid()
+    val tmp = System.getProperty("java.io.tmpdir")
+    // fresh mtimes throughout — exactly the tree the default quiet
+    // window refuses (previous test); only the flag changes the outcome
+    val fresh = new java.io.File(s"$tmp/graft_src_$deadPid")
+    val kept = Seq(
+      new java.io.File(s"$tmp/graft_src_${self}_reapnowtest"),
+      new java.io.File(s"$tmp/graft_src_nopid_reapnow"))
+    (fresh +: kept).foreach(mkFixture)
+    System.setProperty("graft.reap.immediate", "1")
+    try {
+      assert(Sources.reapImmediate)
+      Sources.reapDeadPidScratch()
+      assert(!fresh.exists(), "immediate mode must reap on pid-death alone")
+      kept.foreach(d => assert(d.exists(), s"$d must survive"))
+    } finally {
+      System.clearProperty("graft.reap.immediate")
+      (fresh +: kept).foreach(graft.Fs.rmTree)
+    }
+    assert(!Sources.reapImmediate, "flag must not leak past the test")
+  }
+
   test("reaper and rmTree never follow a planted symlink") {
     // the link carries deadPid - 1, so THAT pid's absence is what makes
     // the symlink guard (not the pid-liveness guard) the thing under test

@@ -33,12 +33,24 @@ object Bench {
     def num(v: Double): String =
       if (v.isNaN || v < 0) "-1"
       else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // both interpolations guard the terminal-line contract: a
+    // non-numeric SPARK_GRAFT_CPUS degrades to -1 instead of splicing
+    // raw text into a JSON number slot, and a hostile tmpdir path
+    // (quote/backslash/control char) is escaped rather than allowed to
+    // void the whole artifact line
+    val cpusJson = cpus.trim.toIntOption.getOrElse(-1)
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val shm = new java.io.File("/dev/shm")
     val heapGb = Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024
-    s"""{"ckpt_root":"${operators.Sources.resolvedStreamScratchRoot}"""" +
+    s"""{"ckpt_root":"${esc(operators.Sources.resolvedStreamScratchRoot)}"""" +
       s""","shm_writable":${shm.isDirectory && shm.canWrite}""" +
       s""","load_start":${num(loadStart)},"load_end":${num(loadEnd)}""" +
-      s""","cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors}""" +
+      s""","cpus":$cpusJson,"host_cpus":${Runtime.getRuntime.availableProcessors}""" +
       s""","heap_gb":${num(heapGb)}}"""
   }
 

@@ -73,6 +73,11 @@ class Round6Spec extends SparkSpec {
     assert(node.get("cpus").asInt == 32)
     assert(node.get("host_cpus").asInt > 0)
     assert(node.get("heap_gb").asDouble > 0)
+    // contract guards: a non-numeric cpu count and a hostile scratch
+    // path must degrade inside the JSON, never void the terminal line
+    val bad = om.readTree(Bench.envJson("not-a-number", -1.0, 0.5))
+    assert(bad.get("cpus").asInt == -1)
+    assert(bad.get("load_start").asInt == -1)
   }
 
   test("connected components: default mode still green after the hook " +

@@ -49,15 +49,18 @@ object ConnectedComponents {
   /** Materialize a round and CUT its lineage, per [[CheckpointDirKey]].
     * Both modes are eager: the fixpoint loop frees the previous round's
     * blocks right after, which is only sound once the new round is fully
-    * materialized. An already-configured SparkContext checkpoint dir is
-    * respected (it is a process-global resource another component may
-    * own); we only set it when unset.
+    * materialized. The SparkContext checkpoint dir is process-global
+    * (setCheckpointDir appends a UUID subdir), so it is re-pointed only
+    * when it does not already live under the CONFIGURED root — honoring
+    * a mid-session config change to a new root without resetting (and
+    * re-UUID-ing) on every round.
     */
   private def ckptRound(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(CheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(true)
     }

@@ -33,6 +33,34 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("connected components: a mid-session checkpoint-dir change " +
+      "re-points the global checkpoint root") {
+    // setCheckpointDir is process-global and sticky; the hook must
+    // follow a CONFIG change to a new root rather than silently keep
+    // writing into the previously configured one
+    def rddDirs(f: java.io.File): Int =
+      if (f.getName.startsWith("rdd-")) 1
+      else Option(f.listFiles).map(_.map(rddDirs).sum).getOrElse(0)
+    val nodes = (0L until 8L).toDF("id")
+    val edges = (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val dirs = Seq.fill(2)(java.nio.file.Files
+      .createTempDirectory("graft_cc_ckpt_move_").toFile)
+    try {
+      dirs.foreach { d =>
+        spark.conf.set(operators.ConnectedComponents.CheckpointDirKey,
+          d.toString)
+        val got = operators.ConnectedComponents
+          .labels(nodes, edges, maxIters = 10)
+          .as[(Long, Long)].collect().toMap
+        assert(got == (0L until 8L).map(i => i -> 0L).toMap)
+        assert(rddDirs(d) > 0, s"no checkpoints under newly configured $d")
+      }
+    } finally {
+      spark.conf.unset(operators.ConnectedComponents.CheckpointDirKey)
+      dirs.foreach(Fs.rmTree)
+    }
+  }
+
   test("bench detail pointer: quoted path on success, null on an " +
       "unwritable dir — compact line parses either way") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper

@@ -328,11 +328,19 @@ object Sources extends QueryModule {
     * recycled pid can never resume a dead run's completed checkpoint
     * (which would replay nothing and return an empty result).
     */
-  private[operators] lazy val streamScratchRoot: String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) shm.getPath
-    else System.getProperty("java.io.tmpdir")
-  }
+  /** tmpfs when the candidate is a writable directory, else the disk
+    * fallback — factored out of the lazy root so BOTH branches are
+    * spec-pinned (the fallback is exactly the case that shows up on a
+    * locked-down driver host, where it silently turns every stateful
+    * stream checkpoint into fsync-bound disk I/O).
+    */
+  private[operators] def resolveScratchRoot(
+      tmpfs: java.io.File, fallback: String): String =
+    if (tmpfs.isDirectory && tmpfs.canWrite) tmpfs.getPath else fallback
+
+  private[operators] lazy val streamScratchRoot: String =
+    resolveScratchRoot(new java.io.File("/dev/shm"),
+      System.getProperty("java.io.tmpdir"))
 
   /** Where stream checkpoints actually resolved — tmpfs or the disk
     * tmpdir fallback. Surfaced so the bench artifact can record it: a

@@ -119,6 +119,36 @@ class ScratchReaperSpec extends AnyFunSuite {
     assert(!Sources.reapImmediate, "flag must not leak past the test")
   }
 
+  test("scratch-root resolution: writable tmpfs wins, anything else " +
+      "falls back to the disk tmpdir") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val writable = new java.io.File(s"$tmp/graft_root_probe_w")
+    assert(writable.mkdirs() || writable.isDirectory)
+    try {
+      assert(Sources.resolveScratchRoot(writable, "/fallback")
+        == writable.getPath)
+      // a missing dir (the no-/dev/shm container case) must fall back
+      assert(Sources.resolveScratchRoot(
+        new java.io.File(s"$tmp/graft_root_probe_missing"), "/fallback")
+        == "/fallback")
+      // a FILE at the tmpfs path is not a usable root either
+      val asFile = new java.io.File(s"$tmp/graft_root_probe_file")
+      asFile.createNewFile()
+      try assert(Sources.resolveScratchRoot(asFile, "/fallback")
+        == "/fallback")
+      finally graft.Fs.rmTree(asFile)
+      // an unwritable dir falls back (root can write anywhere, so only
+      // assert when the sandbox actually enforces the bit)
+      val ro = new java.io.File(s"$tmp/graft_root_probe_ro")
+      assert(ro.mkdirs() || ro.isDirectory)
+      try {
+        ro.setWritable(false, false)
+        if (!ro.canWrite)
+          assert(Sources.resolveScratchRoot(ro, "/fallback") == "/fallback")
+      } finally { ro.setWritable(true, false); graft.Fs.rmTree(ro) }
+    } finally graft.Fs.rmTree(writable)
+  }
+
   test("reaper and rmTree never follow a planted symlink") {
     // the link carries deadPid - 1, so THAT pid's absence is what makes
     // the symlink guard (not the pid-liveness guard) the thing under test

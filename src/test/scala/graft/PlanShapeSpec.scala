@@ -125,6 +125,34 @@ class PlanShapeSpec extends SparkSpec {
       s"keeper selection is not partially aggregated (no map-side combine):\n$plan")
   }
 
+  test("vocabulary-sized join sides carry no broadcast HINT " +
+      "(tfidf dfreq/dl, collocation unigrams)") {
+    // these sides are corpus-DERIVED (distinct tokens grow with the
+    // data: a 100 TB crawl has billions), so a FORCED broadcast — the
+    // hint the round-5 fix removed — is a plan that dies at scale even
+    // though it passes every fixture run. The planner may still choose
+    // a broadcast from size STATS (it does at fixture scale, correctly,
+    // and would not at 100 TB), so the invariant lives on the hints in
+    // the optimized logical plan, not on the physical join choice: no
+    // equi-join may carry strategy=broadcast; the 1-row totals keep
+    // theirs (they arrive via crossJoin(broadcast(...)), printed as a
+    // hinted Join Cross).
+    for (q <- Seq("text_tfidf", "text_collocations")) {
+      val opt = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      val forced = opt.linesIterator
+        .filter(l => l.contains("Join Inner") && l.contains("strategy=broadcast"))
+        .toList
+      assert(forced.isEmpty,
+        s"$q forces broadcast on a vocabulary-sized side:\n${forced.mkString("\n")}")
+      // sanity: the assertion is looking at the right plan — the tiny
+      // totals' deliberate broadcast hint must still be visible
+      assert(opt.linesIterator.exists(l =>
+          l.contains("Join Cross") && l.contains("strategy=broadcast")),
+        s"$q lost the 1-row totals' broadcast hint — test is mis-aimed:\n$opt")
+    }
+  }
+
   test("no batch query plans a CartesianProduct (except the cross join)") {
     // streams execute eagerly on construction and dedup_cc runs its
     // iterative loop — both are covered by their own specs; everything

@@ -29,7 +29,7 @@ object Bench {
     * count vs the host's real CPU count, and the heap ceiling.
     */
   private[graft] def envJson(cpus: String, loadStart: Double,
-      loadEnd: Double): String = {
+      loadEnd: Double, steal: Double = -1.0): String = {
     def num(v: Double): String =
       if (v.isNaN || v < 0) "-1"
       else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
@@ -50,6 +50,7 @@ object Bench {
     s"""{"ckpt_root":"${esc(operators.Sources.resolvedStreamScratchRoot)}"""" +
       s""","shm_writable":${shm.isDirectory && shm.canWrite}""" +
       s""","load_start":${num(loadStart)},"load_end":${num(loadEnd)}""" +
+      s""","steal_pct":${num(steal)}""" +
       s""","cpus":$cpusJson,"host_cpus":${Runtime.getRuntime.availableProcessors}""" +
       s""","heap_gb":${num(heapGb)}}"""
   }
@@ -57,6 +58,35 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** (totalJiffies, stealJiffies) from the aggregate /proc/stat cpu
+    * line; None off-Linux or on a restricted procfs. Steal is the one
+    * confounder the load average cannot see — a hypervisor neighbor
+    * taking cycles shows an idle runqueue while every timed query runs
+    * slow — and it bit rounds 2–6 as unattributable 1.3–1.7× bands.
+    * Two snapshots (sweep start, sweep end) yield the steal share of
+    * the run window itself.
+    */
+  private def cpuJiffies: Option[(Long, Long)] = try {
+    val line = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+    val parts = line.trim.split("\\s+")
+    if (!parts.headOption.contains("cpu")) None
+    else {
+      val vals = parts.drop(1).flatMap(_.toLongOption)
+      if (vals.length >= 8) Some((vals.sum, vals(7))) else None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Steal share (percent) of the interval between two cpuJiffies
+    * snapshots; -1 when either side is unavailable or no time passed.
+    */
+  private[graft] def stealPct(start: Option[(Long, Long)],
+      end: Option[(Long, Long)]): Double = (start, end) match {
+    case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+      100.0 * (s1 - s0) / (t1 - t0)
+    case _ => -1.0
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,6 +170,7 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val loadStart = loadAvg
+    val jiffies0 = cpuJiffies
     System.err.println(f"[bench] load_start $loadStart%.2f")
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { case (name, fn) =>
@@ -160,7 +191,8 @@ object Bench {
     }
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val env = envJson(cpus, loadStart, loadAvg)
+    val env = envJson(cpus, loadStart, loadAvg,
+      stealPct(jiffies0, cpuJiffies))
     val ok = best.filterNot(_._2.isNaN)
     val failedNames = best.collect { case (k, v) if v.isNaN => k }.toSeq
     val total = ok.values.sum

@@ -106,6 +106,18 @@ class Round6Spec extends SparkSpec {
     val bad = om.readTree(Bench.envJson("not-a-number", -1.0, 0.5))
     assert(bad.get("cpus").asInt == -1)
     assert(bad.get("load_start").asInt == -1)
+    // steal defaults to the -1 sentinel; a measured interval reports %
+    assert(bad.get("steal_pct").asInt == -1)
+    val withSteal = om.readTree(Bench.envJson("4", 0.1, 0.1, 12.345))
+    assert(withSteal.get("steal_pct").asDouble == 12.35)
+  }
+
+  test("steal computation: interval share from jiffies snapshots, -1 " +
+      "sentinel on missing or non-advancing counters") {
+    assert(Bench.stealPct(Some((1000L, 10L)), Some((2000L, 110L))) == 10.0)
+    assert(Bench.stealPct(Some((1000L, 10L)), Some((1000L, 10L))) == -1.0)
+    assert(Bench.stealPct(None, Some((2000L, 10L))) == -1.0)
+    assert(Bench.stealPct(Some((1000L, 10L)), None) == -1.0)
   }
 
   test("connected components: default mode still green after the hook " +

@@ -282,7 +282,13 @@ object TextAnalysis extends QueryModule {
   /** Training-data scrub pass: redact email-shaped tokens and long digit
     * runs, count what was removed. Pure per-row projection — codegen'd
     * regex, no shuffle (the orderBy is oracle determinism); the regexes
-    * use dialect-portable character classes only.
+    * use dialect-portable character classes only. The digit count runs
+    * on the EMAIL-SCRUBBED text, mirroring the sequential redaction:
+    * digits the email pass already swallowed (a domain like
+    * `bar.com123456789`) are neither redacted as `<NUM>` nor counted,
+    * so "count what was removed" stays literally true (the raw-text
+    * count over-reported exactly those — pinned by TextSoundnessSpec's
+    * overlap case).
     */
   private def piiScrub(s: SparkSession, d: String): DataFrame = {
     val email = "[a-z0-9._-]+@[a-z0-9.-]+"
@@ -290,7 +296,8 @@ object TextAnalysis extends QueryModule {
     documents(s, d).select(
       col("doc_id"),
       expr(s"size(regexp_extract_all(text, '$email', 0))").cast("long").as("n_emails"),
-      expr(s"size(regexp_extract_all(text, '$digits', 0))").cast("long").as("n_digit_runs"),
+      expr(s"size(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>'), '$digits', 0))")
+        .cast("long").as("n_digit_runs"),
       md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
         digits, "<NUM>")).as("scrubbed_md5"))
       .orderBy("doc_id")
@@ -299,7 +306,8 @@ object TextAnalysis extends QueryModule {
   private val piiScrubOracle =
     """SELECT doc_id,
       |  len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+'))::BIGINT AS n_emails,
-      |  len(regexp_extract_all(text, '[0-9]{6,}'))::BIGINT AS n_digit_runs,
+      |  len(regexp_extract_all(regexp_replace(text, '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+      |    '[0-9]{6,}'))::BIGINT AS n_digit_runs,
       |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
       |    '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
       |FROM documents ORDER BY doc_id""".stripMargin

@@ -49,4 +49,45 @@ class TextSoundnessSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0L, md5hex("stream dump <EMAIL> end"))))
     assert(got(4L) == ((0L, 0L, md5hex("nothing sensitive here at all"))))
   }
+
+  test("langid assigns the planted stopword-obvious languages and " +
+      "falls back to en on an all-zero profile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lang_sound_")
+    import spark.implicits._
+    Seq(
+      (1L, "the cat and the dog is in the house of wonder"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "le chat et la vache est les des amis"),
+      (4L, "el perro y los gatos es de la casa"),
+      (5L, "zzz qqq www nothing matches any profile"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+        lit("synthetic").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalysis.queries("text_langid")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "en"), s"got $got")
+  }
+
+  test("quality scoring ranks a substantial natural doc above a " +
+      "word-starved one and NULLs out a wordless doc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qual_sound_")
+    import spark.implicits._
+    val rich = (0 until 100).map(i => s"meaningful${('a' + i % 26).toChar}")
+      .mkString(" ")
+    Seq((1L, rich), (2L, "tiny doc of note"), (3L, "@#$% ^&*! 1234"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synthetic").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.TextAnalysis.queries("text_quality")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val (q1, q2) = (rows(1L).getDouble(5), rows(2L).getDouble(5))
+    assert(q1 > q2, s"substantial doc must outscore the word-starved one: $q1 <= $q2")
+    // no [a-z] words at all -> guarded NULL ratios and score, the
+    // documented cross-engine-stable divide-by-zero contract
+    assert(rows(3L).isNullAt(3) && rows(3L).isNullAt(5),
+      "wordless doc must yield NULL ratios and score")
+  }
 }

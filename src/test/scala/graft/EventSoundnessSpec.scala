@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-sequence soundness of the event-window family, end to end
+  * through the PRODUCTION queries: engineered timelines with
+  * hand-computed sessions and funnel outcomes. The DuckDB oracle proves
+  * cross-engine agreement on the fixture; this proves the agreed
+  * semantics — the 30-minute session gap actually splits where a
+  * session should split, and the funnel's strictly-later chaining
+  * rejects out-of-order conversions.
+  */
+class EventSoundnessSpec extends SparkSpec {
+
+  private val T0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+  private def at(minutes: Long, micros: Long = 0): java.sql.Timestamp =
+    new java.sql.Timestamp(T0.getTime + minutes * 60000 + micros / 1000)
+
+  private def writeEvents(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evt_sound_")
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("""{"k": 0}"""))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  test("event_session splits exactly at the 30-minute gap") {
+    // user 1: events at +0, +10, +45 min — the 35-min gap after +10
+    // must close the first session (2 events) and open a second (1);
+    // user 2: a single event = a single 1-event session
+    val dir = writeEvents(Seq(
+      (1L, at(0), 1L, "view", 1.5),
+      (2L, at(10), 1L, "click", 2.5),
+      (3L, at(45), 1L, "view", 4.0),
+      (4L, at(7), 2L, "view", 8.0)))
+    val got = operators.ScalarFns.queries("event_session")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val t0s = T0.getTime / 1000
+    assert(got == Map(
+      (1L, t0s) -> ((2L, 4.0)),
+      (1L, t0s + 45 * 60) -> ((1L, 4.0)),
+      (2L, t0s + 7 * 60) -> ((1L, 8.0))), s"got $got")
+  }
+
+  test("event_funnel takes the earliest strictly-ordered chain and " +
+      "rejects users whose purchase precedes the click") {
+    val dir = writeEvents(Seq(
+      // user 1 converts: view +0, noise click BEFORE the view at -5
+      // must not count, click +2, a too-early purchase at +1 must not
+      // count, purchase +3
+      (1L, at(0), 1L, "view", 0),
+      (2L, at(-5), 1L, "click", 0),
+      (3L, at(2), 1L, "click", 0),
+      (4L, at(1), 1L, "purchase", 0),
+      (5L, at(3), 1L, "purchase", 0),
+      // user 2 never converts: purchase sits before its only click
+      (6L, at(0), 2L, "view", 0),
+      (7L, at(20), 2L, "click", 0),
+      (8L, at(10), 2L, "purchase", 0),
+      // user 3 has no view at all
+      (9L, at(0), 3L, "click", 0),
+      (10L, at(1), 3L, "purchase", 0)))
+    val got = operators.ScalarFns.queries("event_funnel")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val t0s = T0.getTime / 1000
+    assert(got == Map(
+      1L -> ((t0s, t0s + 2 * 60, t0s + 3 * 60))), s"got $got")
+  }
+}

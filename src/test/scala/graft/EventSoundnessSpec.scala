@@ -47,6 +47,28 @@ class EventSoundnessSpec extends SparkSpec {
       (2L, t0s + 7 * 60) -> ((1L, 8.0))), s"got $got")
   }
 
+  test("event_retention counts day-1 and day-7 returns against the " +
+      "first-purchase cohort day") {
+    def day(d: Int, hour: Int = 9): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-03-${d}%02d $hour%02d:00:00")
+    // users 1,2 cohort on day 1 (first purchase); user 1 returns on
+    // day 2 AND day 8 (any activity counts), user 2 only on day 3;
+    // user 3 never purchases and must not enter any cohort
+    val dir = writeEvents(Seq(
+      (1L, day(1), 1L, "purchase", 0),
+      (2L, day(2), 1L, "view", 0),
+      (3L, day(8), 1L, "click", 0),
+      (4L, day(1, 18), 2L, "purchase", 0),
+      (5L, day(3), 2L, "view", 0),
+      (6L, day(1), 3L, "view", 0),
+      (7L, day(2), 3L, "view", 0)))
+    val got = operators.ScalarFns.queries("event_retention")(spark, dir)
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("2024-03-01" -> ((2L, 1L, 1L))), s"got $got")
+  }
+
   test("event_funnel takes the earliest strictly-ordered chain and " +
       "rejects users whose purchase precedes the click") {
     val dir = writeEvents(Seq(

@@ -50,6 +50,34 @@ object MRLawsProps extends Properties("MRLaws") {
       assoc == full
     }
 
+  property("WeightedMean aggregator equals the exact Scala model and " +
+      "is invariant under repartitioning") = {
+    val rowGen: Gen[List[(String, Int, Int)]] = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 99), Gen.chooseNum(-99, 99)))
+    Prop.forAll(rowGen, Gen.chooseNum(1, 5)) { (rows, parts) =>
+      // cents-scale decimals exercise the exact-sum claim: the
+      // Aggregator's BigDecimal partials must make the result identical
+      // to an unpartitioned exact fold, whatever the partitioning
+      val data = rows.map { case (k, q, p) =>
+        (k, BigDecimal(q) / 100, BigDecimal(p) / 100) }
+      def run(np: Int): Map[String, Double] = {
+        val ds = spark.createDataset(data).repartition(np)
+        ds.groupByKey(_._1)
+          .agg(graft.functions.WeightedMean.toColumn.name("wavg"))
+          .collect().toMap
+      }
+      val model = data.groupMapReduce(_._1)(t => (t._2 * t._3, t._2))(
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+        .view.mapValues(s => s._1.toDouble / s._2.toDouble).toMap
+      val got = run(parts)
+      def same(x: Double, y: Double): Boolean =
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+      got.keySet == model.keySet &&
+        got.forall { case (k, v) => same(v, model(k)) } &&
+        run(1).forall { case (k, v) => same(v, got(k)) }
+    }
+  }
+
   property("keep-first dedup composition selects the lex-min row per key") =
     Prop.forAll(kvGen) { pairs =>
       // the partial-aggregatable min(struct) composition Dedup.exactKeep

@@ -25,8 +25,9 @@ object Bench {
     * stream outliers by inference: the artifact now records the
     * resolved stream checkpoint root (tmpfs vs disk-tmpdir fallback),
     * whether /dev/shm was writable, the 1-minute load average at sweep
-    * start/end (-1.0 where the JVM can't see one), the worker thread
-    * count vs the host's real CPU count, and the heap ceiling.
+    * start/end (-1.0 where the JVM can't see one), the CPU-steal share
+    * of the sweep window (see [[cpuJiffies]]; -1 off-Linux), the worker
+    * thread count vs the host's real CPU count, and the heap ceiling.
     */
   private[graft] def envJson(cpus: String, loadStart: Double,
       loadEnd: Double, steal: Double = -1.0): String = {

@@ -338,9 +338,24 @@ object Sources extends QueryModule {
       tmpfs: java.io.File, fallback: String): String =
     if (tmpfs.isDirectory && tmpfs.canWrite) tmpfs.getPath else fallback
 
+  /** First writable root wins: the explicit `SPARK_GRAFT_STREAM_SCRATCH`
+    * override (a host without writable /dev/shm can point the stream
+    * scratch at whatever tmpfs it DOES have), then /dev/shm, then the
+    * disk tmpdir. An unusable override falls through rather than
+    * failing — the env block's `ckpt_root` records what actually won,
+    * so a mispointed override is visible in the bench artifact.
+    */
+  private[operators] def chooseScratchRoot(overridePath: Option[String],
+      tmpfs: java.io.File, disk: String): String = {
+    val fallback = resolveScratchRoot(tmpfs, disk)
+    overridePath.filter(_.nonEmpty)
+      .map(p => resolveScratchRoot(new java.io.File(p), fallback))
+      .getOrElse(fallback)
+  }
+
   private[operators] lazy val streamScratchRoot: String =
-    resolveScratchRoot(new java.io.File("/dev/shm"),
-      System.getProperty("java.io.tmpdir"))
+    chooseScratchRoot(sys.env.get("SPARK_GRAFT_STREAM_SCRATCH"),
+      new java.io.File("/dev/shm"), System.getProperty("java.io.tmpdir"))
 
   /** Where stream checkpoints actually resolved — tmpfs or the disk
     * tmpdir fallback. Surfaced so the bench artifact can record it: a

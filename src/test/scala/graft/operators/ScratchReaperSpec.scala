@@ -146,6 +146,21 @@ class ScratchReaperSpec extends AnyFunSuite {
         if (!ro.canWrite)
           assert(Sources.resolveScratchRoot(ro, "/fallback") == "/fallback")
       } finally { ro.setWritable(true, false); graft.Fs.rmTree(ro) }
+      // explicit-override precedence: a usable override beats tmpfs; an
+      // unusable or empty one falls through to the tmpfs-then-disk chain
+      val shm = new java.io.File(s"$tmp/graft_root_probe_shm")
+      assert(shm.mkdirs() || shm.isDirectory)
+      try {
+        assert(Sources.chooseScratchRoot(Some(writable.getPath), shm, "/disk")
+          == writable.getPath)
+        assert(Sources.chooseScratchRoot(
+          Some(s"$tmp/graft_root_probe_missing"), shm, "/disk") == shm.getPath)
+        assert(Sources.chooseScratchRoot(Some(""), shm, "/disk") == shm.getPath)
+        assert(Sources.chooseScratchRoot(None, shm, "/disk") == shm.getPath)
+        assert(Sources.chooseScratchRoot(
+          None, new java.io.File(s"$tmp/graft_root_probe_missing"), "/disk")
+          == "/disk")
+      } finally graft.Fs.rmTree(shm)
     } finally graft.Fs.rmTree(writable)
   }
 

@@ -69,6 +69,38 @@ class EventSoundnessSpec extends SparkSpec {
     assert(got == Map("2024-03-01" -> ((2L, 1L, 1L))), s"got $got")
   }
 
+  test("rel_asof_join matches each event to the latest at-or-before " +
+      "order-day rollup, hand-computed") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = writeEvents(Seq(
+      (1L, ts("2024-03-01 12:00:00"), 1L, "view", 0), // after day-1 rollup
+      (2L, ts("2024-03-02 09:00:00"), 1L, "view", 0), // carry day-1 forward
+      (3L, ts("2024-03-03 00:00:00"), 1L, "view", 0), // EXACT tie: at-or-before
+      (4L, ts("2024-02-28 08:00:00"), 1L, "view", 0), // before any order: nulls
+      (5L, ts("2024-03-02 10:00:00"), 2L, "view", 0))) // user with no orders
+    import spark.implicits._
+    Seq(
+      (10L, 1L, "O", 100.0, ts("2024-03-01 00:00:00"), "1-URGENT"),
+      (11L, 1L, "O", 50.0, ts("2024-03-01 00:00:00"), "1-URGENT"),
+      (12L, 1L, "O", 70.0, ts("2024-03-03 00:00:00"), "1-URGENT"),
+      (13L, 3L, "O", 999.0, ts("2024-03-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.RelationalExt.queries("rel_asof_join")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getDate(3)).map(_.toString),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5))))
+      .toMap
+    assert(got == Map(
+      1L -> ((Some("2024-03-01"), 2L, 150.0)),
+      2L -> ((Some("2024-03-01"), 2L, 150.0)),
+      3L -> ((Some("2024-03-03"), 1L, 70.0)),
+      4L -> ((None, -1L, -1.0)),
+      5L -> ((None, -1L, -1.0))), s"got $got")
+  }
+
   test("event_funnel takes the earliest strictly-ordered chain and " +
       "rejects users whose purchase precedes the click") {
     val dir = writeEvents(Seq(

@@ -69,15 +69,24 @@ object Bench {
     * the run window itself.
     */
   private def cpuJiffies: Option[(Long, Long)] = try {
-    val line = java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+    parseCpuLine(java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (total, steal) from an aggregate `cpu ...` /proc/stat line. The
+    * total sums only user..steal (first 8 fields): the kernel already
+    * folds guest/guest_nice into user/nice, so including them would
+    * double-count guest time and deflate steal_pct on exactly the VM
+    * hosts the metric exists to expose.
+    */
+  private[graft] def parseCpuLine(line: String): Option[(Long, Long)] = {
     val parts = line.trim.split("\\s+")
     if (!parts.headOption.contains("cpu")) None
     else {
       val vals = parts.drop(1).flatMap(_.toLongOption)
-      if (vals.length >= 8) Some((vals.sum, vals(7))) else None
+      if (vals.length >= 8) Some((vals.take(8).sum, vals(7))) else None
     }
-  } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Steal share (percent) of the interval between two cpuJiffies
     * snapshots; -1 when either side is unavailable or no time passed.

@@ -46,20 +46,47 @@ object ConnectedComponents {
     */
   val CheckpointDirKey = "spark.graft.cc.checkpointDir"
 
+  /** True when `current` (the SparkContext's checkpoint dir, which
+    * setCheckpointDir stored as `<root>/<uuid>` in SCHEME-QUALIFIED form,
+    * e.g. `file:/tmp/x/<uuid>`) already lives DIRECTLY under the
+    * configured `root`. Both sides are qualified through Hadoop Path
+    * resolution before comparing — a raw string compare never matches
+    * the scheme-qualified stored form (so every round would re-point and
+    * re-UUID), and a bare `startsWith` has no separator boundary (root
+    * `/a/ckpt` would wrongly claim `/a/ckpt-old/<uuid>`). Parent
+    * EQUALITY, not prefix: setCheckpointDir appends exactly one UUID
+    * level, so the current dir's parent must BE the root.
+    */
+  private[graft] def underConfiguredRoot(current: String, root: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Boolean =
+    try {
+      import org.apache.hadoop.fs.Path
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(hadoopConf)
+      val qualifiedRoot = fs.makeQualified(rootPath)
+      fs.makeQualified(new Path(current)).getParent == qualifiedRoot
+    } catch {
+      // unresolvable path/filesystem: claim no match so the caller
+      // re-points — setCheckpointDir then surfaces the real error
+      case scala.util.control.NonFatal(_) => false
+    }
+
   /** Materialize a round and CUT its lineage, per [[CheckpointDirKey]].
     * Both modes are eager: the fixpoint loop frees the previous round's
     * blocks right after, which is only sound once the new round is fully
     * materialized. The SparkContext checkpoint dir is process-global
     * (setCheckpointDir appends a UUID subdir), so it is re-pointed only
-    * when it does not already live under the CONFIGURED root — honoring
-    * a mid-session config change to a new root without resetting (and
+    * when it does not already live under the CONFIGURED root (via
+    * [[underConfiguredRoot]]'s qualified compare) — honoring a
+    * mid-session config change to a new root without resetting (and
     * re-UUID-ing) on every round.
     */
   private def ckptRound(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(CheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        if (!sc.getCheckpointDir.exists(
+            underConfiguredRoot(_, dir, sc.hadoopConfiguration)))
           sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(true)

@@ -453,8 +453,13 @@ object Sources extends QueryModule {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventsSchema.computeIfAbsent(
       d, dir => s.read.parquet(s"$dir/events.parquet").schema)
+    // events*.parquet, not exactly events.parquet: in the fixture dirs
+    // the two match identically (no other events-prefixed file exists),
+    // and the wildcard is what lets StreamRecoverySpec grow the input
+    // between two runs of the SAME pipeline (events.parquet, then
+    // events2.parquet) to prove checkpoint recovery on production code
     val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .option("pathGlobFilter", "events*.parquet").parquet(d)
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr(Tables.nsToMicrosTs))
     else raw
@@ -575,18 +580,19 @@ object Sources extends QueryModule {
     * passed are emitted; the oracle applies the same cutoff in exact
     * microsecond integers.
     */
-  private def streamTumblingAppend(s: SparkSession, d: String): DataFrame =
+  /** One bounded run of the tumbling-append pipeline against whatever
+    * `events*.parquet` files exist under `d` right now, appending
+    * watermark-finalized windows to `base/out` with its checkpoint at
+    * `base/ckpt`. Factored out of [[streamTumblingAppend]] so
+    * StreamRecoverySpec can run THIS code twice over a growing input
+    * dir with the SAME checkpoint — a restart must pick up exactly
+    * where the stopped run left off (no lost windows, no re-emitted
+    * ones), which is the recovery property a production pipeline
+    * relies on and a spec-side pipeline copy could not certify.
+    */
+  private[graft] def runTumblingAppend(s: SparkSession, d: String,
+      base: String): Unit =
     withStreamFanout(s) {
-      // unique per (process, dataset, run) like scratch(): a bare
-      // restarting counter would let two JVMs sharing a tmpdir rmTree
-      // each other's live checkpoint/output mid-run
-      val base = streamScratchRoot +
-        s"/graft_stream_append_${ProcessHandle.current().pid()}" +
-        s"_${graft.Fs.pathTag(d)}" +
-        s"_${streamSeq.incrementAndGet()}"
-      // fresh dirs per run — a bounded replay must not resume a previous
-      // run's checkpoint or re-read its leftover output files
-      graft.Fs.rmTree(new java.io.File(base))
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -599,15 +605,33 @@ object Sources extends QueryModule {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // explicit schema: a replay where no window end crosses the final
-      // watermark commits ZERO files (just _spark_metadata), and a
-      // schema-inferring read would throw instead of returning the empty
-      // frame the oracle computes for that input
-      s.read
-        .schema("bucket BIGINT, event_type STRING, n BIGINT, value_sum DOUBLE")
-        .parquet(s"$base/out")
-        .orderBy("bucket", "event_type")
     }
+
+  /** Read back a [[runTumblingAppend]] sink. Explicit schema: a replay
+    * where no window end crosses the final watermark commits ZERO files
+    * (just _spark_metadata), and a schema-inferring read would throw
+    * instead of returning the empty frame the oracle computes for that
+    * input.
+    */
+  private[graft] def readTumblingAppend(s: SparkSession, base: String): DataFrame =
+    s.read
+      .schema("bucket BIGINT, event_type STRING, n BIGINT, value_sum DOUBLE")
+      .parquet(s"$base/out")
+
+  private def streamTumblingAppend(s: SparkSession, d: String): DataFrame = {
+    // unique per (process, dataset, run) like scratch(): a bare
+    // restarting counter would let two JVMs sharing a tmpdir rmTree
+    // each other's live checkpoint/output mid-run
+    val base = streamScratchRoot +
+      s"/graft_stream_append_${ProcessHandle.current().pid()}" +
+      s"_${graft.Fs.pathTag(d)}" +
+      s"_${streamSeq.incrementAndGet()}"
+    // fresh dirs per run — a bounded replay must not resume a previous
+    // run's checkpoint or re-read its leftover output files
+    graft.Fs.rmTree(new java.io.File(base))
+    runTumblingAppend(s, d, base)
+    readTumblingAppend(s, base).orderBy("bucket", "event_type")
+  }
 
   private val streamTumblingAppendOracle =
     """WITH agg AS (

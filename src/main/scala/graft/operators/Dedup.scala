@@ -114,17 +114,36 @@ object Dedup extends QueryModule {
       // interpreted shingle-building pass runs once per consumer
       val base = tracked(withShingles(documents(s, d)).select("doc_id", "shingles")
         .persist(StorageLevel.MEMORY_AND_DISK))
-      val ex = base.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      val mins = ex
-        .select(col("doc_id") +: (0 until K).map(k =>
-          substring(md5(concat(lit(s"$k|"), col("sh"))), 1, 8).as(s"h$k")): _*)
-        .groupBy("doc_id")
-        .agg(min(s"h0").as("m0"), (1 until K).map(k => min(s"h$k").as(s"m$k")): _*)
-      base.join(mins, "doc_id")
-        .select(col("doc_id"), col("shingles"),
-          array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      sigOf(base).persist(StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** The explode → codegen md5 projection → partial-min pipeline over a
+    * prepared (doc_id, shingles) frame; shared by the memoized corpus
+    * table and the incremental [[signatures]] entry point.
+    */
+  private def sigOf(base: DataFrame): DataFrame = {
+    val ex = base.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins = ex
+      .select(col("doc_id") +: (0 until K).map(k =>
+        substring(md5(concat(lit(s"$k|"), col("sh"))), 1, 8).as(s"h$k")): _*)
+      .groupBy("doc_id")
+      .agg(min(s"h0").as("m0"), (1 until K).map(k => min(s"h$k").as(s"m$k")): _*)
+    base.join(mins, "doc_id")
+      .select(col("doc_id"), col("shingles"),
+        array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
+  }
+
+  /** MinHash signatures for an arbitrary `(doc_id, text, ...)` frame —
+    * the corpus-agnostic core of the memoized signature table, and what
+    * an incremental pipeline runs over each NEW batch before
+    * [[dedupAgainst]]. Same hash family and shape as the corpus table:
+    * `(doc_id, shingles, sig)` with `sig` an array of K 8-hex-char
+    * minhashes, so a signature table written out by one run is joinable
+    * against signatures computed by any later run. Not persisted —
+    * callers with multiple consumers persist (dedupAgainst does).
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    sigOf(withShingles(docs).select("doc_id", "shingles"))
 
   private val minhashSigSqlCols: String =
     (0 until K).map { k =>
@@ -160,13 +179,19 @@ object Dedup extends QueryModule {
     * shows the chaining) and near-dups on representatives; this query
     * keeps per-doc semantics so the DuckDB oracle stays row-comparable.
     */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, band, h) — the banded-LSH bucket keys of a signature
+    * frame; any two docs sharing a (band, h) row are candidates.
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
     val bandHashes = (0 until BANDS).map { b =>
       md5(concat((0 until ROWS_PER_BAND)
         .map(r => element_at(col("sig"), ROWS_PER_BAND * b + r + 1)): _*))
     }
-    val bands = sigTable(s, d)
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "h")))
+    sigs.select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "h")))
+  }
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandsOf(sigTable(s, d))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -411,6 +436,72 @@ object Dedup extends QueryModule {
        |FROM scored
        |WHERE round(inter::DOUBLE / (sza + szb - inter), 6) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- incremental dedup against an existing corpus --------------------
+
+  /** Number of equal minhash positions between two signature columns —
+    * K × the estimated Jaccard.
+    */
+  private def minhashAgreement(a: String, b: String): Column =
+    expr(s"size(filter(zip_with($a, $b, (x, y) -> x = y), v -> v))")
+
+  /** Incremental near-dup dedup: which NEW documents survive against an
+    * already-kept corpus? The missing entry point of the within-corpus
+    * family — a real training pipeline deduplicates each new crawl
+    * against everything already kept, not the union from scratch.
+    *
+    * Semantics (dominance rule): a new doc is DROPPED iff it has an
+    * LSH-candidate match at estimated Jaccard >= `threshold` either in
+    * `corpusSigs` or among the new docs with a SMALLER doc_id; kept
+    * otherwise. Each doc's fate depends only on the pair set — no
+    * sequential keep-chain — so the decision is one banded join + one
+    * anti-join, embarrassingly parallel. It composes exactly: with every
+    * corpus id below every new id,
+    *   dedupAgainst(signatures(A), B)  ==  dominance-dedup(A ∪ B) ∩ B
+    * unconditionally, and ∪ A equals the full-corpus result whenever A
+    * is internally dup-free (both spec'd in DedupIncrementalSpec).
+    *
+    * Scale: `corpusSigs` is the materialized ~100 B/doc signature table
+    * ([[sigTable]] semantics, `(doc_id, sig)` suffices) — the corpus
+    * TEXT is never read. Shuffle keys are band digests and doc_ids; the
+    * within-bucket join touches only same-bucket docs, and the verify is
+    * a per-candidate zip_with over K 8-char strings.
+    *
+    * @return the kept rows of `newDocs`, all columns, order unspecified.
+    */
+  def dedupAgainst(corpusSigs: DataFrame, newDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val newSigs = tracked(signatures(newDocs).select("doc_id", "sig")
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val nb = bandsOf(newSigs)
+    val sn = newSigs.select(col("doc_id").as("new_id"), col("sig").as("sn"))
+    val needed = lit(threshold * K) // est_jaccard >= t  <=>  agreement >= t*K
+
+    // new docs colliding with the corpus in any band, verified
+    val dupOfCorpus = nb.as("n")
+      .join(bandsOf(corpusSigs.select("doc_id", "sig")).as("c"),
+        col("n.band") === col("c.band") && col("n.h") === col("c.h"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("old_id"))
+      .distinct()
+      .join(sn, "new_id")
+      .join(corpusSigs.select(col("doc_id").as("old_id"), col("sig").as("so")), "old_id")
+      .filter(minhashAgreement("sn", "so").cast("double") >= needed)
+      .select(col("new_id").as("doc_id"))
+
+    // new docs dominated by an earlier (smaller-id) near-dup new doc
+    val dupOfEarlier = nb.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("earlier_id"), col("b.doc_id").as("new_id"))
+      .distinct()
+      .join(sn, "new_id")
+      .join(newSigs.select(col("doc_id").as("earlier_id"), col("sig").as("se")),
+        "earlier_id")
+      .filter(minhashAgreement("sn", "se").cast("double") >= needed)
+      .select(col("new_id").as("doc_id"))
+
+    newDocs.join(dupOfCorpus.union(dupOfEarlier).distinct(), Seq("doc_id"), "left_anti")
+  }
 
   // ---- connected-components duplicate clusters ------------------------
 

@@ -388,31 +388,11 @@ object RelationalExt extends QueryModule {
         s.sql(s"DROP TABLE IF EXISTS $t")
         graft.Fs.rmTree(new java.io.File(wh, t.toLowerCase))
       }
-      // Migration sweep, r5→r7, SCHEDULED FOR RETIREMENT: pre-r5 JVMs
-      // named these tables with a DECIMAL hashCode suffix ((d.hashCode
-      // & 0x7fffffff).toString, ≤10 digits) where the current tag is
-      // exactly 12 hex chars — the per-name cleanup above never matches
-      // the old names, so a shared warehouse dir would keep those
-      // orphans forever. The ≤10-all-digit shape cannot collide with any
-      // CURRENT-format name, so same-version JVMs are never harmed; a
-      // still-RUNNING pre-r5 JVM sharing the warehouse is the one party
-      // with a stake, so each candidate must also be mtime-quiet for
-      // [[Sources.REAP_QUIET_MS]] (same guard as the scratch reaper) —
-      // a live pre-r5 writer is mid-write, an orphan just ages into
-      // eligibility. Every removal is logged; per the r6 review the
-      // whole block is DELETED next round if the log stayed silent
-      // (by r7 any surviving pre-r5 orphan is two rounds stale).
-      val oldFormat = "graft_(?:orders|cust)_b_\\d{1,10}".r
-      val quietCutoff = System.currentTimeMillis() - Sources.REAP_QUIET_MS
-      Option(new java.io.File(wh).listFiles).foreach(_.foreach { f =>
-        if (oldFormat.matches(f.getName) &&
-            !java.nio.file.Files.isSymbolicLink(f.toPath) &&
-            f.lastModified < quietCutoff) {
-          System.err.println(
-            s"[graft] migration sweep: removing pre-r5 bucketed-table orphan ${f.getName}")
-          graft.Fs.rmTree(f)
-        }
-      })
+      // The pre-r5 decimal-suffix migration sweep (r5→r7) was RETIRED
+      // in r8 as scheduled: its removal log stayed silent for a full
+      // round, so no orphaned old-format table dirs exist anywhere this
+      // code runs, and a sweep that scans a possibly-shared warehouse
+      // forever is pure residual risk once its targets are gone.
       orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").bucketBy(BUCKETS, "o_custkey").sortBy("o_custkey")
         .format("parquet").saveAsTable(ot)

@@ -446,20 +446,22 @@ object Sources extends QueryModule {
     * stream and its batch oracle cannot disagree on boundary
     * timestamps.
     */
-  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+  private def streamEvents(s: SparkSession, d: String,
+      glob: String = "events.parquet"): DataFrame = {
     // same defensive conf as Tables.events: without it the NANOS
     // column makes the schema probe itself throw on a driver session
     // whose builder omitted the flag
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventsSchema.computeIfAbsent(
       d, dir => s.read.parquet(s"$dir/events.parquet").schema)
-    // events*.parquet, not exactly events.parquet: in the fixture dirs
-    // the two match identically (no other events-prefixed file exists),
-    // and the wildcard is what lets StreamRecoverySpec grow the input
-    // between two runs of the SAME pipeline (events.parquet, then
-    // events2.parquet) to prove checkpoint recovery on production code
+    // default glob is EXACTLY events.parquet — the same file the batch
+    // loader and the DuckDB oracle read, so a stray events-prefixed
+    // file in a dataset dir can never make the stream silently diverge
+    // from its batch twin. Only StreamRecoverySpec widens it (to
+    // events*.parquet) so a second input file can appear between two
+    // runs of the SAME pipeline to prove checkpoint recovery.
     val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events*.parquet").parquet(d)
+      .option("pathGlobFilter", glob).parquet(d)
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr(Tables.nsToMicrosTs))
     else raw
@@ -580,20 +582,22 @@ object Sources extends QueryModule {
     * passed are emitted; the oracle applies the same cutoff in exact
     * microsecond integers.
     */
-  /** One bounded run of the tumbling-append pipeline against whatever
-    * `events*.parquet` files exist under `d` right now, appending
+  /** One bounded run of the tumbling-append pipeline against the
+    * `glob`-matched files under `d` right now, appending
     * watermark-finalized windows to `base/out` with its checkpoint at
     * `base/ckpt`. Factored out of [[streamTumblingAppend]] so
     * StreamRecoverySpec can run THIS code twice over a growing input
     * dir with the SAME checkpoint — a restart must pick up exactly
     * where the stopped run left off (no lost windows, no re-emitted
     * ones), which is the recovery property a production pipeline
-    * relies on and a spec-side pipeline copy could not certify.
+    * relies on and a spec-side pipeline copy could not certify. The
+    * glob defaults to the exact batch-twin file; only the recovery
+    * spec widens it so the input can GROW between runs.
     */
   private[graft] def runTumblingAppend(s: SparkSession, d: String,
-      base: String): Unit =
+      base: String, glob: String = "events.parquet"): Unit =
     withStreamFanout(s) {
-      val q = streamEvents(s, d)
+      val q = streamEvents(s, d, glob)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),

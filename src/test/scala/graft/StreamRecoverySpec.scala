@@ -101,17 +101,20 @@ class StreamRecoverySpec extends SparkSpec {
     val single = new File(baseRoot, "single")
     try {
       writeEventsFile(phase1, new File(input, "events.parquet"))
-      operators.Sources.runTumblingAppend(spark, input.getPath, twoPhase.getPath)
+      operators.Sources.runTumblingAppend(spark, input.getPath, twoPhase.getPath,
+        glob = "events*.parquet")
       assert(sink(twoPhase) == expectedAfterStop.sorted,
         "stopped run emitted the wrong prefix — stop point is not where the timeline plants it")
 
       writeEventsFile(phase2, new File(input, "events2.parquet"))
       // SAME checkpoint dir — this is the restart
-      operators.Sources.runTumblingAppend(spark, input.getPath, twoPhase.getPath)
+      operators.Sources.runTumblingAppend(spark, input.getPath, twoPhase.getPath,
+        glob = "events*.parquet")
       val recovered = sink(twoPhase)
 
       // single-run reference: fresh checkpoint over the final input
-      operators.Sources.runTumblingAppend(spark, input.getPath, single.getPath)
+      operators.Sources.runTumblingAppend(spark, input.getPath, single.getPath,
+        glob = "events*.parquet")
       assert(recovered == sink(single),
         "restart from checkpoint diverged from the single-run result")
       assert(recovered == expectedFinal.sorted,

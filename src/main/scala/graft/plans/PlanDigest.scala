@@ -39,25 +39,42 @@ object PlanDigest {
     * disabled for the plan materialization so the prepared tree is the
     * planner's static answer (AQE's runtime re-plan is driven by live
     * shuffle stats and has no stable static form to snapshot).
+    *
+    * The AQE-off scope covers the WHOLE pass — construction included —
+    * not just each `executedPlan` forcing. Construction eagerly
+    * materializes the modules' persisted intermediates (the CC loop,
+    * the signature tables), and `InMemoryRelation` compiles its
+    * physical plan lazily at FIRST access: whichever conf is live at
+    * that moment decides whether the cached plan is AQE-wrapped, which
+    * decides its advertised output partitioning, which decides whether
+    * downstream exchanges elide. Scoping the pass end to end (plus the
+    * caller resetting module memos first — see `PlanDigestSpec`) makes
+    * that first-force moment the same in every context, so the digest
+    * is a function of code + data alone, not of suite history.
     */
-  def all(s: SparkSession, sfDir: String): SortedMap[String, Seq[String]] = {
+  def all(s: SparkSession, sfDir: String): SortedMap[String, Seq[String]] = withAqeOff(s) {
     val entries = digestableQueries.map { name =>
       name -> digest(s, graft.SparkEntry.queries(name)(s, sfDir))
     }
     SortedMap(entries: _*)
   }
 
-  def digest(s: SparkSession, df: DataFrame): Seq[String] = {
+  private def withAqeOff[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.adaptive.enabled"
     val old = s.conf.getOption(key)
     s.conf.set(key, "false")
-    // executedPlan is lazy and reads the session conf when first
-    // forced, which happens inside this scope
-    val plan = try df.queryExecution.executedPlan
+    try body
     finally old match {
       case Some(v) => s.conf.set(key, v)
       case None    => s.conf.unset(key)
     }
+  }
+
+  def digest(s: SparkSession, df: DataFrame): Seq[String] = {
+    // executedPlan is lazy and reads the session conf when first
+    // forced, which happens inside this scope (nesting under all()'s
+    // scope is idempotent)
+    val plan = withAqeOff(s)(df.queryExecution.executedPlan)
     val out = Seq.newBuilder[String]
     def walk(p: SparkPlan, depth: Int): Unit = {
       out += ("  " * depth) + clean(summary(p))
@@ -86,7 +103,11 @@ object PlanDigest {
       s"${j.nodeName} ${j.joinType}"
     case e: ShuffleExchangeExec =>
       val part = e.outputPartitioning match {
-        case h: HashPartitioning  => s"hash(${h.expressions.mkString(", ")})"
+        // the expression SET is the strategy fact; the planner's ordering
+        // of count-distinct Expand keys follows JVM-global expression-id
+        // state and reorders when other suites ran first in the session
+        case h: HashPartitioning =>
+          s"hash(${h.expressions.map(x => clean(x.toString)).sorted.mkString(", ")})"
         case r: RangePartitioning => s"range(${r.ordering.mkString(", ")})"
         case SinglePartition      => "single"
         case other                => other.getClass.getSimpleName

@@ -15,6 +15,26 @@ class PlanDigestSpec extends SparkSpec {
   private val snapshot = java.nio.file.Paths.get("PLAN_DIGEST.json")
 
   test("prepared plans match the committed PLAN_DIGEST.json snapshot") {
+    // suites share one session; frames cached by earlier suites would be
+    // substituted into these plans (InMemoryTableScan, stats-flipped
+    // build sides). Catalog clearCache alone is NOT enough: the modules
+    // memoize their persisted intermediates (Dedup's signature table),
+    // so an unpersisted-but-memoized frame would be reused and the
+    // digest would LOSE the InMemoryTableScan the fresh-JVM snapshot
+    // has. Reset memos + cache to the fresh-JVM state on both sides.
+    freshCacheState()
+    try snapshotCheck()
+    finally freshCacheState()
+  }
+
+  private def freshCacheState(): Unit = {
+    operators.Dedup.clearCaches()
+    operators.RelationalExt.clearCaches()
+    operators.Similarity.clearCaches()
+    spark.catalog.clearCache()
+  }
+
+  private def snapshotCheck(): Unit = {
     val current = plans.PlanDigest.all(spark, sfDir)
     if (sys.env.get("SPARK_GRAFT_UPDATE_PLAN_DIGEST").contains("1")) {
       plans.PlanDigest.write(snapshot, current)

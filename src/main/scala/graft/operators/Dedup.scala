@@ -4,6 +4,8 @@ import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators over `documents` — the LLM-pipeline north star.
@@ -473,6 +475,18 @@ object Dedup extends QueryModule {
       threshold: Double = 0.5): DataFrame = {
     val newSigs = tracked(signatures(newDocs).select("doc_id", "sig")
       .persist(StorageLevel.MEMORY_AND_DISK))
+    dedupAgainstSigs(corpusSigs, newDocs, newSigs, threshold)
+  }
+
+  /** [[dedupAgainst]] with the new batch's signatures supplied by the
+    * caller, who owns their persist lifecycle — the batch API above
+    * parks them in the module registry (released by `clearCaches`),
+    * while the per-micro-batch streaming path must unpersist them as
+    * soon as the batch's writes land or a long-running stream would
+    * accumulate one pinned frame per trigger.
+    */
+  private def dedupAgainstSigs(corpusSigs: DataFrame, newDocs: DataFrame,
+      newSigs: DataFrame, threshold: Double): DataFrame = {
     val nb = bandsOf(newSigs)
     val sn = newSigs.select(col("doc_id").as("new_id"), col("sig").as("sn"))
     val needed = lit(threshold * K) // est_jaccard >= t  <=>  agreement >= t*K
@@ -502,6 +516,87 @@ object Dedup extends QueryModule {
 
     newDocs.join(dupOfCorpus.union(dupOfEarlier).distinct(), Seq("doc_id"), "left_anti")
   }
+
+  // ---- streaming incremental dedup ------------------------------------
+
+  /** On-disk signature-table schema: the [[signatures]] columns plus the
+    * micro-batch id that wrote the row (partition column, so a replayed
+    * trigger overwrites exactly its own output).
+    */
+  val sigTableSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", ArrayType(StringType)),
+    StructField("ingest_batch", LongType)))
+
+  /** Seed (or rebuild) the on-disk corpus signature table consumed by
+    * [[incrementalDedupStream]] from the already-kept corpus documents;
+    * seed rows carry `ingest_batch = -1` so no replayed stream trigger
+    * can ever dynamic-overwrite them.
+    */
+  def writeSignatureTable(corpusDocs: DataFrame, sigDir: String): Unit =
+    signatures(corpusDocs).select("doc_id", "sig")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(sigDir)
+
+  private def readSignatureTable(s: SparkSession, sigDir: String): DataFrame =
+    s.read.schema(sigTableSchema).parquet(sigDir)
+
+  /** Streaming incremental dedup — the crawl-ingest shape of
+    * [[dedupAgainst]]. Each micro-batch of NEW documents is deduplicated
+    * (within the batch, and against the on-disk signature table at
+    * `sigDir`), the survivors land in `keptDir`, and their signatures are
+    * APPENDED to `sigDir` — so the next micro-batch dedups against the
+    * corpus PLUS everything kept so far, without recomputing a single
+    * historical signature. This is the Structured Streaming idiom for a
+    * stream-vs-evolving-static join: the LSH band join, candidate
+    * verify, and anti-join cannot run as one stateless stream-static
+    * plan (the per-doc "any verified match" decision needs a stream-side
+    * aggregation), so `foreachBatch` runs the full BATCH operator per
+    * trigger — same code, same dominance semantics, corpus refreshed by
+    * re-listing `sigDir` each batch.
+    *
+    * Failure contract: `foreachBatch` replays a failed trigger with the
+    * SAME batch id, and both writes are dynamic partition overwrites of
+    * their `ingest_batch=<id>` partition — a replay rewrites exactly its
+    * own output, so the sink and signature table are idempotent under
+    * at-least-once delivery (the checkpoint at `checkpointDir` carries
+    * the source offsets). Scale: per trigger this shuffles band digests
+    * and doc_ids of the NEW batch only; the corpus side is the ~100 B/doc
+    * signature table, never corpus text.
+    *
+    * @param newDocs STREAMING frame with at least (doc_id, text)
+    * @return the started query; callers own awaitTermination/stop
+    */
+  def incrementalDedupStream(newDocs: DataFrame, sigDir: String,
+      keptDir: String, checkpointDir: String, threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newDocs.writeStream
+      .queryName("graft_incremental_dedup")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val corpus = readSignatureTable(s, sigDir).select("doc_id", "sig")
+        val newSigs = signatures(batch).select("doc_id", "sig")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val kept = dedupAgainstSigs(corpus, batch, newSigs, threshold)
+          .withColumn("ingest_batch", lit(batchId))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(keptDir)
+          // only the KEPT docs' signatures join the corpus: a dropped
+          // doc's keeper is already in the table, and near-dup chains
+          // must not extend through dropped members
+          newSigs.join(kept.select("doc_id"), "doc_id")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(sigDir)
+        } finally { kept.unpersist(); newSigs.unpersist(); () }
+      }
+      .start()
 
   // ---- connected-components duplicate clusters ------------------------
 

@@ -598,6 +598,49 @@ object Dedup extends QueryModule {
       }
       .start()
 
+  /** Offline maintenance for the [[incrementalDedupStream]] signature
+    * table: fold every per-trigger `ingest_batch=<id>` partition back
+    * into the seed partition (`ingest_batch = -1`), rewritten as
+    * `targetFiles` parquet files. Without this a long-lived crawl ingest
+    * accrues one partition directory per micro-batch forever, so the
+    * per-trigger corpus re-list in the stream (and every [[dedupAgainst]]
+    * reader) pays O(completed triggers) file-listing cost and the table
+    * degrades into tiny files at crawl scale; compaction bounds both at a
+    * constant the operator chooses (~100 B/doc rows, so 32 files carries
+    * billions of documents).
+    *
+    * MUST run while no stream is writing `sigDir`, and only once the
+    * stream checkpoint has committed every folded batch: a committed
+    * trigger never replays, so erasing its partition identity is safe,
+    * whereas folding an UNCOMMITTED batch would let its replay append a
+    * second copy of those signatures beside the compacted one. The
+    * rewrite stages into `<sigDir>_compact_tmp` and swaps via two
+    * renames; a crash between them leaves the previous table intact
+    * under `<sigDir>_compact_old` (and the call refuses to start while
+    * either sibling exists), so no crash point yields a half-table
+    * readable as truth.
+    */
+  def compactSignatureTable(s: SparkSession, sigDir: String,
+      targetFiles: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(sigDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(sigDir + "_compact_tmp")
+    val old = new Path(sigDir + "_compact_old")
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"leftover $tmp or $old from an interrupted compaction — restore or remove it first")
+    readSignatureTable(s, sigDir).select("doc_id", "sig")
+      .repartition(targetFiles)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(tmp.toString)
+    if (!fs.rename(dir, old))
+      sys.error(s"compaction swap failed: rename $dir -> $old")
+    if (!fs.rename(tmp, dir))
+      sys.error(s"compaction swap failed after staging: previous table preserved at $old")
+    fs.delete(old, true)
+    ()
+  }
+
   // ---- connected-components duplicate clusters ------------------------
 
   /** Transitive near-dup CLUSTERS: connected components over the

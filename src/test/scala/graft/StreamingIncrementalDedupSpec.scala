@@ -133,6 +133,52 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     } finally Fs.rmTree(root)
   }
 
+  test("signature-table compaction folds batch partitions into the seed, " +
+      "bounds file count, and leaves dedup behavior unchanged") {
+    import operators.Dedup.{compactSignatureTable, dedupAgainst, signatures, writeSignatureTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_sigcompact_").toFile
+    val sig = new File(root, "sig")
+    try {
+      // accumulated state after two committed triggers: seed + per-batch
+      // signature partitions, exactly the layout the stream leaves behind
+      writeSignatureTable(corpusA, sig.toString)
+      val kept0 = docs(Seq(13L -> words("ff").mkString(" "), 14L -> words("gg").mkString(" ")))
+      val kept1 = docs(Seq(24L -> words("hh").mkString(" ")))
+      Seq(kept0 -> 0L, kept1 -> 1L).foreach { case (df, b) =>
+        signatures(df).select("doc_id", "sig")
+          .withColumn("ingest_batch", lit(b))
+          .write.mode("append").partitionBy("ingest_batch").parquet(sig.toString)
+      }
+      val before = spark.read.parquet(sig.toString)
+        .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+      compactSignatureTable(spark, sig.toString, targetFiles = 2)
+
+      // same (doc_id, sig) content, all rows folded into the seed partition
+      val compacted = spark.read.parquet(sig.toString)
+      assert(compacted.select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap == before)
+      assert(compacted.select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq == Seq(-1L))
+      // layout bounded: one partition dir, at most targetFiles parquet files
+      val partDirs = Option(sig.listFiles).toSeq.flatten.filter(_.isDirectory)
+      assert(partDirs.map(_.getName) == Seq("ingest_batch=-1"))
+      assert(partDirs.head.listFiles.count(_.getName.endsWith(".parquet")) <= 2)
+      // no staging debris survives a clean compaction
+      assert(Option(root.listFiles).toSeq.flatten.map(_.getName).sorted == Seq("sig"))
+
+      // dedup semantics against the compacted table are unchanged:
+      // a copy of kept-13 and of kept-24 drop, a genuinely new doc stays
+      val probe = docs(Seq(
+        31L -> words("ff").mkString(" "),
+        32L -> words("hh").mkString(" "),
+        33L -> words("kk").mkString(" ")))
+      val kept = dedupAgainst(
+        spark.read.parquet(sig.toString).select("doc_id", "sig"), probe)
+      assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(33L))
+    } finally Fs.rmTree(root)
+  }
+
   test("streaming result equals the sequential batch dedupAgainst " +
       "composition it promises") {
     import operators.Dedup.{dedupAgainst, signatures}

@@ -176,6 +176,15 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       val kept = dedupAgainst(
         spark.read.parquet(sig.toString).select("doc_id", "sig"), probe)
       assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(33L))
+
+      // crash-safety contract: leftover staging siblings block a new run
+      // (an interrupted swap must be resolved by a human, never clobbered)
+      val old = new File(root, "sig_compact_old")
+      old.mkdirs()
+      val e = intercept[IllegalArgumentException](
+        compactSignatureTable(spark, sig.toString, targetFiles = 2))
+      assert(e.getMessage.contains("interrupted compaction"))
+      Fs.rmTree(old)
     } finally Fs.rmTree(root)
   }
 

@@ -517,6 +517,53 @@ object Dedup extends QueryModule {
     newDocs.join(dupOfCorpus.union(dupOfEarlier).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Driver-gated exercise of [[dedupAgainst]] on the standard tables:
+    * even doc_ids play the already-kept corpus, odd doc_ids the incoming
+    * crawl batch, and the result is the batch's survivors. Both signature
+    * sides are parity filters over the memoized [[sigTable]] — a per-doc
+    * signature doesn't depend on what else is in the corpus, so slicing
+    * the shared table IS computing each side's signatures, without a
+    * second shingle pass.
+    */
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val sigs = sigTable(s, d).select("doc_id", "sig")
+    val fresh = documents(s, d).filter(col("doc_id") % 2 === 1)
+    dedupAgainstSigs(
+      sigs.filter(col("doc_id") % 2 === 0), fresh,
+      sigs.filter(col("doc_id") % 2 === 1), threshold = 0.5)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[incrementalDedup]]'s dominance rule, phrased over
+    * the all-docs candidate-pair CTE: an odd (new) doc is dropped iff a
+    * verified pair (agreement >= t·K) links it to an even (corpus) doc —
+    * either side of the pair — or to a SMALLER odd doc (`doc_a < doc_b`
+    * in `pairs`, so that's exactly the `doc_b % 2 = 1` branch). A larger
+    * odd partner never drops a doc, hence the `doc_b % 2 = 0` guard on
+    * the second branch.
+    */
+  private def incrementalDedupOracle: String = {
+    val matches = (0 until K)
+      .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shinglesCte,
+       |$candidatePairsCte,
+       |verified AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sig sa ON doc_a = sa.doc_id
+       |  JOIN sig sb ON doc_b = sb.doc_id
+       |  WHERE ($matches) >= ${(0.5 * K).toInt}),
+       |dropped AS (
+       |  SELECT doc_b AS new_id FROM verified WHERE doc_b % 2 = 1
+       |  UNION
+       |  SELECT doc_a AS new_id FROM verified
+       |  WHERE doc_a % 2 = 1 AND doc_b % 2 = 0)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- streaming incremental dedup ------------------------------------
 
   /** On-disk signature-table schema: the [[signatures]] columns plus the
@@ -772,6 +819,7 @@ object Dedup extends QueryModule {
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_cc"            -> ccClusters _,
+    "dedup_incremental"   -> incrementalDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -790,5 +838,6 @@ object Dedup extends QueryModule {
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_jaccard_pairs" -> jaccardOracle,
     "dedup_cc"            -> ccClustersOracle,
+    "dedup_incremental"   -> incrementalDedupOracle,
   )
 }

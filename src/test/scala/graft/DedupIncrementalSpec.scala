@@ -104,6 +104,23 @@ class DedupIncrementalSpec extends SparkSpec {
     assert((incremental union Set(1L, 2L, 3L, 4L, 5L)) == fromScratch)
   }
 
+  test("registry query dedup_incremental == dedupAgainst on the parity " +
+      "split, i.e. slicing the shared signature table is semantics-" +
+      "preserving") {
+    val d = "/root/testdata/sf0.001"
+    val viaRegistry = SparkEntry.queries("dedup_incremental")(spark, d)
+    val docs = Tables.documents(spark, d)
+    val direct = operators.Dedup.dedupAgainst(
+        operators.Dedup.signatures(docs.filter(col("doc_id") % 2 === 0))
+          .select("doc_id", "sig"),
+        docs.filter(col("doc_id") % 2 === 1))
+      .select("doc_id", "lang", "n_chars")
+    assert(viaRegistry.count() > 0, "parity split must keep some odd docs")
+    assert(viaRegistry.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaRegistry).isEmpty,
+      "registry query and direct dedupAgainst must agree row-for-row")
+  }
+
   test("threshold is honored: at threshold 1.0 only exact signature " +
       "matches drop") {
     val corpusSigs = operators.Dedup.signatures(corpusA).select("doc_id", "sig")

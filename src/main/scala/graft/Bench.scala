@@ -107,6 +107,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // JVM (not ICU) case mappings: identical for this ASCII corpus and
       // for DuckDB, and avoids a multi-minute one-time ICU table build

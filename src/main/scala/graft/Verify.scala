@@ -21,6 +21,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // see Bench: ASCII-identical, avoids a minutes-long ICU one-time init
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.warehouse.dir",

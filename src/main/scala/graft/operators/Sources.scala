@@ -448,10 +448,11 @@ object Sources extends QueryModule {
     */
   private def streamEvents(s: SparkSession, d: String,
       glob: String = "events.parquet"): DataFrame = {
-    // same defensive conf as Tables.events: without it the NANOS
-    // column makes the schema probe itself throw on a driver session
-    // whose builder omitted the flag
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same defensive confs as Tables.table: without them the schema
+    // probe itself throws (NANOS) or infers TIMESTAMP_NTZ (naive
+    // MICROS), which watermarks reject, on a driver session whose
+    // builder omitted the flags
+    graft.Tables.tsCompatConfs(s)
     val schema = eventsSchema.computeIfAbsent(
       d, dir => s.read.parquet(s"$dir/events.parquet").schema)
     // default glob is EXACTLY events.parquet — the same file the batch
@@ -462,9 +463,17 @@ object Sources extends QueryModule {
     // runs of the SAME pipeline to prove checkpoint recovery.
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(d)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr(Tables.nsToMicrosTs))
-    else raw
+    raw.schema("ts").dataType match {
+      // legacy TIMESTAMP(NANOS) fixtures arrive as longs — same ns→µs
+      // floor as the batch loader
+      case LongType => raw.withColumn("ts", expr(Tables.nsToMicrosTs))
+      // Spark-written NTZ schemas bypass the inference flag (it only
+      // governs inference); cast to an instant like Tables.ntzToInstant
+      // so watermarks — which reject NTZ — keep working
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Streaming exact dedup: first occurrence per (user_id, event_type)

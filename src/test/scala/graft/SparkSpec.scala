@@ -17,6 +17,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // see Bench: ASCII-identical, avoids a minutes-long ICU one-time init
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.warehouse.dir",

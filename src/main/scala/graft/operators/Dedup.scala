@@ -469,6 +469,16 @@ object Dedup extends QueryModule {
     * within-bucket join touches only same-bucket docs, and the verify is
     * a per-candidate zip_with over K 8-char strings.
     *
+    * Persist lifecycle (decision, round 9): this convenience overload
+    * computes the new batch's signatures itself and PARKS the persisted
+    * frame in the module registry until [[graft.QueryModule.clearCaches]]
+    * — correct for the driver lifecycle (one Verify/Bench run, one
+    * release), but a long-lived interactive session calling it in a loop
+    * accumulates one pinned ~100 B/doc frame per call. Loop callers
+    * (REPLs, per-trigger streaming) must use [[dedupAgainstSigs]] and
+    * own the persist/unpersist themselves, exactly as
+    * [[incrementalDedupStream]] does per micro-batch.
+    *
     * @return the kept rows of `newDocs`, all columns, order unspecified.
     */
   def dedupAgainst(corpusSigs: DataFrame, newDocs: DataFrame,
@@ -479,14 +489,20 @@ object Dedup extends QueryModule {
   }
 
   /** [[dedupAgainst]] with the new batch's signatures supplied by the
-    * caller, who owns their persist lifecycle — the batch API above
-    * parks them in the module registry (released by `clearCaches`),
-    * while the per-micro-batch streaming path must unpersist them as
-    * soon as the batch's writes land or a long-running stream would
-    * accumulate one pinned frame per trigger.
+    * caller, who owns their persist lifecycle — the loop-safe form: the
+    * batch API above parks them in the module registry (released by
+    * `clearCaches`), while a caller issuing many dedup rounds on one
+    * session (notably the per-micro-batch streaming path) must unpersist
+    * them as soon as the batch's writes land or a long-running stream
+    * would accumulate one pinned frame per trigger.
+    *
+    * `newSigs` must be `signatures(newDocs).select("doc_id", "sig")` (or
+    * a slice of a persisted signature table covering exactly `newDocs`'s
+    * doc_ids) — the dominance verdicts join it back to `newDocs` by
+    * doc_id.
     */
-  private def dedupAgainstSigs(corpusSigs: DataFrame, newDocs: DataFrame,
-      newSigs: DataFrame, threshold: Double): DataFrame = {
+  def dedupAgainstSigs(corpusSigs: DataFrame, newDocs: DataFrame,
+      newSigs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val nb = bandsOf(newSigs)
     val sn = newSigs.select(col("doc_id").as("new_id"), col("sig").as("sn"))
     val needed = lit(threshold * K) // est_jaccard >= t  <=>  agreement >= t*K
@@ -575,18 +591,87 @@ object Dedup extends QueryModule {
     StructField("sig", ArrayType(StringType)),
     StructField("ingest_batch", LongType)))
 
+  /** Parameter stamp persisted beside every signature table. A signature
+    * is only comparable to another computed with the SAME K, banding and
+    * shingle recipe — agreement compares minhash positions positionally —
+    * so if a library upgrade changes any of these, every existing sigDir
+    * would silently mis-dedup forever (a crawl pipeline keeps signature
+    * tables for months). The stamp makes that failure loud: writers
+    * record it, readers refuse a mismatch. The string is canonical (field
+    * order fixed, no whitespace), so equality of the serialized form IS
+    * equality of the parameters.
+    */
+  private[graft] val sigTableMeta: String =
+    s"""{"format":1,"k":$K,"bands":$BANDS,"shingle":"lower-alpha-word-3gram-distinct","schema":"doc_id bigint, sig array<string>, ingest_batch bigint"}"""
+
+  private val META_FILE = "_graft_meta.json"
+
+  private def hadoopFs(s: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** FS for the meta sidecar: the raw layer when the FS is checksummed
+    * (local/testing), else the FS itself (HDFS/object stores). The stamp
+    * is human-patchable by contract — the unstamped-table remedy says
+    * "write this file by hand" — so it must not drag a .crc twin that
+    * turns a hand edit into a ChecksumException instead of the readable
+    * mismatch error.
+    */
+  private def metaFs(fs: org.apache.hadoop.fs.FileSystem) = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
+  /** Stamp `dir` (underscore-prefixed, so parquet readers ignore it). */
+  private def writeMeta(s: SparkSession, dir: String): Unit = {
+    val (fs0, p) = hadoopFs(s, dir)
+    val out = metaFs(fs0).create(new org.apache.hadoop.fs.Path(p, META_FILE), true)
+    try out.write(sigTableMeta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Refuse to read a signature table whose stamp is absent or differs
+    * from this build's parameters — the readable-error contract: the
+    * message carries both stamps (or the exact sidecar to write after
+    * manually verifying an unstamped pre-round-9 table).
+    */
+  private def checkMeta(s: SparkSession, dir: String): Unit = {
+    val (fs0, p) = hadoopFs(s, dir)
+    val fs = metaFs(fs0)
+    val metaPath = new org.apache.hadoop.fs.Path(p, META_FILE)
+    if (!fs.exists(metaPath))
+      sys.error(s"signature table $dir has no $META_FILE parameter stamp: " +
+        "either it was not written by writeSignatureTable/compactSignatureTable, " +
+        "or it predates stamping. Re-seed it, or — after verifying it was built " +
+        s"with exactly these parameters — stamp it with a $META_FILE containing: " +
+        sigTableMeta)
+    val in = fs.open(metaPath)
+    val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (found != sigTableMeta)
+      sys.error(s"signature table $dir was built with different parameters " +
+        s"and would silently mis-dedup if used: its stamp is\n  $found\n" +
+        s"but this build requires\n  $sigTableMeta\nRe-seed the table " +
+        "(writeSignatureTable) with the current parameters.")
+  }
+
   /** Seed (or rebuild) the on-disk corpus signature table consumed by
     * [[incrementalDedupStream]] from the already-kept corpus documents;
     * seed rows carry `ingest_batch = -1` so no replayed stream trigger
-    * can ever dynamic-overwrite them.
+    * can ever dynamic-overwrite them. The directory is stamped with
+    * [[sigTableMeta]]; every reader checks it.
     */
-  def writeSignatureTable(corpusDocs: DataFrame, sigDir: String): Unit =
+  def writeSignatureTable(corpusDocs: DataFrame, sigDir: String): Unit = {
     signatures(corpusDocs).select("doc_id", "sig")
       .withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch").parquet(sigDir)
+    writeMeta(corpusDocs.sparkSession, sigDir)
+  }
 
-  private def readSignatureTable(s: SparkSession, sigDir: String): DataFrame =
+  private[graft] def readSignatureTable(s: SparkSession, sigDir: String): DataFrame = {
+    checkMeta(s, sigDir)
     s.read.schema(sigTableSchema).parquet(sigDir)
+  }
 
   /** Streaming incremental dedup — the crawl-ingest shape of
     * [[dedupAgainst]]. Each micro-batch of NEW documents is deduplicated
@@ -660,26 +745,66 @@ object Dedup extends QueryModule {
     * stream checkpoint has committed every folded batch: a committed
     * trigger never replays, so erasing its partition identity is safe,
     * whereas folding an UNCOMMITTED batch would let its replay append a
-    * second copy of those signatures beside the compacted one. The
-    * rewrite stages into `<sigDir>_compact_tmp` and swaps via two
-    * renames; a crash between them leaves the previous table intact
-    * under `<sigDir>_compact_old` (and the call refuses to start while
-    * either sibling exists), so no crash point yields a half-table
-    * readable as truth.
+    * second copy of those signatures beside the compacted one. That
+    * precondition is MECHANIZED, not operator-trust: `checkpointDir` must
+    * be the SAME checkpoint location the [[incrementalDedupStream]] call
+    * writing `sigDir` uses (they are a pair — one checkpoint owns one
+    * signature table), and the call reads its `commits/` log and refuses
+    * to fold any `ingest_batch` partition newer than the max committed
+    * batch id — exactly the window where a crash-stopped stream replays.
+    *
+    * The rewrite stages into `<sigDir>_compact_tmp` and swaps via two
+    * renames; the call refuses to start while either staging sibling
+    * exists, so no crash point yields a half-table readable as truth.
+    * Crash recovery (manual, documented here and spec'd end to end in
+    * StreamingIncrementalDedupSpec):
+    *  - crash BETWEEN the renames (`sigDir` missing, `<sigDir>_compact_old`
+    *    holds the full previous table, `_compact_tmp` the staged rewrite):
+    *    rename `<sigDir>_compact_old` back to `sigDir`, delete
+    *    `_compact_tmp`, re-run compaction;
+    *  - crash AFTER the second rename (`sigDir` is the compacted table,
+    *    `_compact_old` still present): the swap completed — delete
+    *    `_compact_old`.
+    * In both windows concurrent readers fail-stop (missing dir / refused
+    * start), never read a half-table.
     */
   def compactSignatureTable(s: SparkSession, sigDir: String,
-      targetFiles: Int = 32): Unit = {
+      checkpointDir: String, targetFiles: Int = 32): Unit = {
     import org.apache.hadoop.fs.Path
-    val dir = new Path(sigDir)
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (fs, dir) = hadoopFs(s, sigDir)
     val tmp = new Path(sigDir + "_compact_tmp")
     val old = new Path(sigDir + "_compact_old")
     require(!fs.exists(tmp) && !fs.exists(old),
       s"leftover $tmp or $old from an interrupted compaction — restore or remove it first")
+
+    // commit precondition: every batch partition must be <= the newest
+    // batch the stream checkpoint has COMMITTED (commits/<id> files);
+    // anything newer can still replay and would re-append beside the fold
+    val batchIds = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .map(_.stripPrefix("ingest_batch=").toLong)
+      .filter(_ >= 0L)
+    if (batchIds.nonEmpty) {
+      val commits = new Path(checkpointDir, "commits")
+      val committed =
+        if (!fs.exists(commits)) Seq.empty[Long]
+        else fs.listStatus(commits).toSeq.map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      val horizon = if (committed.isEmpty) -1L else committed.max
+      val unsafe = batchIds.filter(_ > horizon).sorted
+      require(unsafe.isEmpty,
+        s"refusing to compact $sigDir: ingest_batch partition(s) " +
+          s"${unsafe.mkString(", ")} exceed the max committed batch id " +
+          s"($horizon) in $commits — a crash-stopped stream would replay " +
+          "them and append duplicate signatures beside the fold. Let the " +
+          "stream finish (commit) or restart it once, then compact.")
+    }
+
     readSignatureTable(s, sigDir).select("doc_id", "sig")
       .repartition(targetFiles)
       .withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch").parquet(tmp.toString)
+    writeMeta(s, tmp.toString)
     if (!fs.rename(dir, old))
       sys.error(s"compaction swap failed: rename $dir -> $old")
     if (!fs.rename(tmp, dir))

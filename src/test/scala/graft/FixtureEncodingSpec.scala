@@ -67,8 +67,30 @@ class FixtureEncodingSpec extends SparkSpec {
         i.getNano / 1000L))
       .sorted
 
+    // (d) nanos with a sub-microsecond remainder — every value offset by
+    // +789 ns, so none is a multiple of 1000 and the pmod FLOOR branch of
+    // Tables.nsToMicrosTs is actually exercised (case (c) alone never
+    // hits it); includes the pre-epoch value, where truncate-toward-zero
+    // would land 1 µs late
+    val nsFracDir = writeDir()
+    base.select((unix_micros(col("s").cast("timestamp")) * 1000L + 789L).as("ts"))
+      .write.mode("overwrite").parquet(s"$nsFracDir/events.parquet")
+
     assert(readInstants(ltzDir) == want, "UTC-adjusted micros")
     assert(readInstants(ntzDir) == want, "naive micros (NTZ-shaped)")
     assert(readInstants(nsDir) == want, "nanos-as-long")
+    assert(readInstants(nsFracDir) == want, "nanos-as-long with sub-µs remainder")
+  }
+
+  test("loader pins session.timeZone=UTC, so a non-UTC host session " +
+      "still reads naive fixtures to oracle instants") {
+    val ntzDir = writeDir()
+    wallClocks.toDF("s").select(col("s").cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val want = readInstants(ntzDir)
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try assert(readInstants(ntzDir) == want,
+      "tsCompatConfs must repin UTC before the NTZ->LTZ reinterpretation")
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 }

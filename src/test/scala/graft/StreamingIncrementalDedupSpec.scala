@@ -130,7 +130,32 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       runStream(in.toString, sig.toString, kept.toString, ckpt.toString)
       assert(keptState(kept.toString) == Map(13L -> 0L, 14L -> 0L, 24L -> 1L))
       assert(spark.read.parquet(sig.toString).collect().toSet == sigBefore)
+
+      // compaction against the REAL checkpoint this stream wrote — the
+      // commit-precondition parse runs on genuine CommitLog layout, not
+      // the fabricated one the precondition spec uses
+      operators.Dedup.compactSignatureTable(
+        spark, sig.toString, ckpt.toString, targetFiles = 2)
+      val folded = spark.read.parquet(sig.toString)
+      assert(folded.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L, 4L, 5L, 13L, 14L, 24L))
+      assert(folded.select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq == Seq(-1L))
     } finally Fs.rmTree(root)
+  }
+
+  /** Fabricate the commit log of a stream checkpoint that has committed
+    * exactly `committed` — the layout Structured Streaming's CommitLog
+    * leaves at `<ckpt>/commits/<batchId>` (content irrelevant to the
+    * precondition, which keys on file NAMES).
+    */
+  private def fakeCheckpoint(root: File, name: String, committed: Long*): File = {
+    val ckpt = new File(root, name)
+    val commits = new File(ckpt, "commits")
+    commits.mkdirs()
+    committed.foreach(b => java.nio.file.Files.write(
+      new File(commits, b.toString).toPath, "v1".getBytes))
+    ckpt
   }
 
   test("signature-table compaction folds batch partitions into the seed, " +
@@ -149,10 +174,11 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
           .withColumn("ingest_batch", lit(b))
           .write.mode("append").partitionBy("ingest_batch").parquet(sig.toString)
       }
+      val ckpt = fakeCheckpoint(root, "ckpt", 0L, 1L)
       val before = spark.read.parquet(sig.toString)
         .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
 
-      compactSignatureTable(spark, sig.toString, targetFiles = 2)
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 2)
 
       // same (doc_id, sig) content, all rows folded into the seed partition
       val compacted = spark.read.parquet(sig.toString)
@@ -165,7 +191,8 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       assert(partDirs.map(_.getName) == Seq("ingest_batch=-1"))
       assert(partDirs.head.listFiles.count(_.getName.endsWith(".parquet")) <= 2)
       // no staging debris survives a clean compaction
-      assert(Option(root.listFiles).toSeq.flatten.map(_.getName).sorted == Seq("sig"))
+      assert(Option(root.listFiles).toSeq.flatten.map(_.getName).sorted ==
+        Seq("ckpt", "sig"))
 
       // dedup semantics against the compacted table are unchanged:
       // a copy of kept-13 and of kept-24 drop, a genuinely new doc stays
@@ -182,9 +209,158 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       val old = new File(root, "sig_compact_old")
       old.mkdirs()
       val e = intercept[IllegalArgumentException](
-        compactSignatureTable(spark, sig.toString, targetFiles = 2))
+        compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 2))
       assert(e.getMessage.contains("interrupted compaction"))
       Fs.rmTree(old)
+    } finally Fs.rmTree(root)
+  }
+
+  test("compaction refuses to fold a batch the stream checkpoint has not " +
+      "committed, and accepts once the commit lands") {
+    import operators.Dedup.{compactSignatureTable, signatures, writeSignatureTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_sigprecond_").toFile
+    val sig = new File(root, "sig")
+    try {
+      writeSignatureTable(corpusA, sig.toString)
+      Seq(0L, 1L).foreach { b =>
+        signatures(docs(Seq((100 + b) -> words("zz").mkString(" "))))
+          .select("doc_id", "sig").withColumn("ingest_batch", lit(b))
+          .write.mode("append").partitionBy("ingest_batch").parquet(sig.toString)
+      }
+      // the crash window: batch 1's writes landed (foreachBatch ran) but
+      // the checkpoint stopped between offset-write and commit — only
+      // batch 0 is in commits/, so a restart REPLAYS batch 1
+      val stale = fakeCheckpoint(root, "ckpt_stale", 0L)
+      val e = intercept[IllegalArgumentException](
+        compactSignatureTable(spark, sig.toString, stale.toString, targetFiles = 2))
+      assert(e.getMessage.contains("exceed the max committed batch id (0)"))
+      assert(e.getMessage.contains("ingest_batch"), "must name the unsafe partitions")
+
+      // no commits/ at all (stream never committed anything): same refusal
+      val empty = new File(root, "ckpt_empty"); empty.mkdirs()
+      val e2 = intercept[IllegalArgumentException](
+        compactSignatureTable(spark, sig.toString, empty.toString, targetFiles = 2))
+      assert(e2.getMessage.contains("max committed batch id (-1)"))
+
+      // refusal must not have touched the table
+      assert(spark.read.parquet(sig.toString).count() == 7)
+
+      // commit lands -> fold proceeds and erases batch identity
+      val fresh = fakeCheckpoint(root, "ckpt_fresh", 0L, 1L)
+      compactSignatureTable(spark, sig.toString, fresh.toString, targetFiles = 2)
+      assert(spark.read.parquet(sig.toString)
+        .select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq == Seq(-1L))
+      assert(spark.read.parquet(sig.toString).count() == 7)
+    } finally Fs.rmTree(root)
+  }
+
+  test("readers refuse a signature table stamped with different " +
+      "parameters, an unstamped table, and name the remedy") {
+    import operators.Dedup.{readSignatureTable, sigTableMeta, writeSignatureTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_sigstamp_").toFile
+    val sig = new File(root, "sig")
+    try {
+      writeSignatureTable(corpusA, sig.toString)
+      // matched stamp: reads fine
+      assert(readSignatureTable(spark, sig.toString).count() == 5)
+
+      // tamper the stamp into a different parameterization (K=32)
+      val metaFile = new File(sig, "_graft_meta.json")
+      val stamped = new String(
+        java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+      assert(stamped == sigTableMeta)
+      java.nio.file.Files.write(metaFile.toPath,
+        stamped.replace("\"k\":16", "\"k\":32").getBytes("UTF-8"))
+      val e = intercept[RuntimeException](readSignatureTable(spark, sig.toString))
+      assert(e.getMessage.contains("different parameters"))
+      assert(e.getMessage.contains("\"k\":32") && e.getMessage.contains("\"k\":16"),
+        "error must carry both stamps")
+
+      // the STREAM is a reader too: a mismatched table must fail its
+      // first trigger, not silently mis-dedup the crawl
+      val (in, kept, ckpt) =
+        (new File(root, "in"), new File(root, "kept"), new File(root, "ckpt"))
+      in.mkdirs()
+      writeOneFile(batch0, new File(in, "b0.parquet"))
+      val se = intercept[Exception](
+        runStream(in.toString, sig.toString, kept.toString, ckpt.toString))
+      assert(Iterator.iterate(se: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(10).exists(t => t.getMessage != null &&
+          t.getMessage.contains("different parameters")))
+
+      // unstamped (pre-stamping) table: refused with the exact sidecar
+      java.nio.file.Files.delete(metaFile.toPath)
+      val e2 = intercept[RuntimeException](readSignatureTable(spark, sig.toString))
+      assert(e2.getMessage.contains("no _graft_meta.json"))
+      assert(e2.getMessage.contains(sigTableMeta),
+        "remedy must include the exact stamp to write after manual verification")
+
+      // restore the true stamp: table reads again (stamping IS the fix)
+      java.nio.file.Files.write(metaFile.toPath, sigTableMeta.getBytes("UTF-8"))
+      assert(readSignatureTable(spark, sig.toString).count() == 5)
+    } finally Fs.rmTree(root)
+  }
+
+  test("crash windows of the compaction swap: both intermediate layouts " +
+      "fail-stop, and the documented manual restore recovers each") {
+    import operators.Dedup.{compactSignatureTable, dedupAgainst, readSignatureTable, writeSignatureTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_sigcrash_").toFile
+    val sig = new File(root, "sig")
+    val tmp = new File(root, "sig_compact_tmp")
+    val old = new File(root, "sig_compact_old")
+    def table(): Set[Long] = readSignatureTable(spark, sig.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      writeSignatureTable(corpusA, sig.toString)
+      val want = table()
+      val ckpt = fakeCheckpoint(root, "ckpt") // seed-only: no batches to fold
+
+      // -- window 1: crash BETWEEN the renames. Stage the exact layout the
+      // code leaves: sigDir renamed away to _compact_old, staged rewrite
+      // at _compact_tmp, sigDir missing.
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
+      assert(table() == want, "clean compaction sanity")
+      val staged = new File(root, "staged_copy")
+      // rebuild the staged rewrite (content irrelevant to the restore path)
+      writeSignatureTable(corpusA, staged.toString)
+      assert(sig.renameTo(old), "stage crash layout: sigDir -> _compact_old")
+      assert(staged.renameTo(tmp), "stage crash layout: staged -> _compact_tmp")
+
+      // readers fail-stop: the table dir is simply absent
+      intercept[Exception](table())
+      // a fresh compaction refuses while the siblings exist
+      val e = intercept[IllegalArgumentException](
+        compactSignatureTable(spark, sig.toString, ckpt.toString))
+      assert(e.getMessage.contains("interrupted compaction"))
+
+      // documented restore: _compact_old -> sigDir, drop _compact_tmp
+      assert(old.renameTo(sig))
+      Fs.rmTree(tmp)
+      assert(table() == want, "restore must recover the full previous table")
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
+      assert(table() == want, "re-run after restore completes the fold")
+
+      // -- window 2: crash AFTER the second rename, before delete(old).
+      // sigDir is the compacted truth; _compact_old is leftover debris.
+      val debris = new File(root, "debris_copy")
+      writeSignatureTable(corpusA, debris.toString)
+      assert(debris.renameTo(old))
+      assert(table() == want, "table already correct in this window")
+      val e2 = intercept[IllegalArgumentException](
+        compactSignatureTable(spark, sig.toString, ckpt.toString))
+      assert(e2.getMessage.contains("interrupted compaction"))
+      // documented restore: just delete _compact_old
+      Fs.rmTree(old)
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
+      assert(table() == want)
+      // and the recovered table still dedups: a copy of corpus 1 drops
+      val probe = docs(Seq(41L -> words("aa").mkString(" "),
+        42L -> words("qq").mkString(" ")))
+      val keptIds = dedupAgainst(
+        readSignatureTable(spark, sig.toString).select("doc_id", "sig"), probe)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptIds == Set(42L))
     } finally Fs.rmTree(root)
   }
 

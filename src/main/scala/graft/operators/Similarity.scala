@@ -329,11 +329,13 @@ object Similarity extends QueryModule {
     * aggregations over (cell, dim) — k·d cells of state, corpus read
     * once per iteration.
     */
-  private def kmCentroids(emb: DataFrame): DataFrame = {
-    val init = emb.filter(col("vec_id").isin(KM_SEEDS.map(_.toLong): _*))
+  private def kmCentroids(emb: DataFrame,
+      seeds: Seq[Long] = KM_SEEDS.map(_.toLong),
+      iters: Int = KM_ITERS): DataFrame = {
+    val init = emb.filter(col("vec_id").isin(seeds: _*))
       .select(col("vec_id").as("cell"),
         expr("transform(embedding, x -> cast(x AS double))").as("cvec"))
-    (0 until KM_ITERS).foldLeft(init) { (cent, _) =>
+    (0 until iters).foldLeft(init) { (cent, _) =>
       val assign = assignCells(emb, cent)
       emb.join(assign, "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -475,6 +477,111 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |SELECT qid, rnk, vec_id, sim FROM ranked
        |WHERE rnk <= $TOPK ORDER BY qid, rnk""".stripMargin
+  }
+
+  // ---- parameterized ANN API (library surface) ------------------------
+  //
+  // The sim_* queries above are driver-gated fixed-parameter instances;
+  // these are the forms a pipeline embeds, with the two scale knobs —
+  // LSH tables (bands) and IVF probes — as arguments so recall/cost can
+  // be tuned per deployment. RecallCurve (a main) measures recall@k of
+  // both against the brute baseline on a synthetic clustered corpus;
+  // AnnRecallSpec pins floors at the documented settings; SCALE.md
+  // carries the measured curve.
+  //
+  // Contract: `corpus` has (vec_id, embedding), `queries` (qid, qe).
+  // Query ids and corpus ids are separate namespaces (no self-exclusion
+  // is applied — hold queries out of the corpus). Output: (qid, rnk,
+  // vec_id, sim), rnk 1..k per qid, sim rounded to 6 dp like the
+  // fixed queries so cross-engine ordering stays deterministic.
+
+  private def rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val c = withNorm(corpus).select(col("vec_id"), col("embedding"), col("nrm"))
+    val q = withNorm(queries.withColumnRenamed("qe", "embedding"))
+      .select(col("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cand.join(c, "vec_id").join(q, "qid")
+      .withColumn("sim", simCol("qe", "embedding", "qn", "nrm"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "sim")
+  }
+
+  /** Exact cosine top-k: the recall baseline. Corpus side streams
+    * partition-parallel, the query set rides a broadcast, per-query
+    * top-k is a bounded window — no global materialization.
+    */
+  def annBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = corpus.select("vec_id")
+      .crossJoin(broadcast(queries.select("qid")))
+    rerank(cand, corpus, queries, k)
+  }
+
+  /** Multi-table sign-LSH top-k: `bands` hash tables, each keyed by the
+    * sign bits of `bits` consecutive dimensions (band b reads dims
+    * [b·bits, (b+1)·bits) — the axis-aligned hyperplane family of the
+    * fixed queries). A corpus vector is a candidate iff it shares at
+    * least one band code with the query; candidates then re-rank by
+    * exact cosine. Recall grows with `bands` (more tables → more
+    * collisions), cost with bands · occupancy ≈ bands · N/2^bits —
+    * both knobs explicit, the standard LSH trade. Shuffle key is the
+    * (band, code) digest, never an embedding.
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int, bits: Int): DataFrame = {
+    def codes(df: DataFrame, idCol: String, emb: String): DataFrame =
+      df.select(col(idCol),
+        posexplode(array((0 until bands).map { b =>
+          expr((0 until bits)
+            .map(j => s"CASE WHEN $emb[${bits * b + j}] >= 0 THEN ${1 << j} ELSE 0 END")
+            .mkString(" + "))
+        }: _*)).as(Seq("band", "code")))
+    val cand = codes(corpus, "vec_id", "embedding")
+      .join(broadcast(codes(queries.withColumnRenamed("qe", "embedding"), "qid", "embedding")),
+        Seq("band", "code"))
+      .select("qid", "vec_id").distinct()
+    rerank(cand, corpus, queries, k)
+  }
+
+  /** k-means-trained IVF cells for [[annIvf]]: Lloyd iterations over the
+    * corpus, initialized from the vectors with ids `seeds` (cell id =
+    * seed id). Same declarative shape as the fixed sim_ivf_kmeans
+    * training — per iteration one broadcast join + two hash aggs, no
+    * driver loop — with seeds/iterations as the deployment knobs. At
+    * production scale training runs on a sample; the returned codebook
+    * is k·d doubles and should be persisted by the caller.
+    */
+  def trainCells(corpus: DataFrame, seeds: Seq[Long], iters: Int): DataFrame =
+    kmCentroids(
+      withNorm(corpus).withColumn("e2", vecDot(col("embedding"), col("embedding"))),
+      seeds, iters)
+
+  /** IVF top-k: assign the corpus to its nearest cell, score the (tiny,
+    * broadcast) codebook per query, probe the `nprobe` best cells, and
+    * exact-cosine re-rank only inside probed cells. Corpus-side work
+    * scales with cells probed, not corpus size; recall grows with
+    * `nprobe` — the standard IVF trade, measured in RecallCurve.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: DataFrame, nprobe: Int): DataFrame = {
+    val emb = withNorm(corpus)
+      .withColumn("e2", vecDot(col("embedding"), col("embedding")))
+    val cent = cells.withColumn("cnrm", vecNorm(col("cvec")))
+    val assign = assignCells(emb, cent)
+    val q = withNorm(queries.withColumnRenamed("qe", "embedding"))
+      .select(col("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        round(vecDot(col("qe"), col("cvec")) / (col("qn") * col("cnrm")), 6))
+      .withColumn("crnk", row_number().over(probeW))
+      .filter(col("crnk") <= nprobe)
+      .select("qid", "cell")
+    val cand = emb.select("vec_id").join(assign, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .select("qid", "vec_id")
+    rerank(cand, corpus, queries, k)
   }
 
   // ---- registry -------------------------------------------------------

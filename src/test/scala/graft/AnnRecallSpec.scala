@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Similarity, SyntheticVectors}
+
+/** Recall floors for the parameterized ANN API at the settings SCALE.md
+  * documents — the statistical guarantee the planted-copy fixtures
+  * cannot give. Everything is deterministic (fixed-seed corpus, fixed
+  * plans, 6-dp-rounded scores), so these are exact regression pins with
+  * margin, not flaky statistical tests: at this corpus the measured
+  * values are LSH(8×8) = 0.962 and IVF(nprobe=2/128) = 1.000
+  * (RecallCurve, n=10000 nq=50; the committed 50k run reads 0.960 /
+  * 1.000). A drop below the floor means candidate generation silently
+  * lost collisions — the regression class this spec exists to catch.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val K = 10
+
+  test("recall@10 floors: sign-LSH >= 0.9 at 8 tables x 8 bits, IVF " +
+      ">= 0.99 at nprobe=2 of 128 k-means cells; brute is the baseline") {
+    val (corpus0, queries0) =
+      SyntheticVectors.corpusAndQueries(spark, 10000, 50, 64, 128, 42L)
+    val corpus = corpus0.persist(); val queries = queries0.persist()
+    try {
+      val truth = Similarity.annBrute(corpus, queries, K).persist()
+      assert(truth.count() == 50L * K, "baseline must yield full top-k")
+
+      val lsh = RecallCurve.recallVs(
+        truth, Similarity.annLsh(corpus, queries, K, bands = 8, bits = 8))
+      assert(lsh >= 0.9, s"LSH recall@10 regressed: $lsh < 0.9")
+
+      val cells = Similarity.trainCells(corpus, 0L until 128L, iters = 3)
+        .persist()
+      val ivf = RecallCurve.recallVs(
+        truth, Similarity.annIvf(corpus, queries, K, cells, nprobe = 2))
+      assert(ivf >= 0.99, s"IVF recall@10 regressed: $ivf < 0.99")
+
+      // the knobs actually buy recall: one table / one probe must be
+      // strictly worse-or-equal, and visibly so for the single table
+      val lsh1 = RecallCurve.recallVs(
+        truth, Similarity.annLsh(corpus, queries, K, bands = 1, bits = 8))
+      assert(lsh1 < lsh, s"more tables must not lose recall ($lsh1 vs $lsh)")
+      truth.unpersist(); cells.unpersist()
+    } finally { corpus.unpersist(); queries.unpersist(); () }
+  }
+}

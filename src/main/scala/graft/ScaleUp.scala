@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scale-up: writes a `factor`× copy of a driver
+  * testdata dir (default 10× of sf0.1 → a local sf1) for the scale
+  * rehearsal — the driver's generator is not available locally, so the
+  * rehearsal fixture is derived from the largest driver fixture by key
+  * remapping. Verify + the DuckDB oracle then run on the derived dir
+  * unchanged (both engines read the same files, so correctness checks
+  * are as strict as at sf0.1), and Bench measures how each query's cost
+  * actually grows one order of magnitude past the driver scale.
+  *
+  * Construction — `factor` copies unioned in one scan, copy 0 verbatim:
+  *  - dimension tables (region, nation) stay fixed, as in TPC-H: group
+  *    counts hold, rows per group grow — the realistic direction;
+  *  - every surrogate/foreign BIGINT key shifts by copy·10^7, so FK
+  *    joins land within a copy and per-copy join fan-outs replicate;
+  *  - `documents.text` in copy c > 0 gets the copy's letter appended to
+  *    every word (n_chars recomputed): an injective per-copy renaming of
+  *    the vocabulary, so the WITHIN-copy duplicate/shingle structure is
+  *    preserved exactly while copies share no text, no md5, and no
+  *    shingle — dedup pair counts scale linearly (10 verbatim copies
+  *    would square them: m copies of one text → m²/2 candidate pairs,
+  *    measuring the fixture, not the operator);
+  *  - `embeddings.embedding` in copy c > 0 flips the sign of a
+  *    per-(copy, dim) md5-parity subset of dimensions. Negating a fixed
+  *    dim subset on BOTH sides of a pair cancels in the dot product
+  *    (s_j² = 1), so within-copy cosines and norms are preserved
+  *    BIT-EXACTLY while cross-copy pairs decorrelate (~half the terms
+  *    flip sign) — near-dup pair counts scale linearly and the copy-0
+  *    query vectors (vec_id < 8) keep their original neighborhoods.
+  *
+  * Usage: runMain graft.ScaleUp <inDir> <outDir> [factor]
+  */
+object ScaleUp {
+
+  private val STRIDE = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val (in, out) = (args(0), args(1))
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$in/$t.parquet")
+    // one FILE per table, exactly the driver fixture layout: the stream
+    // source scopes itself with pathGlobFilter=events.parquet (a single
+    // name), and the DuckDB oracle reads the same single paths — a
+    // directory-shaped table would silently read as 0 rows there. The
+    // single ~100 MB file is also the honest 10x of the driver's own
+    // one-file-per-table layout for bench comparison; a real cluster
+    // dataset is many files (see SCALE.md, Scans & layout).
+    def write(df: DataFrame, t: String): Unit = {
+      val tmp = s"$out/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val part = Option(tmpDir.listFiles).toSeq.flatten
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dest = new java.io.File(s"$out/$t.parquet")
+      if (dest.exists && !dest.delete())
+        sys.error(s"cannot replace $dest")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      Option(tmpDir.listFiles).toSeq.flatten.foreach(_.delete())
+      tmpDir.delete(); ()
+    }
+
+    // one scan fanned to `factor` copies via a tiny cross join
+    def copies(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(factor).select(col("id").as("copy")))
+    def shifted(df: DataFrame, keys: String*): DataFrame =
+      keys.foldLeft(copies(df))((d, k) =>
+        d.withColumn(k, col(k) + col("copy") * STRIDE))
+
+    Seq("region", "nation").foreach(t => write(read(t), t))
+    write(shifted(read("customer"), "c_custkey").drop("copy"), "customer")
+    write(shifted(read("supplier"), "s_suppkey").drop("copy"), "supplier")
+    write(shifted(read("part"), "p_partkey").drop("copy"), "part")
+    write(shifted(read("orders"), "o_orderkey", "o_custkey").drop("copy"), "orders")
+    write(shifted(read("lineitem"), "l_orderkey", "l_partkey", "l_suppkey")
+      .drop("copy"), "lineitem")
+    write(shifted(read("events"), "event_id", "user_id").drop("copy"), "events")
+
+    write(shifted(read("documents"), "doc_id")
+      .withColumn("text", when(col("copy") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("([a-z]+)"),
+          concat(lit("$1"), chr(lit(97) + col("copy"))))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("copy"), "documents")
+
+    write(shifted(read("embeddings"), "vec_id")
+      .withColumn("embedding", when(col("copy") === 0, col("embedding"))
+        .otherwise(expr(
+          """transform(embedding, (x, j) ->
+            |  CASE WHEN pmod(ascii(substr(md5(concat(copy, '_', j)), 1, 1)), 2) = 1
+            |  THEN -x ELSE x END)""".stripMargin)))
+      .drop("copy"), "embeddings")
+
+    println(s"[scaleup] wrote ${factor}x of $in to $out")
+    spark.stop()
+  }
+}

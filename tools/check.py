@@ -10,6 +10,7 @@ sorted by name, values compared exactly (NaN==NaN, None==None).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -36,8 +37,13 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; locally derived ones (ScaleUp)
+        # are Spark-written directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)

@@ -461,8 +461,22 @@ object Sources extends QueryModule {
     // from its batch twin. Only StreamRecoverySpec widens it (to
     // events*.parquet) so a second input file can appear between two
     // runs of the SAME pipeline to prove checkpoint recovery.
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(d)
+    //
+    // Layout: driver fixtures ship events.parquet as a single FILE, but
+    // any Spark-written dataset — i.e. every real deployment, where the
+    // table is thousands of part files — ships it as a DIRECTORY. The
+    // name-glob can't see into the directory (it matches leaf-file
+    // names), so for the dir layout the stream sources the table path
+    // itself: same scoping guarantee, since only the table's own part
+    // files live under it. The widened recovery glob keeps the flat
+    // layout by construction (it exists to add sibling FILES).
+    val tablePath = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = tablePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirLayout = glob == "events.parquet" &&
+      fs.exists(tablePath) && fs.getFileStatus(tablePath).isDirectory
+    val raw =
+      if (dirLayout) s.readStream.schema(schema).parquet(tablePath.toString)
+      else s.readStream.schema(schema).option("pathGlobFilter", glob).parquet(d)
     raw.schema("ts").dataType match {
       // legacy TIMESTAMP(NANOS) fixtures arrive as longs — same ns→µs
       // floor as the batch loader

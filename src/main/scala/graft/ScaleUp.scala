@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
   *    flip sign) — near-dup pair counts scale linearly and the copy-0
   *    query vectors (vec_id < 8) keep their original neighborhoods.
   *
-  * Usage: runMain graft.ScaleUp <inDir> <outDir> [factor]
+  * Usage: runMain graft.ScaleUp <inDir> <outDir> [factor] [filesPerTable]
+  *
+  * `filesPerTable` > 1 switches the output to the Spark-native
+  * DIRECTORY layout (`<t>.parquet/part-*.parquet`, that many files):
+  * the shape every real deployment has, and the one that scans
+  * partition-parallel. Default 1 mirrors the driver's one-file layout.
   */
 object ScaleUp {
 
@@ -41,6 +46,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (in, out) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val filesPerTable = args.lift(3).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,6 +67,11 @@ object ScaleUp {
     // one-file-per-table layout for bench comparison; a real cluster
     // dataset is many files (see SCALE.md, Scans & layout).
     def write(df: DataFrame, t: String): Unit = {
+      if (filesPerTable > 1) {
+        df.repartition(filesPerTable).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+        return
+      }
       val tmp = s"$out/_tmp_$t"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val tmpDir = new java.io.File(tmp)

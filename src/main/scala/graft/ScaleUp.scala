@@ -57,6 +57,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, in, out, factor, filesPerTable)
+    println(s"[scaleup] wrote ${factor}x of $in to $out")
+    spark.stop()
+  }
+
+  /** The derivation itself, on a caller-owned session (ScaleUpSpec pins
+    * the structural invariants the sf1 rehearsal's claims rest on).
+    */
+  def run(spark: SparkSession, in: String, out: String, factor: Int,
+      filesPerTable: Int = 1): Unit = {
 
     def read(t: String): DataFrame = spark.read.parquet(s"$in/$t.parquet")
     // one FILE per table, exactly the driver fixture layout: the stream
@@ -116,8 +126,6 @@ object ScaleUp {
             |  CASE WHEN pmod(ascii(substr(md5(concat(copy, '_', j)), 1, 1)), 2) = 1
             |  THEN -x ELSE x END)""".stripMargin)))
       .drop("copy"), "embeddings")
-
-    println(s"[scaleup] wrote ${factor}x of $in to $out")
-    spark.stop()
+    ()
   }
 }

@@ -584,6 +584,40 @@ object Similarity extends QueryModule {
     rerank(cand, corpus, queries, k)
   }
 
+  /** Embedding near-dup PAIRS — the parameterized form of the fixed
+    * sim_cos_pairs query, for arbitrary corpora: banded sign-LSH
+    * candidates (same dim-slice band family as [[annLsh]]) verified by
+    * exact cosine at `minSim`. Returns (va, vb, sim) with va < vb.
+    * Cost: per-band bucket occupancy is ~N/2^bits, so candidates scale
+    * with bands · N²/2^bits within a bucket — `bits` is the knob that
+    * holds per-bucket work flat as N grows (widen with log2 N), `bands`
+    * buys back the recall wider bands lose. Shuffle keys are (band,
+    * code) digests, never embeddings.
+    */
+  def nearDupPairs(corpus: DataFrame, bands: Int, bits: Int,
+      minSim: Double): DataFrame = {
+    val emb = withNorm(corpus)
+    val codes = corpus.select(col("vec_id"),
+      posexplode(array((0 until bands).map { b =>
+        expr((0 until bits)
+          .map(j => s"CASE WHEN embedding[${bits * b + j}] >= 0 THEN ${1 << j} ELSE 0 END")
+          .mkString(" + "))
+      }: _*)).as(Seq("band", "code")))
+    val cand = codes.as("a").join(codes.as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    cand.join(ea, "va").join(eb, "vb")
+      .withColumn("sim", simCol("ea", "eb", "na", "nb"))
+      .filter(col("sim") >= minSim)
+      .select("va", "vb", "sim")
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

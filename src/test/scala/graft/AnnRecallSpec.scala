@@ -43,4 +43,26 @@ class AnnRecallSpec extends SparkSpec {
       truth.unpersist(); cells.unpersist()
     } finally { corpus.unpersist(); queries.unpersist(); () }
   }
+
+  test("nearDupPairs finds a planted near-duplicate and no pair among " +
+      "decorrelated vectors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (corpus0, _) =
+      SyntheticVectors.corpusAndQueries(spark, 2000, 0, 64, 128, 7L)
+    // plant vec 9000 = vec 0 with one dim nudged: cosine ~1, a true
+    // near-dup; every other same-cluster pair sits near cos(spread
+    // mixture) and random cross-cluster pairs far lower
+    val v0 = corpus0.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val planted = Seq((9000L, v0.updated(0, v0.head + 0.01f)))
+      .toDF("vec_id", "embedding")
+    val corpus = corpus0.unionByName(planted)
+    val pairs = Similarity.nearDupPairs(corpus, bands = 8, bits = 8,
+      minSim = 0.98).select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 9000L)),
+      "the planted near-dup must survive banding and verify")
+    assert(pairs.forall { case (a, b) => a == 0L && b == 9000L },
+      s"no other pair reaches 0.98 in this mixture, got: ${pairs.take(5)}")
+  }
 }

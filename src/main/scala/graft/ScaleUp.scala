@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *    counts hold, rows per group grow — the realistic direction;
   *  - every surrogate/foreign BIGINT key shifts by copy·10^7, so FK
   *    joins land within a copy and per-copy join fan-outs replicate;
-  *  - `documents.text` in copy c > 0 gets the copy's letter appended to
+  *  - `documents.text` in copy c > 0 gets the copy's two-letter tag
+  *    (aa..zz — stays within [a-z] so the shingler keeps it) appended to
   *    every word (n_chars recomputed): an injective per-copy renaming of
   *    the vocabulary, so the WITHIN-copy duplicate/shingle structure is
   *    preserved exactly while copies share no text, no md5, and no
@@ -67,6 +68,14 @@ object ScaleUp {
     */
   def run(spark: SparkSession, in: String, out: String, factor: Int,
       filesPerTable: Int = 1): Unit = {
+    // the per-copy vocabulary rename appends TWO letters (aa..zz), so the
+    // renamed words stay within [a-z] — the dedup shingler splits on
+    // [^a-z], and a suffix outside that class would be stripped, silently
+    // collapsing copies back onto copy 0's shingle vocabulary and
+    // squaring the pair counts the derivation exists to keep linear
+    require(factor >= 1 && factor <= 676,
+      s"ScaleUp: factor $factor out of range — the two-letter per-copy " +
+        "vocabulary rename supports at most 676 copies")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$in/$t.parquet")
     // one FILE per table, exactly the driver fixture layout: the stream
@@ -99,27 +108,46 @@ object ScaleUp {
     // one scan fanned to `factor` copies via a tiny cross join
     def copies(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).select(col("id").as("copy")))
-    def shifted(df: DataFrame, keys: String*): DataFrame =
+    // copy-shift every key by copy·STRIDE — only sound when every base
+    // key fits under one stride. Running ScaleUp on an ALREADY-derived
+    // dir (keys up to factor·STRIDE) would silently interleave copies'
+    // key ranges, corrupting FK joins and dedup ids while per-engine
+    // Verify still passes (both engines read the same wrong data), so
+    // the probe fails loudly instead. One 1-row max per table — a
+    // fixture-tool driver touchpoint, not an operator.
+    def shifted(df: DataFrame, t: String, keys: String*): DataFrame = {
+      val kc = keys.map(col).reduce((a, b) => greatest(a, b))
+      val mx = df.agg(max(kc)).head().getLong(0)
+      require(mx < STRIDE,
+        s"ScaleUp: max($t.{${keys.mkString(",")}}) = $mx >= stride $STRIDE — " +
+          "the input looks already ScaleUp-derived (or its keys outgrow the " +
+          "stride); copies' key ranges would overlap. Derive from the " +
+          "ORIGINAL fixture with a larger factor instead of chaining.")
       keys.foldLeft(copies(df))((d, k) =>
         d.withColumn(k, col(k) + col("copy") * STRIDE))
+    }
 
     Seq("region", "nation").foreach(t => write(read(t), t))
-    write(shifted(read("customer"), "c_custkey").drop("copy"), "customer")
-    write(shifted(read("supplier"), "s_suppkey").drop("copy"), "supplier")
-    write(shifted(read("part"), "p_partkey").drop("copy"), "part")
-    write(shifted(read("orders"), "o_orderkey", "o_custkey").drop("copy"), "orders")
-    write(shifted(read("lineitem"), "l_orderkey", "l_partkey", "l_suppkey")
+    write(shifted(read("customer"), "customer", "c_custkey").drop("copy"), "customer")
+    write(shifted(read("supplier"), "supplier", "s_suppkey").drop("copy"), "supplier")
+    write(shifted(read("part"), "part", "p_partkey").drop("copy"), "part")
+    write(shifted(read("orders"), "orders", "o_orderkey", "o_custkey")
+      .drop("copy"), "orders")
+    write(shifted(read("lineitem"), "lineitem", "l_orderkey", "l_partkey", "l_suppkey")
       .drop("copy"), "lineitem")
-    write(shifted(read("events"), "event_id", "user_id").drop("copy"), "events")
+    write(shifted(read("events"), "events", "event_id", "user_id")
+      .drop("copy"), "events")
 
-    write(shifted(read("documents"), "doc_id")
+    write(shifted(read("documents"), "documents", "doc_id")
       .withColumn("text", when(col("copy") === 0, col("text"))
         .otherwise(regexp_replace(col("text"), lit("([a-z]+)"),
-          concat(lit("$1"), chr(lit(97) + col("copy"))))))
+          concat(lit("$1"),
+            chr(lit(97) + expr("(copy - 1) div 26")),
+            chr(lit(97) + pmod(col("copy") - 1, lit(26)))))))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("copy"), "documents")
 
-    write(shifted(read("embeddings"), "vec_id")
+    write(shifted(read("embeddings"), "embeddings", "vec_id")
       .withColumn("embedding", when(col("copy") === 0, col("embedding"))
         .otherwise(expr(
           """transform(embedding, (x, j) ->

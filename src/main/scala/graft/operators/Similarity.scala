@@ -508,6 +508,39 @@ object Similarity extends QueryModule {
       .select("qid", "rnk", "vec_id", "sim")
   }
 
+  /** Knob validation for the parameterized LSH APIs. The static part is
+    * a driver-side require; the data-dependent part (bands·bits must fit
+    * the embedding dimension) is enforced IN the plan by
+    * [[guardedBandCode]] rather than a first-row probe, so it holds on
+    * every row, costs no extra job, and stays distributed.
+    */
+  private def requireKnobs(api: String, bands: Int, bits: Int): Unit = {
+    require(bands >= 1 && bits >= 1 && bits <= 30,
+      s"$api: need bands >= 1 and 1 <= bits <= 30 (band codes are Int " +
+        s"bitmasks), got bands=$bands bits=$bits")
+    ()
+  }
+
+  /** Band-code expression for band `b` reading dims [b·bits, (b+1)·bits),
+    * guarded against the dimension under-run: band b needs the embedding
+    * to hold at least bits·(b+1) entries, and an out-of-range access
+    * would either throw a cryptic INVALID_ARRAY_INDEX (ANSI on) or
+    * silently evaluate NULL → bit 0 (ANSI off), collapsing every vector
+    * of the short bands into one bucket (~N² candidates). The guard
+    * raises a readable error naming the knobs instead, under either
+    * ANSI setting.
+    */
+  private def guardedBandCode(api: String, emb: String, b: Int,
+      bands: Int, bits: Int): String = {
+    val code = (0 until bits)
+      .map(j => s"CASE WHEN $emb[${bits * b + j}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""IF(size($emb) >= ${bits * (b + 1)}, $code,
+       |  raise_error(concat('$api: bands*bits = ${bands * bits} exceeds the ',
+       |    'embedding dimension ', size($emb),
+       |    ' -- lower bands or bits so bands*bits <= dim')))""".stripMargin
+  }
+
   /** Exact cosine top-k: the recall baseline. Corpus side streams
     * partition-parallel, the query set rides a broadcast, per-query
     * top-k is a bounded window — no global materialization.
@@ -530,13 +563,12 @@ object Similarity extends QueryModule {
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       bands: Int, bits: Int): DataFrame = {
+    requireKnobs("annLsh", bands, bits)
     def codes(df: DataFrame, idCol: String, emb: String): DataFrame =
       df.select(col(idCol),
-        posexplode(array((0 until bands).map { b =>
-          expr((0 until bits)
-            .map(j => s"CASE WHEN $emb[${bits * b + j}] >= 0 THEN ${1 << j} ELSE 0 END")
-            .mkString(" + "))
-        }: _*)).as(Seq("band", "code")))
+        posexplode(array((0 until bands).map(b =>
+          expr(guardedBandCode("annLsh", emb, b, bands, bits))): _*))
+          .as(Seq("band", "code")))
     val cand = codes(corpus, "vec_id", "embedding")
       .join(broadcast(codes(queries.withColumnRenamed("qe", "embedding"), "qid", "embedding")),
         Seq("band", "code"))
@@ -596,13 +628,12 @@ object Similarity extends QueryModule {
     */
   def nearDupPairs(corpus: DataFrame, bands: Int, bits: Int,
       minSim: Double): DataFrame = {
-    val emb = withNorm(corpus)
+    requireKnobs("nearDupPairs", bands, bits)
     val codes = corpus.select(col("vec_id"),
-      posexplode(array((0 until bands).map { b =>
-        expr((0 until bits)
-          .map(j => s"CASE WHEN embedding[${bits * b + j}] >= 0 THEN ${1 << j} ELSE 0 END")
-          .mkString(" + "))
-      }: _*)).as(Seq("band", "code")))
+      posexplode(array((0 until bands).map(b =>
+        expr(guardedBandCode("nearDupPairs", "embedding", b, bands, bits))): _*))
+        .as(Seq("band", "code")))
+    val emb = withNorm(corpus)
     val cand = codes.as("a").join(codes.as("b"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -65,4 +65,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a == 0L && b == 9000L },
       s"no other pair reaches 0.98 in this mixture, got: ${pairs.take(5)}")
   }
+
+  test("LSH knob validation: bands*bits beyond the embedding dimension " +
+      "raises a readable error naming the knobs, not a silent bucket collapse") {
+    val (corpus, queries) =
+      SyntheticVectors.corpusAndQueries(spark, 200, 5, 64, 8, 11L)
+    // dim 64: 9 bands x 8 bits = 72 > 64 — band 8 would read off the end
+    val e = intercept[Exception] {
+      Similarity.annLsh(corpus, queries, K, bands = 9, bits = 8).count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msgs.contains("annLsh") && msgs.contains("bands*bits = 72"),
+      s"error must name the API and knobs, got: $msgs")
+    val e2 = intercept[Exception] {
+      Similarity.nearDupPairs(corpus, bands = 9, bits = 8, minSim = 0.9).count()
+    }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msgs2.contains("nearDupPairs"), s"got: $msgs2")
+    // static knob misuse is refused before any job runs
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.annLsh(corpus, queries, K, bands = 0, bits = 8))
+    assert(e3.getMessage.contains("bands >= 1"))
+  }
 }

@@ -55,9 +55,12 @@ class SourceLintSpec extends AnyFunSuite {
 
   test("driver-side head() only on the CC fixpoint aggregate") {
     // .head() on a 1-row aggregate is the legitimate driver touchpoint
-    // of an iterative loop; anywhere else it is probably a mistake
+    // of an iterative loop; anywhere else it is probably a mistake.
+    // ScaleUp's 1-row max-key probe guards the stride shift — a fixture
+    // tool, not an operator (same class as its coalesce(1) exemption).
     val hits = offenders(".head()", "graft",
-      exempt = Set("graft/operators/ConnectedComponents.scala"))
+      exempt = Set("graft/operators/ConnectedComponents.scala",
+        "graft/ScaleUp.scala"))
     assert(hits.isEmpty, s"unexpected driver-side head() in: $hits")
   }
 }

@@ -602,9 +602,11 @@ object Dedup extends QueryModule {
     * equality of the parameters.
     */
   private[graft] val sigTableMeta: String =
-    s"""{"format":1,"k":$K,"bands":$BANDS,"shingle":"lower-alpha-word-3gram-distinct","schema":"doc_id bigint, sig array<string>, ingest_batch bigint"}"""
+    s"""{"format":2,"k":$K,"bands":$BANDS,"shingle":"lower-alpha-word-3gram-distinct","schema":"doc_id bigint, sig array<string>, ingest_batch bigint"}"""
 
   private val META_FILE = "_graft_meta.json"
+  private val COMMIT_MARKER = "_graft_commit"
+  private val VERSION_PREFIX = "v="
 
   private def hadoopFs(s: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -655,22 +657,92 @@ object Dedup extends QueryModule {
         "(writeSignatureTable) with the current parameters.")
   }
 
+  /** Committed `v=N` version subdirectories of a signature table, i.e.
+    * those carrying a [[COMMIT_MARKER]] file. A version directory
+    * without the marker is invisible: either a compaction is still
+    * writing it, or a crashed one left it behind — in both cases its
+    * contents are not truth and the next compaction collects it.
+    */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    (if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty)
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(VERSION_PREFIX))
+      .flatMap { p =>
+        val n = p.getName.stripPrefix(VERSION_PREFIX)
+        if (n.nonEmpty && n.forall(_.isDigit)) Some(n.toLong -> p) else None
+      }
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, COMMIT_MARKER)) }
+
+  /** Resolve the LIVE version of a signature table: the highest
+    * committed `v=N` subdirectory. This is the whole read-path pointer
+    * protocol — no rename is ever observed by a reader, so the layout is
+    * safe on object stores where "rename" is copy+delete (the round-9
+    * two-rename swap was atomic on HDFS/local only). Errors name the
+    * remedy, including the one-time migration for a pre-versioned flat
+    * table.
+    */
+  private def liveVersionPath(s: SparkSession,
+      sigDir: String): org.apache.hadoop.fs.Path = {
+    val (fs, dir) = hadoopFs(s, sigDir)
+    val versions = committedVersions(fs, dir)
+    if (versions.isEmpty) {
+      val flat = fs.exists(dir) && fs.listStatus(dir).toSeq
+        .exists(_.getPath.getName.startsWith("ingest_batch="))
+      if (flat)
+        sys.error(s"signature table $sigDir uses the pre-versioned FLAT " +
+          s"layout: migrate it by moving its ingest_batch=* directories and " +
+          s"$META_FILE into a new $sigDir/${VERSION_PREFIX}0/ subdirectory " +
+          s"and creating an empty $sigDir/${VERSION_PREFIX}0/$COMMIT_MARKER " +
+          "marker file (while no stream or compaction is running).")
+      sys.error(s"no committed signature-table version under $sigDir " +
+        s"(expected a ${VERSION_PREFIX}N subdirectory containing " +
+        s"$COMMIT_MARKER): seed the table with writeSignatureTable.")
+    }
+    versions.maxBy(_._1)._2
+  }
+
+  /** Publish a fully-written version directory: create its commit
+    * marker. One small-file creation — atomically visible on HDFS and
+    * on object stores (a PUT either exists or does not), unlike a
+    * directory rename. Raw FS for the same hand-patchability reason as
+    * the meta sidecar (the flat-layout migration asks the operator to
+    * touch one).
+    */
+  private def commitVersion(s: SparkSession,
+      vdir: org.apache.hadoop.fs.Path): Unit = {
+    val (fs0, _) = hadoopFs(s, vdir.toString)
+    val out = metaFs(fs0)
+      .create(new org.apache.hadoop.fs.Path(vdir, COMMIT_MARKER), false)
+    try out.write("v1".getBytes("UTF-8")) finally out.close()
+  }
+
   /** Seed (or rebuild) the on-disk corpus signature table consumed by
     * [[incrementalDedupStream]] from the already-kept corpus documents;
     * seed rows carry `ingest_batch = -1` so no replayed stream trigger
-    * can ever dynamic-overwrite them. The directory is stamped with
-    * [[sigTableMeta]]; every reader checks it.
+    * can ever dynamic-overwrite them. The table is written as version
+    * `v=0`, stamped with [[sigTableMeta]], and published by its commit
+    * marker; every reader resolves the highest committed version. A
+    * pre-existing table at `sigDir` is torn down first (this is the
+    * seed/rebuild entry point, not a live-table operation).
     */
   def writeSignatureTable(corpusDocs: DataFrame, sigDir: String): Unit = {
+    val s = corpusDocs.sparkSession
+    val (fs, dir) = hadoopFs(s, sigDir)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    val v0 = new org.apache.hadoop.fs.Path(dir, VERSION_PREFIX + "0")
     signatures(corpusDocs).select("doc_id", "sig")
       .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch").parquet(sigDir)
-    writeMeta(corpusDocs.sparkSession, sigDir)
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(v0.toString)
+    writeMeta(s, v0.toString)
+    commitVersion(s, v0)
   }
 
   private[graft] def readSignatureTable(s: SparkSession, sigDir: String): DataFrame = {
-    checkMeta(s, sigDir)
-    s.read.schema(sigTableSchema).parquet(sigDir)
+    val live = liveVersionPath(s, sigDir)
+    checkMeta(s, live.toString)
+    s.read.schema(sigTableSchema).parquet(live.toString)
   }
 
   /** Streaming incremental dedup — the crawl-ingest shape of
@@ -708,7 +780,16 @@ object Dedup extends QueryModule {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val corpus = readSignatureTable(s, sigDir).select("doc_id", "sig")
+        // resolve the live version ONCE per trigger and use it for both
+        // the corpus read and the signature append — the stream owns the
+        // table while running (compaction refuses concurrent use by
+        // contract), so the version cannot flip mid-batch, but a single
+        // resolve keeps even a misuse from splitting read and write
+        // across versions
+        val live = liveVersionPath(s, sigDir)
+        checkMeta(s, live.toString)
+        val corpus = s.read.schema(sigTableSchema).parquet(live.toString)
+          .select("doc_id", "sig")
         val newSigs = signatures(batch).select("doc_id", "sig")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val kept = dedupAgainstSigs(corpus, batch, newSigs, threshold)
@@ -725,7 +806,7 @@ object Dedup extends QueryModule {
             .withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch").parquet(sigDir)
+            .partitionBy("ingest_batch").parquet(live.toString)
         } finally { kept.unpersist(); newSigs.unpersist(); () }
       }
       .start()
@@ -753,34 +834,48 @@ object Dedup extends QueryModule {
     * to fold any `ingest_batch` partition newer than the max committed
     * batch id — exactly the window where a crash-stopped stream replays.
     *
-    * The rewrite stages into `<sigDir>_compact_tmp` and swaps via two
-    * renames; the call refuses to start while either staging sibling
-    * exists, so no crash point yields a half-table readable as truth.
-    * Crash recovery (manual, documented here and spec'd end to end in
-    * StreamingIncrementalDedupSpec):
-    *  - crash BETWEEN the renames (`sigDir` missing, `<sigDir>_compact_old`
-    *    holds the full previous table, `_compact_tmp` the staged rewrite):
-    *    rename `<sigDir>_compact_old` back to `sigDir`, delete
-    *    `_compact_tmp`, re-run compaction;
-    *  - crash AFTER the second rename (`sigDir` is the compacted table,
-    *    `_compact_old` still present): the swap completed — delete
-    *    `_compact_old`.
-    * In both windows concurrent readers fail-stop (missing dir / refused
-    * start), never read a half-table.
+    * The rewrite is OBJECT-STORE-SAFE: it never renames anything, on the
+    * write path or the read path. The fold is written into a fresh
+    * `v=<live+1>` subdirectory and published by creating one commit
+    * marker file — a single PUT, atomically visible on HDFS and on
+    * S3A/GCS alike, where a directory "rename" is a non-atomic
+    * copy+delete (the round-9 two-rename swap, like the reference's own
+    * temp-dir + `fs::rename` output commit at `src/worker.cc:184-200`,
+    * was only safe on local/HDFS). Readers resolve the highest committed
+    * version, so every crash point is benign and recovery is AUTOMATIC:
+    *  - crash while writing the fold: the new `v=N+1` has no marker, no
+    *    reader ever resolves it, and the next compaction collects it and
+    *    redoes the fold — the live table was never touched;
+    *  - crash after the marker, i.e. normal completion: BOTH `v=N` and
+    *    `v=N+1` are committed and the newer one is live. The superseded
+    *    `v=N` is kept until the NEXT compaction collects it, so a reader
+    *    that resolved `v=N` just before the flip still finishes against
+    *    an intact directory (the racing-reader window of a same-dir
+    *    swap). A reader pinned TWO flips back fails-stop on the
+    *    collected directory — never reads a half-table. Disk cost: one
+    *    superseded copy of a ~100 B/doc table between compactions.
+    * All three states are spec'd in StreamingIncrementalDedupSpec.
     */
   def compactSignatureTable(s: SparkSession, sigDir: String,
       checkpointDir: String, targetFiles: Int = 32): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, dir) = hadoopFs(s, sigDir)
-    val tmp = new Path(sigDir + "_compact_tmp")
-    val old = new Path(sigDir + "_compact_old")
-    require(!fs.exists(tmp) && !fs.exists(old),
-      s"leftover $tmp or $old from an interrupted compaction — restore or remove it first")
+    val live = liveVersionPath(s, sigDir)
+    checkMeta(s, live.toString)
+    val liveN = live.getName.stripPrefix(VERSION_PREFIX).toLong
+
+    // collect non-live version dirs: superseded committed versions from
+    // the previous cycle (deferred one cycle for racing readers) and
+    // uncommitted debris from a crashed fold (never reader-visible)
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(VERSION_PREFIX) &&
+        p.getName != live.getName)
+      .foreach(p => { fs.delete(p, true); () })
 
     // commit precondition: every batch partition must be <= the newest
     // batch the stream checkpoint has COMMITTED (commits/<id> files);
     // anything newer can still replay and would re-append beside the fold
-    val batchIds = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val batchIds = fs.listStatus(live).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("ingest_batch="))
       .map(_.stripPrefix("ingest_batch=").toLong)
       .filter(_ >= 0L)
@@ -800,16 +895,14 @@ object Dedup extends QueryModule {
           "stream finish (commit) or restart it once, then compact.")
     }
 
-    readSignatureTable(s, sigDir).select("doc_id", "sig")
+    val next = new Path(dir, VERSION_PREFIX + (liveN + 1))
+    s.read.schema(sigTableSchema).parquet(live.toString)
+      .select("doc_id", "sig")
       .repartition(targetFiles)
       .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch").parquet(tmp.toString)
-    writeMeta(s, tmp.toString)
-    if (!fs.rename(dir, old))
-      sys.error(s"compaction swap failed: rename $dir -> $old")
-    if (!fs.rename(tmp, dir))
-      sys.error(s"compaction swap failed after staging: previous table preserved at $old")
-    fs.delete(old, true)
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(next.toString)
+    writeMeta(s, next.toString)
+    commitVersion(s, next)
     ()
   }
 

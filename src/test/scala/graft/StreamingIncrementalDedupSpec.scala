@@ -97,7 +97,7 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     in.mkdirs()
     try {
       operators.Dedup.writeSignatureTable(corpusA, sig.toString)
-      assert(spark.read.parquet(sig.toString).count() == 5)
+      assert(operators.Dedup.readSignatureTable(spark, sig.toString).count() == 5)
 
       // trigger 1: batch0 file only
       writeOneFile(batch0, new File(in, "b0.parquet"))
@@ -117,30 +117,38 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       assert(row24.getAs[String]("text") == words("hh").mkString(" "))
 
       // the signature table holds seed + kept rows, partitioned by batch
-      val sigState = spark.read.parquet(sig.toString)
+      // inside the live v=0 version directory (stream appends in place)
+      val sigState = spark.read.parquet(s"$sig/v=0")
         .groupBy(col("ingest_batch").cast("long").as("b")).count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(sigState == Map(-1L -> 5L, 0L -> 2L, 1L -> 1L))
       // and is joinable by any later run: same shape as signatures()
-      assert(spark.read.parquet(sig.toString).schema.fieldNames.sorted
+      assert(operators.Dedup.readSignatureTable(spark, sig.toString)
+        .schema.fieldNames.sorted
         .sameElements(Array("doc_id", "ingest_batch", "sig")))
 
       // restart with no new files: sink and table unchanged
-      val sigBefore = spark.read.parquet(sig.toString).collect().toSet
+      val sigBefore = operators.Dedup.readSignatureTable(spark, sig.toString)
+        .collect().toSet
       runStream(in.toString, sig.toString, kept.toString, ckpt.toString)
       assert(keptState(kept.toString) == Map(13L -> 0L, 14L -> 0L, 24L -> 1L))
-      assert(spark.read.parquet(sig.toString).collect().toSet == sigBefore)
+      assert(operators.Dedup.readSignatureTable(spark, sig.toString)
+        .collect().toSet == sigBefore)
 
       // compaction against the REAL checkpoint this stream wrote — the
       // commit-precondition parse runs on genuine CommitLog layout, not
       // the fabricated one the precondition spec uses
       operators.Dedup.compactSignatureTable(
         spark, sig.toString, ckpt.toString, targetFiles = 2)
-      val folded = spark.read.parquet(sig.toString)
+      val folded = operators.Dedup.readSignatureTable(spark, sig.toString)
       assert(folded.select("doc_id").collect().map(_.getLong(0)).toSet ==
         Set(1L, 2L, 3L, 4L, 5L, 13L, 14L, 24L))
       assert(folded.select(col("ingest_batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq == Seq(-1L))
+      // the fold published v=1; superseded v=0 survives one cycle for
+      // readers that resolved before the flip
+      assert(new File(sig, "v=1/_graft_commit").exists)
+      assert(new File(sig, "v=0").exists)
     } finally Fs.rmTree(root)
   }
 
@@ -160,7 +168,7 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
 
   test("signature-table compaction folds batch partitions into the seed, " +
       "bounds file count, and leaves dedup behavior unchanged") {
-    import operators.Dedup.{compactSignatureTable, dedupAgainst, signatures, writeSignatureTable}
+    import operators.Dedup.{compactSignatureTable, dedupAgainst, readSignatureTable, signatures, writeSignatureTable}
     val root = java.nio.file.Files.createTempDirectory("graft_sigcompact_").toFile
     val sig = new File(root, "sig")
     try {
@@ -172,27 +180,32 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       Seq(kept0 -> 0L, kept1 -> 1L).foreach { case (df, b) =>
         signatures(df).select("doc_id", "sig")
           .withColumn("ingest_batch", lit(b))
-          .write.mode("append").partitionBy("ingest_batch").parquet(sig.toString)
+          .write.mode("append").partitionBy("ingest_batch").parquet(s"$sig/v=0")
       }
       val ckpt = fakeCheckpoint(root, "ckpt", 0L, 1L)
-      val before = spark.read.parquet(sig.toString)
+      val before = readSignatureTable(spark, sig.toString)
         .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
 
       compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 2)
 
       // same (doc_id, sig) content, all rows folded into the seed partition
-      val compacted = spark.read.parquet(sig.toString)
+      val compacted = readSignatureTable(spark, sig.toString)
       assert(compacted.select("doc_id", "sig").collect()
         .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap == before)
       assert(compacted.select(col("ingest_batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq == Seq(-1L))
-      // layout bounded: one partition dir, at most targetFiles parquet files
-      val partDirs = Option(sig.listFiles).toSeq.flatten.filter(_.isDirectory)
+      // layout bounded inside the published v=1: one partition dir, at
+      // most targetFiles parquet files
+      val v1 = new File(sig, "v=1")
+      assert(new File(v1, "_graft_commit").exists)
+      val partDirs = Option(v1.listFiles).toSeq.flatten.filter(_.isDirectory)
       assert(partDirs.map(_.getName) == Seq("ingest_batch=-1"))
       assert(partDirs.head.listFiles.count(_.getName.endsWith(".parquet")) <= 2)
-      // no staging debris survives a clean compaction
+      // nothing outside the table dir; superseded v=0 still present for
+      // one cycle (racing readers), collected by the next compaction
       assert(Option(root.listFiles).toSeq.flatten.map(_.getName).sorted ==
         Seq("ckpt", "sig"))
+      assert(new File(sig, "v=0").exists)
 
       // dedup semantics against the compacted table are unchanged:
       // a copy of kept-13 and of kept-24 drop, a genuinely new doc stays
@@ -201,23 +214,32 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
         32L -> words("hh").mkString(" "),
         33L -> words("kk").mkString(" ")))
       val kept = dedupAgainst(
-        spark.read.parquet(sig.toString).select("doc_id", "sig"), probe)
+        readSignatureTable(spark, sig.toString).select("doc_id", "sig"), probe)
       assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(33L))
 
-      // crash-safety contract: leftover staging siblings block a new run
-      // (an interrupted swap must be resolved by a human, never clobbered)
-      val old = new File(root, "sig_compact_old")
-      old.mkdirs()
-      val e = intercept[IllegalArgumentException](
-        compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 2))
-      assert(e.getMessage.contains("interrupted compaction"))
-      Fs.rmTree(old)
+      // a later compaction collects the superseded version and any
+      // uncommitted junk, and the table content is unaffected
+      val junk = new File(sig, "v=7")
+      junk.mkdirs()
+      java.nio.file.Files.write(new File(junk, "garbage").toPath,
+        "not a table".getBytes)
+      assert(readSignatureTable(spark, sig.toString)
+        .select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap == before,
+        "an uncommitted version dir must be invisible to readers")
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 2)
+      assert(!new File(sig, "v=0").exists && !junk.exists,
+        "the next compaction collects superseded and uncommitted versions")
+      assert(new File(sig, "v=2/_graft_commit").exists)
+      assert(readSignatureTable(spark, sig.toString)
+        .select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap == before)
     } finally Fs.rmTree(root)
   }
 
   test("compaction refuses to fold a batch the stream checkpoint has not " +
       "committed, and accepts once the commit lands") {
-    import operators.Dedup.{compactSignatureTable, signatures, writeSignatureTable}
+    import operators.Dedup.{compactSignatureTable, readSignatureTable, signatures, writeSignatureTable}
     val root = java.nio.file.Files.createTempDirectory("graft_sigprecond_").toFile
     val sig = new File(root, "sig")
     try {
@@ -225,7 +247,7 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       Seq(0L, 1L).foreach { b =>
         signatures(docs(Seq((100 + b) -> words("zz").mkString(" "))))
           .select("doc_id", "sig").withColumn("ingest_batch", lit(b))
-          .write.mode("append").partitionBy("ingest_batch").parquet(sig.toString)
+          .write.mode("append").partitionBy("ingest_batch").parquet(s"$sig/v=0")
       }
       // the crash window: batch 1's writes landed (foreachBatch ran) but
       // the checkpoint stopped between offset-write and commit — only
@@ -243,15 +265,15 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       assert(e2.getMessage.contains("max committed batch id (-1)"))
 
       // refusal must not have touched the table
-      assert(spark.read.parquet(sig.toString).count() == 7)
+      assert(readSignatureTable(spark, sig.toString).count() == 7)
 
       // commit lands -> fold proceeds and erases batch identity
       val fresh = fakeCheckpoint(root, "ckpt_fresh", 0L, 1L)
       compactSignatureTable(spark, sig.toString, fresh.toString, targetFiles = 2)
-      assert(spark.read.parquet(sig.toString)
+      assert(readSignatureTable(spark, sig.toString)
         .select(col("ingest_batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq == Seq(-1L))
-      assert(spark.read.parquet(sig.toString).count() == 7)
+      assert(readSignatureTable(spark, sig.toString).count() == 7)
     } finally Fs.rmTree(root)
   }
 
@@ -266,7 +288,7 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       assert(readSignatureTable(spark, sig.toString).count() == 5)
 
       // tamper the stamp into a different parameterization (K=32)
-      val metaFile = new File(sig, "_graft_meta.json")
+      val metaFile = new File(sig, "v=0/_graft_meta.json")
       val stamped = new String(
         java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
       assert(stamped == sigTableMeta)
@@ -302,13 +324,12 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     } finally Fs.rmTree(root)
   }
 
-  test("crash windows of the compaction swap: both intermediate layouts " +
-      "fail-stop, and the documented manual restore recovers each") {
+  test("crash windows of the versioned compaction commit: an uncommitted " +
+      "fold is invisible and auto-collected, a reader racing the version " +
+      "flip reads a complete table, and a two-flips-stale reader fail-stops") {
     import operators.Dedup.{compactSignatureTable, dedupAgainst, readSignatureTable, writeSignatureTable}
     val root = java.nio.file.Files.createTempDirectory("graft_sigcrash_").toFile
     val sig = new File(root, "sig")
-    val tmp = new File(root, "sig_compact_tmp")
-    val old = new File(root, "sig_compact_old")
     def table(): Set[Long] = readSignatureTable(spark, sig.toString)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     try {
@@ -316,51 +337,93 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       val want = table()
       val ckpt = fakeCheckpoint(root, "ckpt") // seed-only: no batches to fold
 
-      // -- window 1: crash BETWEEN the renames. Stage the exact layout the
-      // code leaves: sigDir renamed away to _compact_old, staged rewrite
-      // at _compact_tmp, sigDir missing.
+      // -- window 1: crash while WRITING the fold. The staged v=1 exists
+      // but has no commit marker — readers never resolve it, the live
+      // table is untouched, and no manual restore exists to get wrong.
+      val staged = new File(sig, "v=1")
+      new File(staged, "ingest_batch=-1").mkdirs()
+      java.nio.file.Files.write(
+        new File(staged, "ingest_batch=-1/part-half-written.parquet").toPath,
+        "truncated by the crash".getBytes)
+      assert(table() == want,
+        "an uncommitted fold must be invisible to readers")
+      // recovery is the next compaction run itself: it collects the
+      // debris and redoes the fold into the same version number
       compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
-      assert(table() == want, "clean compaction sanity")
-      val staged = new File(root, "staged_copy")
-      // rebuild the staged rewrite (content irrelevant to the restore path)
-      writeSignatureTable(corpusA, staged.toString)
-      assert(sig.renameTo(old), "stage crash layout: sigDir -> _compact_old")
-      assert(staged.renameTo(tmp), "stage crash layout: staged -> _compact_tmp")
-
-      // readers fail-stop: the table dir is simply absent
-      intercept[Exception](table())
-      // a fresh compaction refuses while the siblings exist
-      val e = intercept[IllegalArgumentException](
-        compactSignatureTable(spark, sig.toString, ckpt.toString))
-      assert(e.getMessage.contains("interrupted compaction"))
-
-      // documented restore: _compact_old -> sigDir, drop _compact_tmp
-      assert(old.renameTo(sig))
-      Fs.rmTree(tmp)
-      assert(table() == want, "restore must recover the full previous table")
-      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
-      assert(table() == want, "re-run after restore completes the fold")
-
-      // -- window 2: crash AFTER the second rename, before delete(old).
-      // sigDir is the compacted truth; _compact_old is leftover debris.
-      val debris = new File(root, "debris_copy")
-      writeSignatureTable(corpusA, debris.toString)
-      assert(debris.renameTo(old))
-      assert(table() == want, "table already correct in this window")
-      val e2 = intercept[IllegalArgumentException](
-        compactSignatureTable(spark, sig.toString, ckpt.toString))
-      assert(e2.getMessage.contains("interrupted compaction"))
-      // documented restore: just delete _compact_old
-      Fs.rmTree(old)
-      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
+      assert(new File(sig, "v=1/_graft_commit").exists,
+        "the redone fold publishes v=1")
       assert(table() == want)
-      // and the recovered table still dedups: a copy of corpus 1 drops
+
+      // -- window 2: crash AFTER the marker — which is also the NORMAL
+      // completed state: v=0 and v=1 both committed, the newer one live,
+      // the superseded one collected by the next run.
+      assert(new File(sig, "v=0/_graft_commit").exists &&
+        new File(sig, "v=1/_graft_commit").exists)
+      assert(table() == want, "max committed version wins")
+
+      // -- reader racing the flip: resolve the live version, THEN let a
+      // compaction publish v=2 — the already-resolved reader finishes
+      // against its intact directory because the superseded version is
+      // kept for one full cycle.
+      val pinnedAtV1 = readSignatureTable(spark, sig.toString)
+        .select("doc_id", "sig")
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
+      assert(new File(sig, "v=2/_graft_commit").exists)
+      assert(!new File(sig, "v=0").exists, "v=0 collected one cycle late")
+      assert(new File(sig, "v=1").exists, "v=1 survives the cycle it was superseded in")
+      assert(pinnedAtV1.collect().map(_.getLong(0)).toSet == want,
+        "a reader that resolved before the flip reads a complete table")
+
+      // -- a reader pinned TWO flips back fail-stops (its directory is
+      // collected), never yields a half-table
+      val pinnedAtV2 = readSignatureTable(spark, sig.toString)
+        .select("doc_id", "sig")
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1) // v=3, collects v=1
+      assert(pinnedAtV2.collect().map(_.getLong(0)).toSet == want,
+        "one flip back still reads (v=2 kept this cycle)")
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1) // v=4, collects v=2
+      assert(!new File(sig, "v=2").exists)
+      intercept[Exception](pinnedAtV2.collect())
+
+      // and the current table still dedups: a copy of corpus 1 drops
       val probe = docs(Seq(41L -> words("aa").mkString(" "),
         42L -> words("qq").mkString(" ")))
       val keptIds = dedupAgainst(
         readSignatureTable(spark, sig.toString).select("doc_id", "sig"), probe)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(keptIds == Set(42L))
+    } finally Fs.rmTree(root)
+  }
+
+  test("a pre-versioned flat signature table is refused with the exact " +
+      "migration remedy, and the migration makes it readable") {
+    import operators.Dedup.{readSignatureTable, signatures, sigTableMeta}
+    val root = java.nio.file.Files.createTempDirectory("graft_sigflat_").toFile
+    val sig = new File(root, "sig")
+    try {
+      // fabricate the round-9 flat layout: partitions + stamp at top level
+      signatures(corpusA).select("doc_id", "sig")
+        .withColumn("ingest_batch", lit(-1L))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(sig.toString)
+      java.nio.file.Files.write(new File(sig, "_graft_meta.json").toPath,
+        sigTableMeta.getBytes("UTF-8"))
+
+      val e = intercept[RuntimeException](readSignatureTable(spark, sig.toString))
+      assert(e.getMessage.contains("FLAT") && e.getMessage.contains("v=0"),
+        s"must name the migration, got: ${e.getMessage}")
+
+      // perform exactly the documented migration
+      val v0 = new File(sig, "v=0"); v0.mkdirs()
+      Option(sig.listFiles).toSeq.flatten
+        .filter(f => f.getName.startsWith("ingest_batch=") ||
+          f.getName == "_graft_meta.json" ||
+          f.getName.startsWith(".")) // local-FS .crc twins of the data files
+        .foreach(f => assert(f.renameTo(new File(v0, f.getName))))
+      java.nio.file.Files.write(new File(v0, "_graft_commit").toPath,
+        Array.empty[Byte])
+      assert(readSignatureTable(spark, sig.toString).count() == 5,
+        "the migrated table reads under the versioned protocol")
     } finally Fs.rmTree(root)
   }
 

@@ -649,21 +649,58 @@ object Similarity extends QueryModule {
       .select("va", "vb", "sim")
   }
 
+  // ---- driver-gated instance of the parameterized pairs API ----------
+
+  /** [[nearDupPairs]] at the sim_cos_pairs settings (8 bands × 6 bits,
+    * minSim 0.3), driver-gated: the parameterized LIBRARY API runs
+    * through the same DuckDB hash gate as the fixed queries, closing the
+    * round-9 gap between "library API" and "contract-checked operator".
+    * Deliberately label-BLIND — the parameterized form serves arbitrary
+    * corpora with no label column — so it is a distinct result from
+    * sim_cos_pairs (a superset: cross-label pairs clearing minSim
+    * appear), with its own oracle.
+    */
+  private def nearDupParam(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(embeddings(s, d), PAIR_BANDS, PAIR_BITS, PAIR_MIN_SIM)
+      .orderBy("va", "vb")
+
+  private def nearDupParamOracle: String = {
+    val bandSelects = (0 until PAIR_BANDS)
+      .map(b => s"SELECT vec_id, $b AS band, ${bandCodeSql(b)} AS code FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $normCte,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)
+       |SELECT va, vb,
+       |  ${simSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} AS sim
+       |FROM cand
+       |JOIN e ea ON va = ea.vec_id
+       |JOIN e eb ON vb = eb.vec_id
+       |WHERE ${simSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} >= $PAIR_MIN_SIM
+       |ORDER BY va, vb""".stripMargin
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_topk_brute" -> topkBrute _,
-    "sim_topk_lsh"   -> topkLsh _,
-    "sim_topk_ivf"   -> topkIvf _,
-    "sim_ivf_kmeans" -> topkIvfKmeans _,
-    "sim_cos_pairs"  -> cosinePairs _,
+    "sim_topk_brute"    -> topkBrute _,
+    "sim_topk_lsh"      -> topkLsh _,
+    "sim_topk_ivf"      -> topkIvf _,
+    "sim_ivf_kmeans"    -> topkIvfKmeans _,
+    "sim_cos_pairs"     -> cosinePairs _,
+    "sim_neardup_param" -> nearDupParam _,
   )
 
   val oracles: Map[String, String] = Map(
-    "sim_topk_brute" -> topkBruteOracle,
-    "sim_topk_lsh"   -> topkLshOracle,
-    "sim_topk_ivf"   -> topkIvfOracle,
-    "sim_ivf_kmeans" -> topkIvfKmeansOracle,
-    "sim_cos_pairs"  -> cosinePairsOracle,
+    "sim_topk_brute"    -> topkBruteOracle,
+    "sim_topk_lsh"      -> topkLshOracle,
+    "sim_topk_ivf"      -> topkIvfOracle,
+    "sim_ivf_kmeans"    -> topkIvfKmeansOracle,
+    "sim_cos_pairs"     -> cosinePairsOracle,
+    "sim_neardup_param" -> nearDupParamOracle,
   )
 }

@@ -113,7 +113,19 @@ object ConnectedComponents {
     * the smallest node id reachable via `edges(src, dst)` (undirected;
     * symmetrized internally).
     */
-  def labels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
+  def labels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame =
+    labelsWithRounds(nodes, edges, maxIters)._1
+
+  /** [[labels]] plus the number of propagation rounds the fixpoint took —
+    * the observable behind the O(log diameter) pointer-jumping claim.
+    * CcDepthSpec pins it on deep path graphs (the worst diameter per
+    * node), replacing "shallow clusters converge in 2-3 rounds" with a
+    * measured depth curve; the count includes the fixpoint-confirming
+    * round(s), so it can read up to 2 above the last label change (the
+    * gap-2 sum check).
+    */
+  def labelsWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 25): (DataFrame, Int) = {
     // The fixpoint check sums labels as DECIMAL(38,0); a non-numeric id
     // type would cast to NULL, coalesce to 0, and declare convergence
     // after one round — wrong labels with no signal. Enforce the numeric
@@ -195,7 +207,7 @@ object ConnectedComponents {
       .join(lbls, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
     sym.unpersist()
-    out
+    (out, iters)
     }
   }
 }

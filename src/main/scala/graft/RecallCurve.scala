@@ -41,6 +41,40 @@ object RecallCurve {
     hit.toDouble / t.count()
   }
 
+  /** Exact cosine of EVERY pair (va < vb, 6-dp-rounded like
+    * [[operators.Similarity.nearDupPairs]]) — the ground truth the pair
+    * curve thresholds per minSim. All-pairs by construction (that is
+    * what makes it truth), so only run it on measurement-sized corpora;
+    * the one-sided broadcast keeps it a single streaming nested-loop
+    * pass.
+    */
+  def pairSims(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(broadcast(b), col("va") < col("vb"))
+      .withColumn("sim",
+        round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .select("va", "vb", "sim")
+  }
+
+  /** (pair recall, false pairs) of `found` against `truth` (both
+    * (va, vb) sets). False pairs are found-but-not-true — structurally
+    * zero for nearDupPairs because its verify stage is the same exact
+    * cosine as the truth; the count is measured anyway so the claim is
+    * an observation, not an argument.
+    */
+  def pairStats(truth: DataFrame, found: DataFrame): (Double, Long) = {
+    val t = truth.select("va", "vb")
+    val f = found.select("va", "vb")
+    val hit = f.join(t, Seq("va", "vb")).count()
+    (hit.toDouble / math.max(t.count(), 1L), f.count() - hit)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toInt).getOrElse(50000)
     val nq = args.lift(1).map(_.toInt).getOrElse(100)
@@ -85,6 +119,39 @@ object RecallCurve {
       .map { case (s, r, _) => s""""$s":${f"$r%.4f"}""" }
       .mkString(",")
     println(s"""{"n":$n,"nq":$nq,"dim":$DIM,"clusters":$CLUSTERS,"k":$K,$json}""")
+
+    // ---- nearDupPairs: pair-recall / false-pair curve ----------------
+    // All-pairs truth is quadratic, so the pair curve runs on the first
+    // PAIR_N vectors of the same mixture (~39 per cluster at 5000/128 —
+    // plenty of true near-dup pairs). Grid: bands at the operating
+    // point's bits, bits at the operating point's bands (dim 64 caps
+    // bands*bits, so 8 bands sweeps bits 4/6/8), and minSim at the
+    // operating point.
+    val PAIR_N = 5000
+    val pc = corpus.filter(col("vec_id") < PAIR_N).persist()
+    val sims = pairSims(pc).persist()
+    sims.count()
+    val grid =
+      Seq(1, 2, 4, 8).map(b => (b, 8, 0.9)) ++
+        Seq(4, 6).map(w => (8, w, 0.9)) ++
+        Seq(0.8, 0.95).map(m => (8, 8, m))
+    val pairRows = grid.map { case (bands, bits, minSim) =>
+      val truth = sims.filter(col("sim") >= minSim)
+      val t0 = System.nanoTime()
+      val found = operators.Similarity.nearDupPairs(pc, bands, bits, minSim)
+      val (rec, falsePairs) = pairStats(truth, found)
+      (s"pairs bands=$bands bits=$bits minSim=$minSim", rec, falsePairs,
+        (System.nanoTime() - t0) / 1e9)
+    }
+    println(f"%n| setting | pair recall | false pairs | sec |%n|---|---|---|---|")
+    pairRows.foreach { case (s, r, fp, sec) =>
+      println(f"| $s | $r%.3f | $fp | $sec%.1f |")
+    }
+    val pairJson = pairRows
+      .map { case (s, r, fp, _) => s""""$s":{"recall":${f"$r%.4f"},"false":$fp}""" }
+      .mkString(",")
+    println(s"""{"pair_n":$PAIR_N,"dim":$DIM,"clusters":$CLUSTERS,$pairJson}""")
+    sims.unpersist(); pc.unpersist()
     spark.stop()
   }
 }

@@ -66,6 +66,27 @@ class AnnRecallSpec extends SparkSpec {
       s"no other pair reaches 0.98 in this mixture, got: ${pairs.take(5)}")
   }
 
+  test("nearDupPairs pair-recall floor >= 0.9 at 8 bands x 8 bits " +
+      "minSim 0.9, with zero false pairs, and bands buy recall") {
+    val (corpus0, _) =
+      SyntheticVectors.corpusAndQueries(spark, 2000, 0, 64, 128, 42L)
+    val corpus = corpus0.persist()
+    try {
+      val sims = RecallCurve.pairSims(corpus).persist()
+      val truth = sims.filter(org.apache.spark.sql.functions.col("sim") >= 0.9)
+      val (rec8, false8) = RecallCurve.pairStats(truth,
+        Similarity.nearDupPairs(corpus, bands = 8, bits = 8, minSim = 0.9))
+      info(f"pair recall at 8x8: $rec8%.3f")
+      assert(rec8 >= 0.9, s"pair recall regressed: $rec8 < 0.9")
+      assert(false8 == 0L,
+        "the exact-cosine verify stage admits no false pairs")
+      val (rec2, _) = RecallCurve.pairStats(truth,
+        Similarity.nearDupPairs(corpus, bands = 2, bits = 8, minSim = 0.9))
+      assert(rec2 < rec8, s"more bands must buy recall ($rec2 vs $rec8)")
+      sims.unpersist()
+    } finally { corpus.unpersist(); () }
+  }
+
   test("LSH knob validation: bands*bits beyond the embedding dimension " +
       "raises a readable error naming the knobs, not a silent bucket collapse") {
     val (corpus, queries) =

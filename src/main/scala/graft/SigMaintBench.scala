@@ -1,0 +1,129 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Signature-table maintenance exercise at rehearsal scale — the
+  * observation behind the compaction scale claims (SCALE.md): run the
+  * REAL streaming incremental-dedup pipeline over a fixture's documents
+  * in micro-batches, then compact, and measure what compaction is for —
+  * the file-count/bytes growth of the table and the fold's wall time.
+  *
+  * Shape: the first `corpusN` documents seed the signature table (the
+  * existing corpus); the rest arrive as `batches` single-file
+  * micro-batches through `Dedup.incrementalDedupStream` (one trigger
+  * per file via maxFilesPerTrigger=1), each trigger appending its
+  * survivors' signatures as an `ingest_batch=<id>` partition. That
+  * leaves the exact layout a long-lived crawl ingest accrues, which
+  * `Dedup.compactSignatureTable` folds to `targetFiles` files.
+  *
+  * Usage: runMain graft.SigMaintBench <sfDir> <workDir> [batches] [targetFiles]
+  * Prints one JSON line with before/after file counts, bytes, and
+  * stream/compact wall times.
+  */
+object SigMaintBench {
+
+  private def walkStats(dir: File): (Long, Long) = {
+    def go(f: File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles).toSeq.flatten.map(go)
+          .foldLeft((0L, 0L)) { case ((c1, b1), (c2, b2)) => (c1 + c2, b1 + b2) }
+      else if (f.getName.endsWith(".parquet")) (1L, f.length())
+      else (0L, 0L)
+    go(dir)
+  }
+
+  /** Write `df` as ONE parquet file at `dest` (each planted micro-batch
+    * is one file so maxFilesPerTrigger=1 maps files 1:1 onto triggers).
+    */
+  private def writeOneFile(df: DataFrame, dest: File): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigmaint_w_")
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Option(tmp.toFile.listFiles).toSeq.flatten
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    rm(tmp.toFile)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val work = new File(args(1))
+    val batches = args.lift(2).map(_.toInt).getOrElse(20)
+    val targetFiles = args.lift(3).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (in, sig, kept, ckpt) = (new File(work, "in"), new File(work, "sig"),
+      new File(work, "kept"), new File(work, "ckpt"))
+    in.mkdirs()
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars")
+      .persist()
+    val n = docs.count()
+    val corpusN = n / 5 // 20% existing corpus, 80% arrives on the stream
+    val corpus = docs.filter(col("doc_id").isNotNull)
+      .orderBy("doc_id").limit(corpusN.toInt)
+    Dedup.writeSignatureTable(corpus, sig.toString)
+
+    // remaining docs round-robin into `batches` single-file micro-batches
+    // (pmod on doc_id: deterministic, no shared state with the corpus cut)
+    val rest = docs.join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
+    (0 until batches).foreach { b =>
+      writeOneFile(rest.filter(pmod(col("doc_id"), lit(batches)) === b),
+        new File(in, f"b$b%03d.parquet"))
+    }
+
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema(
+        spark.read.parquet(new File(in, "b000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = Dedup.incrementalDedupStream(
+      stream, sig.toString, kept.toString, ckpt.toString)
+    try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    val streamSec = (System.nanoTime() - t0) / 1e9
+
+    val keptN = spark.read.parquet(kept.toString).count()
+    val (filesBefore, bytesBefore) = walkStats(sig)
+    val partsBefore = Option(new File(sig, "v=0").listFiles).toSeq.flatten
+      .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+
+    val t1 = System.nanoTime()
+    Dedup.compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles)
+    val compactSec = (System.nanoTime() - t1) / 1e9
+
+    // live version after the fold (the superseded v=0 is kept one cycle
+    // by design; report it separately so the steady-state cost is clear)
+    val (filesLive, bytesLive) = walkStats(new File(sig, "v=1"))
+    val (filesTotal, bytesTotal) = walkStats(sig)
+    val rows = Dedup.readSignatureTable(spark, sig.toString).count()
+
+    println(s"""{"sf":"$sfDir","docs":$n,"corpus":$corpusN,"batches":$batches,""" +
+      s""""stream_sec":${math.round(streamSec * 10) / 10.0},"kept":$keptN,""" +
+      s""""files_before":$filesBefore,"bytes_before":$bytesBefore,""" +
+      s""""batch_partitions_before":$partsBefore,""" +
+      s""""compact_sec":${math.round(compactSec * 10) / 10.0},""" +
+      s""""files_live_after":$filesLive,"bytes_live_after":$bytesLive,""" +
+      s""""files_total_after":$filesTotal,"bytes_total_after":$bytesTotal,""" +
+      s""""sig_rows":$rows}""")
+    Dedup.clearCaches()
+    spark.stop()
+  }
+}

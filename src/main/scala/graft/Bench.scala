@@ -163,7 +163,13 @@ object Bench {
     // Threshold 1.0s: round 3's 3.0s left four sub-3s steal-inflated
     // timings unretried and they read as regressions, and a busy-host
     // sweep showed a wide 1.0-1.5s noise band under the older 1.5s cut.
-    val RETRY_ABOVE = 1.0
+    // Env-overridable for REHEARSAL-scale sweeps (sf1/sf10 local runs),
+    // where nearly every query is legitimately multi-second and re-running
+    // all of them up to 3x triples a multi-hour sweep while the steal
+    // outliers the retries exist for are sub-second..few-second driver-scale
+    // noise. The driver never sets it → contract behavior unchanged.
+    val RETRY_ABOVE = sys.env.get("SPARK_GRAFT_RETRY_ABOVE")
+      .flatMap(_.toDoubleOption).getOrElse(1.0)
     def slow(v: Double): Boolean = v.isNaN || v > RETRY_ABOVE
     // Optional comma-separated filter for LOCAL timing-pinning runs
     // (re-measuring one suspect query minutes after a full sweep, per

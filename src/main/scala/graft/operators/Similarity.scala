@@ -616,6 +616,20 @@ object Similarity extends QueryModule {
     rerank(cand, corpus, queries, k)
   }
 
+  /** (vec_id, band, code) rows of the parameterized sign-LSH band family
+    * — the candidate-blocking projection shared by [[nearDupPairs]] and
+    * the occupancy probe in [[graft.PairScaleBench]], which integrates
+    * Σ C(bucket, 2) over these rows to PRICE a knob setting (the exact
+    * pre-distinct candidate count) in O(N·bands) without materializing
+    * a single candidate pair.
+    */
+  def bandCodes(corpus: DataFrame, api: String, bands: Int,
+      bits: Int): DataFrame =
+    corpus.select(col("vec_id"),
+      posexplode(array((0 until bands).map(b =>
+        expr(guardedBandCode(api, "embedding", b, bands, bits))): _*))
+        .as(Seq("band", "code")))
+
   /** Embedding near-dup PAIRS — the parameterized form of the fixed
     * sim_cos_pairs query, for arbitrary corpora: banded sign-LSH
     * candidates (same dim-slice band family as [[annLsh]]) verified by
@@ -629,10 +643,7 @@ object Similarity extends QueryModule {
   def nearDupPairs(corpus: DataFrame, bands: Int, bits: Int,
       minSim: Double): DataFrame = {
     requireKnobs("nearDupPairs", bands, bits)
-    val codes = corpus.select(col("vec_id"),
-      posexplode(array((0 until bands).map(b =>
-        expr(guardedBandCode("nearDupPairs", "embedding", b, bands, bits))): _*))
-        .as(Seq("band", "code")))
+    val codes = bandCodes(corpus, "nearDupPairs", bands, bits)
     val emb = withNorm(corpus)
     val cand = codes.as("a").join(codes.as("b"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&

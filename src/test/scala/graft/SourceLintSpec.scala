@@ -58,9 +58,11 @@ class SourceLintSpec extends AnyFunSuite {
     // of an iterative loop; anywhere else it is probably a mistake.
     // ScaleUp's 1-row max-key probe guards the stride shift — a fixture
     // tool, not an operator (same class as its coalesce(1) exemption).
+    // PairScaleBench's occupancy integral reduces to ONE scalar (the
+    // priced candidate count) — a measurement main, not an operator.
     val hits = offenders(".head()", "graft",
       exempt = Set("graft/operators/ConnectedComponents.scala",
-        "graft/ScaleUp.scala"))
+        "graft/ScaleUp.scala", "graft/PairScaleBench.scala"))
     assert(hits.isEmpty, s"unexpected driver-side head() in: $hits")
   }
 }

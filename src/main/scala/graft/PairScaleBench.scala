@@ -23,8 +23,9 @@ import graft.operators.Similarity
   *     occupancies (groupBy (band, code) → Σ n·(n−1)/2): O(N·bands) work
   *     and a ~2^bits-row aggregate — pricing a setting without paying it;
   *   - when the priced count is under `fullCap` (default 10^8), runs the
-  *     full nearDupPairs (candidates → distinct → exact-cosine verify at
-  *     minSim 0.3) and reports wall seconds and verified-pair count.
+  *     full nearDupPairs (inline exact-cosine verify on the streamed
+  *     bucket matches at minSim 0.3, distinct on survivors) and reports
+  *     wall seconds and verified-pair count.
   *
   * The point at the capped settings is the PRICE ITSELF — running 2.5G
   * candidates to report "it is slow" measures the sandbox, not the

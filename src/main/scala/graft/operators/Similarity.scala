@@ -21,15 +21,18 @@ import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
   *    bucket — the shuffle key is the 10-bit code, turning O(N·Q) into
   *    O(N·Q/2^10) comparisons, the standard LSH trade;
   *  - banded sign-LSH near-dup pairs: candidates = same label sharing at
-  *    least one of PAIR_BANDS sign-bit band codes, then exact cosine
-  *    verify. Round 1 did all-pairs within a label block — O(n²) in the
-  *    block and 38% of the whole bench; banding makes the shuffle key
+  *    least one of PAIR_BANDS sign-bit band codes, with exact-cosine
+  *    verify INLINE in the bucket join (survivors-only distinct after).
+  *    Round 1 did all-pairs within a label block — O(n²) in the block
+  *    and 38% of the whole bench; banding makes the shuffle key
   *    (label, band, code), dividing each block's pair count by 2^bits.
   *    That divides the quadratic's CONSTANT, not its exponent: bucket
   *    occupancy is ~n_label/2^PAIR_BITS, so at 1000× the vectors the
   *    band width must widen with log2(n) (PAIR_BITS is that knob; wider
   *    bands trade recall, recovered by more PAIR_BANDS) to hold
-  *    per-bucket work flat. Recall is the standard LSH trade.
+  *    per-bucket work flat. Recall is the standard LSH trade — and
+  *    because the verify streams inside the join, an under-widened
+  *    `bits` costs CPU (cores absorb it), never candidate shuffle/spill.
   *
   * All dot products use the codegen'd [[org.apache.spark.sql.graft.DotProductD]]
   * expression (strict left-to-right double accumulation — bit-identical
@@ -172,46 +175,49 @@ object Similarity extends QueryModule {
       .map(j => s"CASE WHEN embedding[${PAIR_BITS * b + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
       .mkString(" + ")
 
+  /** Verify-INLINE shape (shared with [[nearDupPairs]]): the bucket
+    * self-join carries embedding+norm, computes the exact cosine as it
+    * streams, filters at minSim, and only then distincts the (few)
+    * survivors. The candidate set — bands·N²/2^bits pairs — is never
+    * shuffled or spilled; it exists only inside the join's output
+    * iterator, so its cost is verify CPU (scales out with cores), not
+    * disk. The distinct-candidates-first alternative shuffles
+    * O(candidates) rows and filled 80 GB of spill at the 200k-vector
+    * rehearsal decade before this restructure; survivors' sim values
+    * collapse in the distinct because the same codegen'd expression on
+    * the same operands is deterministic per pair across bands.
+    */
   private def cosinePairs(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d))
-    val bands = emb.select(col("vec_id"), col("label"),
+    val bands = emb.select(col("vec_id"), col("label"), col("embedding"),
+        col("nrm"),
         posexplode(array((0 until PAIR_BANDS).map(b => expr(bandCodeExpr(b))): _*))
           .as(Seq("band", "code")))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
           col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        col("a.label").as("label"))
-      .distinct()
-    val ea = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
-    cand.join(ea, "va").join(eb, "vb")
-      .withColumn("sim", simCol("ea", "eb", "na", "nb"))
+      .withColumn("sim", simCol("a.embedding", "b.embedding", "a.nrm", "b.nrm"))
       .filter(col("sim") >= PAIR_MIN_SIM)
-      .select(col("va"), col("vb"), col("label"), col("sim"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.label").as("label"), col("sim"))
+      .distinct()
       .orderBy("va", "vb")
   }
 
   private def cosinePairsOracle: String = {
     val bandSelects = (0 until PAIR_BANDS)
-      .map(b => s"SELECT vec_id, label, $b AS band, ${bandCodeSql(b)} AS code FROM e")
+      .map(b => s"SELECT vec_id, label, embedding, nrm, $b AS band, " +
+        s"${bandCodeSql(b)} AS code FROM e")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH $normCte,
        |bands AS (
-       |  $bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.label AS label
-       |  FROM bands a JOIN bands b
-       |    ON a.label = b.label AND a.band = b.band AND a.code = b.code
-       |    AND a.vec_id < b.vec_id)
-       |SELECT va, vb, cand.label AS label,
-       |  ${simSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} AS sim
-       |FROM cand
-       |JOIN e ea ON va = ea.vec_id
-       |JOIN e eb ON vb = eb.vec_id
-       |WHERE ${simSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} >= $PAIR_MIN_SIM
+       |  $bandSelects)
+       |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+       |  ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
+       |FROM bands a JOIN bands b
+       |  ON a.label = b.label AND a.band = b.band AND a.code = b.code
+       |  AND a.vec_id < b.vec_id
+       |WHERE ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $PAIR_MIN_SIM
        |ORDER BY va, vb""".stripMargin
   }
 
@@ -625,7 +631,18 @@ object Similarity extends QueryModule {
     */
   def bandCodes(corpus: DataFrame, api: String, bands: Int,
       bits: Int): DataFrame =
-    corpus.select(col("vec_id"),
+    bandCodesCarrying(corpus, api, bands, bits)
+      .select("vec_id", "band", "code")
+
+  /** [[bandCodes]] plus the embedding and its norm on every exploded
+    * row — the join input of the verify-inline pairs shape. Catalyst
+    * prunes the carried columns out of the probe's occupancy aggregate,
+    * so sharing one projection keeps the probe's price and the
+    * operator's blocking keys from ever drifting.
+    */
+  private def bandCodesCarrying(corpus: DataFrame, api: String, bands: Int,
+      bits: Int): DataFrame =
+    withNorm(corpus).select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until bands).map(b =>
         expr(guardedBandCode(api, "embedding", b, bands, bits))): _*))
         .as(Seq("band", "code")))
@@ -634,30 +651,26 @@ object Similarity extends QueryModule {
     * sim_cos_pairs query, for arbitrary corpora: banded sign-LSH
     * candidates (same dim-slice band family as [[annLsh]]) verified by
     * exact cosine at `minSim`. Returns (va, vb, sim) with va < vb.
-    * Cost: per-band bucket occupancy is ~N/2^bits, so candidates scale
-    * with bands · N²/2^bits within a bucket — `bits` is the knob that
-    * holds per-bucket work flat as N grows (widen with log2 N), `bands`
-    * buys back the recall wider bands lose. Shuffle keys are (band,
-    * code) digests, never embeddings.
+    * Cost: per-band bucket occupancy is ~N/2^bits, so candidate pairs
+    * scale with bands · N²/2^bits within a bucket — `bits` is the knob
+    * that holds per-bucket work flat as N grows (widen with log2 N),
+    * `bands` buys back the recall wider bands lose. The verify is
+    * INLINE in the bucket join (see [[cosinePairs]]): candidates are
+    * priced in CPU, never shuffled — the only shuffle is the
+    * O(N·bands·dim) band projection, and the distinct runs on verified
+    * survivors only.
     */
   def nearDupPairs(corpus: DataFrame, bands: Int, bits: Int,
       minSim: Double): DataFrame = {
     requireKnobs("nearDupPairs", bands, bits)
-    val codes = bandCodes(corpus, "nearDupPairs", bands, bits)
-    val emb = withNorm(corpus)
-    val cand = codes.as("a").join(codes.as("b"),
+    val codes = bandCodesCarrying(corpus, "nearDupPairs", bands, bits)
+    codes.as("a").join(codes.as("b"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      .distinct()
-    val ea = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
-    cand.join(ea, "va").join(eb, "vb")
-      .withColumn("sim", simCol("ea", "eb", "na", "nb"))
+      .withColumn("sim", simCol("a.embedding", "b.embedding", "a.nrm", "b.nrm"))
       .filter(col("sim") >= minSim)
-      .select("va", "vb", "sim")
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("sim"))
+      .distinct()
   }
 
   // ---- driver-gated instance of the parameterized pairs API ----------
@@ -677,21 +690,17 @@ object Similarity extends QueryModule {
 
   private def nearDupParamOracle: String = {
     val bandSelects = (0 until PAIR_BANDS)
-      .map(b => s"SELECT vec_id, $b AS band, ${bandCodeSql(b)} AS code FROM e")
+      .map(b => s"SELECT vec_id, embedding, nrm, $b AS band, " +
+        s"${bandCodeSql(b)} AS code FROM e")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH $normCte,
        |bands AS (
-       |  $bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)
-       |SELECT va, vb,
-       |  ${simSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} AS sim
-       |FROM cand
-       |JOIN e ea ON va = ea.vec_id
-       |JOIN e eb ON vb = eb.vec_id
-       |WHERE ${simSql("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} >= $PAIR_MIN_SIM
+       |  $bandSelects)
+       |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+       |  ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+       |WHERE ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $PAIR_MIN_SIM
        |ORDER BY va, vb""".stripMargin
   }
 

@@ -26,7 +26,11 @@ object Relational extends QueryModule {
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // every output column is a sort key: (l_orderkey, l_linenumber) is
+      // not unique in the fixture, and a total order is what makes the
+      // row-level dump comparable cross-engine at every scale
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag")
 
   private def filterPred(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -35,7 +39,7 @@ object Relational extends QueryModule {
         col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast("date").as("ship_date"), col("l_discount"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "ship_date", "l_discount")
 
   // ---- aggregation ----------------------------------------------------
 
@@ -265,13 +269,14 @@ object Relational extends QueryModule {
   val oracles: Map[String, String] = Map(
     "rel_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag""".stripMargin,
     "rel_filter" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_discount
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_discount BETWEEN 0.02 AND 0.06
         |  AND l_shipdate >= TIMESTAMP '1995-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, ship_date, l_discount""".stripMargin,
     "rel_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -73,7 +73,11 @@ object ScalarFns extends QueryModule {
       ceil(col("l_extendedprice")).as("price_ceil"),
       (col("l_linenumber") % 3).as("ln_mod3"),
       greatest(col("l_discount"), col("l_tax")).as("max_rate"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // all value columns join the sort: the key pair is not unique in
+      // the fixture, so only a total order compares cross-engine
+      .orderBy("l_orderkey", "l_linenumber", "gross", "disc_dev",
+        "qty_sqrt", "qty_sq", "price_ln", "price_floor", "price_ceil",
+        "ln_mod3", "max_rate")
 
   // ---- JSON (events.props is a JSON string fixture) -------------------
 
@@ -304,7 +308,12 @@ object ScalarFns extends QueryModule {
       expr("shiftleft(CAST(l_linenumber AS BIGINT), 3)").as("shl3"),
       expr("shiftright(l_orderkey, 2)").as("shr2"),
       expr("CAST(bit_count(l_orderkey) AS BIGINT)").as("popcount"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // xorkeys completes the total order: (l_orderkey, l_linenumber) is
+      // NOT unique in the fixture (118k groups span >1 l_partkey at
+      // sf0.1), and rows tied on all three keys are identical in every
+      // output column, so the orderings agree cross-engine at any scale
+      // — ties surfaced as row-order flips only at the 60M-row decade
+      .orderBy("l_orderkey", "l_linenumber", "xorkeys")
 
   private val bitwiseOracle =
     """SELECT l_orderkey, l_linenumber,
@@ -314,7 +323,8 @@ object ScalarFns extends QueryModule {
       |  l_linenumber::BIGINT << 3 AS shl3,
       |  l_orderkey >> 2 AS shr2,
       |  bit_count(l_orderkey)::BIGINT AS popcount
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, xorkeys""".stripMargin
 
   // ---- funnel: ordered step sequence per user -------------------------
 
@@ -419,7 +429,10 @@ object ScalarFns extends QueryModule {
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |  l_linenumber % 3 AS ln_mod3,
         |  greatest(l_discount, l_tax) AS max_rate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, gross, disc_dev, qty_sqrt,
+        |  qty_sq, price_ln, price_floor, price_ceil, ln_mod3,
+        |  max_rate""".stripMargin,
     "fn_cond" -> condOracle,
     "fn_map"  -> mapOracle,
     "fn_json" ->

@@ -34,7 +34,14 @@ object Typed extends QueryModule {
   /** Typed pipeline: filter → map → groupByKey → mapGroups (the exact
     * MR reduce contract — the fold sees every value of the key).
     * Revenue is folded as BigDecimal(6) like the untyped queries cast
-    * to DECIMAL(18,6): exact, so partition order can't change the sum.
+    * to DECIMAL(18,6): exact, so partition order can't change the sum —
+    * and it is EMITTED as exact integer micros (×10^6 of a scale-6
+    * decimal is integral: no rounding step, no tie semantics). The
+    * 60M-row rehearsal showed why a double column can't carry it:
+    * DuckDB's DECIMAL→DOUBLE cast is one ulp off at 8e11 magnitude
+    * (824337001180.910000 casts to …180.9099; correct rounding, which
+    * BigDecimal.doubleValue does, gives …180.91), so any float emission
+    * compares the two engines' cast quirks, not the data.
     */
   private def typedPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -53,17 +60,17 @@ object Typed extends QueryModule {
         var qty = 0.0
         var rev = java.math.BigDecimal.ZERO
         rows.foreach { case (_, q, r) => n += 1; qty += q; rev = rev.add(r) }
-        (flag, n, qty, rev.doubleValue)
+        (flag, n, qty, rev.movePointRight(6).longValueExact())
       }
-      .toDF("l_returnflag", "n_items", "total_qty", "total_revenue")
+      .toDF("l_returnflag", "n_items", "total_qty", "total_revenue_micros")
       .orderBy("l_returnflag")
   }
 
   private val typedPipelineOracle =
     """SELECT l_returnflag, count(*) AS n_items,
       |  sum(l_quantity) AS total_qty,
-      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
-      |    AS total_revenue
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |    AS total_revenue_micros
       |FROM lineitem WHERE l_quantity >= 10
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -87,6 +87,44 @@ class AnnRecallSpec extends SparkSpec {
     } finally { corpus.unpersist(); () }
   }
 
+  test("nearDupPairs verifies inline: the cosine verify rides the bucket " +
+      "join's own condition, and no aggregate sits below the join") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // force the canonical shuffled self-join (a broadcast band side
+    // would hide the shape this spec pins: at corpus scale both sides
+    // shuffle, and the 80 GB sf10 spill this shape replaced came from
+    // a candidate distinct BETWEEN the join and the verify)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (corpus, _) =
+        SyntheticVectors.corpusAndQueries(spark, 500, 0, 64, 8, 3L)
+      val plan = Similarity
+        .nearDupPairs(corpus, bands = 4, bits = 6, minSim = 0.5)
+        .queryExecution.sparkPlan
+      val joins = plan.collect { case j: BaseJoinExec => j }
+      assert(joins.size == 1, s"expected the one bucket self-join:\n$plan")
+      // Catalyst pushes the sim predicate INTO the join condition, so
+      // every candidate is verified inside the join operator and only
+      // survivors ever leave it — a shuffle or spill of the candidate
+      // set is structurally impossible in this plan
+      assert(joins.head.condition.exists(_.sql.contains("0.5")),
+        "the minSim verify must ride the bucket join's condition — a " +
+          "plan that verifies after an exchange re-materializes the " +
+          s"candidate set (the sf10 80 GB spill shape):\n$plan")
+      // the distinct runs on survivors only: nothing aggregates below
+      // the join (the regression shape put distinct(va, vb) there)
+      val aggsBelowJoin = joins.head.collect {
+        case a: BaseAggregateExec => a
+      }
+      assert(aggsBelowJoin.isEmpty,
+        s"no aggregate may run below the bucket join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("LSH knob validation: bands*bits beyond the embedding dimension " +
       "raises a readable error naming the knobs, not a silent bucket collapse") {
     val (corpus, queries) =

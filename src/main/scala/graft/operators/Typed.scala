@@ -42,6 +42,17 @@ object Typed extends QueryModule {
     * (824337001180.910000 casts to …180.9099; correct rounding, which
     * BigDecimal.doubleValue does, gives …180.91), so any float emission
     * compares the two engines' cast quirks, not the data.
+    *
+    * Range bound: micros emission caps per-group revenue at
+    * Long.MaxValue/10^6 ≈ 9.2e12. sf10 per-flag revenue is ~8e11
+    * (~10× headroom), so the representation holds through the measured
+    * decades but would overflow around an sf100–sf300 rehearsal — and
+    * it fails LOUDLY on both sides (`longValueExact` throws
+    * ArithmeticException here; the oracle's `CAST … AS BIGINT` likewise
+    * errors in DuckDB), never silently wraps. An sf100+ rehearsal of
+    * this query needs a wider emission (DECIMAL string or (hi, lo)
+    * split) in BOTH engines; until one is planned, the exact-integer
+    * contract stays as is.
     */
   private def typedPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -74,10 +74,23 @@ class AnnRecallSpec extends SparkSpec {
     try {
       val sims = RecallCurve.pairSims(corpus).persist()
       val truth = sims.filter(org.apache.spark.sql.functions.col("sim") >= 0.9)
-      val (rec8, false8) = RecallCurve.pairStats(truth,
-        Similarity.nearDupPairs(corpus, bands = 8, bits = 8, minSim = 0.9))
+      val found8 = Similarity.nearDupPairs(corpus, bands = 8, bits = 8,
+        minSim = 0.9)
+      val (rec8, false8) = RecallCurve.pairStats(truth, found8)
       info(f"pair recall at 8x8: $rec8%.3f")
       assert(rec8 >= 0.9, s"pair recall regressed: $rec8 < 0.9")
+      // exactly ONE row per (va, vb): the terminal distinct keys on
+      // (va, vb, sim), which collapses cross-band duplicates only while
+      // simCol stays deterministic with identical operand order per pair
+      // — enforce that invariant here so a future sim change (operand
+      // reorder, non-deterministic expr) fails a spec instead of
+      // silently emitting duplicate pair rows
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dupRows = found8.groupBy("va", "vb").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      assert(dupRows == 0L,
+        s"nearDupPairs emitted $dupRows duplicated (va, vb) pairs — the " +
+          "distinct no longer collapses cross-band candidates")
       assert(false8 == 0L,
         "the exact-cosine verify stage admits no false pairs")
       val (rec2, _) = RecallCurve.pairStats(truth,
@@ -108,11 +121,23 @@ class AnnRecallSpec extends SparkSpec {
       // Catalyst pushes the sim predicate INTO the join condition, so
       // every candidate is verified inside the join operator and only
       // survivors ever leave it — a shuffle or spill of the candidate
-      // set is structurally impossible in this plan
-      assert(joins.head.condition.exists(_.sql.contains("0.5")),
-        "the minSim verify must ride the bucket join's condition — a " +
-          "plan that verifies after an exchange re-materializes the " +
-          s"candidate set (the sf10 80 GB spill shape):\n$plan")
+      // set is structurally impossible in this plan. Matched
+      // STRUCTURALLY (a >= comparison whose operand subtree computes
+      // the exact dot product), not by a numeric substring: a bare
+      // "0.5" also appears in unrelated literals, so a substring match
+      // could pass with the verify pushed nowhere.
+      import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual
+      import org.apache.spark.sql.graft.DotProductD
+      val simInCondition = joins.head.condition.exists(_.exists {
+        case cmp: GreaterThanOrEqual =>
+          cmp.exists { case _: DotProductD => true; case _ => false }
+        case _ => false
+      })
+      assert(simInCondition,
+        "the minSim verify (a >= over the exact-cosine DotProductD) must " +
+          "ride the bucket join's condition — a plan that verifies after " +
+          "an exchange re-materializes the candidate set (the sf10 80 GB " +
+          s"spill shape):\n$plan")
       // the distinct runs on survivors only: nothing aggregates below
       // the join (the regression shape put distinct(va, vb) there)
       val aggsBelowJoin = joins.head.collect {

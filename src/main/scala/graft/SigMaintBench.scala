@@ -110,8 +110,13 @@ object SigMaintBench {
     val compactSec = (System.nanoTime() - t1) / 1e9
 
     // live version after the fold (the superseded v=0 is kept one cycle
-    // by design; report it separately so the steady-state cost is clear)
-    val (filesLive, bytesLive) = walkStats(new File(sig, "v=1"))
+    // by design; report it separately so the steady-state cost is clear).
+    // The fold publishes as nonce-suffixed `v=1.<nonce>` (the
+    // concurrent-compactor guard), so look it up by number prefix.
+    val v1 = Option(sig.listFiles).toSeq.flatten
+      .find(f => f.getName == "v=1" || f.getName.startsWith("v=1."))
+      .getOrElse(sys.error(s"no version-1 fold under $sig"))
+    val (filesLive, bytesLive) = walkStats(v1)
     val (filesTotal, bytesTotal) = walkStats(sig)
     val rows = Dedup.readSignatureTable(spark, sig.toString).count()
 

@@ -657,8 +657,10 @@ object Dedup extends QueryModule {
         "(writeSignatureTable) with the current parameters.")
   }
 
-  /** Committed `v=N` version subdirectories of a signature table, i.e.
-    * those carrying a [[COMMIT_MARKER]] file. A version directory
+  /** Committed version subdirectories of a signature table — `v=N` or
+    * `v=N.<nonce>` (the nonce suffix is how concurrent compactors stay
+    * out of each other's directories; see [[compactSignatureTable]]) —
+    * i.e. those carrying a [[COMMIT_MARKER]] file. A version directory
     * without the marker is invisible: either a compaction is still
     * writing it, or a crashed one left it behind — in both cases its
     * contents are not truth and the next compaction collects it.
@@ -669,7 +671,7 @@ object Dedup extends QueryModule {
       .filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith(VERSION_PREFIX))
       .flatMap { p =>
-        val n = p.getName.stripPrefix(VERSION_PREFIX)
+        val n = p.getName.stripPrefix(VERSION_PREFIX).takeWhile(_ != '.')
         if (n.nonEmpty && n.forall(_.isDigit)) Some(n.toLong -> p) else None
       }
       .filter { case (_, p) =>
@@ -700,7 +702,11 @@ object Dedup extends QueryModule {
         s"(expected a ${VERSION_PREFIX}N subdirectory containing " +
         s"$COMMIT_MARKER): seed the table with writeSignatureTable.")
     }
-    versions.maxBy(_._1)._2
+    // tie-break equal version numbers (two racing compactors that both
+    // committed content-equivalent folds) by directory name: EVERY
+    // reader picks the same winner, and the next compaction collects
+    // the loser like any other superseded version
+    versions.maxBy { case (n, p) => (n, p.getName) }._2
   }
 
   /** Publish a fully-written version directory: create its commit
@@ -836,7 +842,9 @@ object Dedup extends QueryModule {
     *
     * The rewrite is OBJECT-STORE-SAFE: it never renames anything, on the
     * write path or the read path. The fold is written into a fresh
-    * `v=<live+1>` subdirectory and published by creating one commit
+    * nonce-suffixed `v=<live+1>.<nonce>` subdirectory (unique per
+    * compactor run — see the concurrency contract on the 5-arg
+    * overload) and published by creating one commit
     * marker file — a single PUT, atomically visible on HDFS and on
     * S3A/GCS alike, where a directory "rename" is a non-atomic
     * copy+delete (the round-9 two-rename swap, like the reference's own
@@ -857,12 +865,37 @@ object Dedup extends QueryModule {
     * All three states are spec'd in StreamingIncrementalDedupSpec.
     */
   def compactSignatureTable(s: SparkSession, sigDir: String,
-      checkpointDir: String, targetFiles: Int = 32): Unit = {
+      checkpointDir: String, targetFiles: Int = 32): Unit =
+    compactSignatureTable(s, sigDir, checkpointDir, targetFiles, () => ())
+
+  /** [[compactSignatureTable]] with a test seam: `beforeCommit` runs
+    * after the fold is fully written but before the committed-version
+    * recheck + marker PUT — the exact window a CONCURRENT compactor's
+    * commit lands in. Production callers use the 4-arg form (no-op).
+    *
+    * Concurrency contract: each compactor folds into its own
+    * nonce-suffixed `v=<N+1>.<nonce>` directory, so two racing runs
+    * never write the same files. The commit point is the marker PUT,
+    * guarded by a re-list: if another compactor committed version
+    * >= N+1 first, this run deletes its own staging and fails stop
+    * (nothing it wrote was ever reader-visible). Check-then-put is a
+    * benign race, not a lock: if BOTH pass the recheck and PUT, the two
+    * committed `v=<N+1>.*` directories are complete folds of the SAME
+    * live version — content-equivalent — and every reader picks the
+    * same one by the deterministic (version, name) tie-break; the next
+    * compaction collects the other. On an object store without
+    * read-after-list consistency the recheck can only shrink the
+    * already-benign double-commit window, never corrupt it.
+    */
+  private[graft] def compactSignatureTable(s: SparkSession, sigDir: String,
+      checkpointDir: String, targetFiles: Int,
+      beforeCommit: () => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, dir) = hadoopFs(s, sigDir)
     val live = liveVersionPath(s, sigDir)
     checkMeta(s, live.toString)
-    val liveN = live.getName.stripPrefix(VERSION_PREFIX).toLong
+    val liveN = live.getName.stripPrefix(VERSION_PREFIX)
+      .takeWhile(_ != '.').toLong
 
     // collect non-live version dirs: superseded committed versions from
     // the previous cycle (deferred one cycle for racing readers) and
@@ -895,13 +928,33 @@ object Dedup extends QueryModule {
           "stream finish (commit) or restart it once, then compact.")
     }
 
-    val next = new Path(dir, VERSION_PREFIX + (liveN + 1))
+    // fold into a nonce-suffixed staging version: racing compactors can
+    // never interleave writes into one directory, and an abandoned
+    // staging dir is ordinary uncommitted debris for the next cycle
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val next = new Path(dir, VERSION_PREFIX + (liveN + 1) + "." + nonce)
     s.read.schema(sigTableSchema).parquet(live.toString)
       .select("doc_id", "sig")
       .repartition(targetFiles)
       .withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch").parquet(next.toString)
     writeMeta(s, next.toString)
+    beforeCommit()
+    // commit-point guard: a concurrent compactor that committed first
+    // supersedes this fold — discard the staging (never reader-visible)
+    // and fail stop rather than publish a version the winner's next
+    // cycle would treat as live
+    val nowCommitted = committedVersions(fs, dir)
+      .filter { case (n, _) => n > liveN }
+    if (nowCommitted.nonEmpty) {
+      if (fs.exists(next)) { fs.delete(next, true); () }
+      sys.error(s"refusing to commit compaction of $sigDir: a concurrent " +
+        s"compactor committed ${nowCommitted.map(_._2.getName).sorted.mkString(", ")} " +
+        s"while this fold of ${live.getName} was running. This run's " +
+        "staging directory has been removed; nothing it wrote was ever " +
+        "visible to readers. Run compaction again if the table still " +
+        "needs folding — and run ONE compactor per table.")
+    }
     commitVersion(s, next)
     ()
   }

@@ -30,6 +30,18 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
   private def words(seed: String): Seq[String] =
     (0 until 40).map(i => s"$seed${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
 
+  /** Version directory of number `n` under a signature table, whatever
+    * its name shape: `v=0` (writeSignatureTable's unsuffixed seed) or
+    * `v=N.<nonce>` (a compaction fold — the nonce is the
+    * concurrent-compactor guard and differs per run).
+    */
+  private def vdirOf(sig: File, n: Int): Option[File] =
+    Option(sig.listFiles).toSeq.flatten
+      .find(f => f.getName == s"v=$n" || f.getName.startsWith(s"v=$n."))
+
+  private def committedV(sig: File, n: Int): Boolean =
+    vdirOf(sig, n).exists(d => new File(d, "_graft_commit").exists)
+
   private def docs(rows: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
@@ -145,9 +157,9 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
         Set(1L, 2L, 3L, 4L, 5L, 13L, 14L, 24L))
       assert(folded.select(col("ingest_batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq == Seq(-1L))
-      // the fold published v=1; superseded v=0 survives one cycle for
-      // readers that resolved before the flip
-      assert(new File(sig, "v=1/_graft_commit").exists)
+      // the fold published version 1; superseded v=0 survives one cycle
+      // for readers that resolved before the flip
+      assert(committedV(sig, 1))
       assert(new File(sig, "v=0").exists)
     } finally Fs.rmTree(root)
   }
@@ -194,10 +206,10 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap == before)
       assert(compacted.select(col("ingest_batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq == Seq(-1L))
-      // layout bounded inside the published v=1: one partition dir, at
-      // most targetFiles parquet files
-      val v1 = new File(sig, "v=1")
-      assert(new File(v1, "_graft_commit").exists)
+      // layout bounded inside the published version 1: one partition
+      // dir, at most targetFiles parquet files
+      assert(committedV(sig, 1))
+      val v1 = vdirOf(sig, 1).get
       val partDirs = Option(v1.listFiles).toSeq.flatten.filter(_.isDirectory)
       assert(partDirs.map(_.getName) == Seq("ingest_batch=-1"))
       assert(partDirs.head.listFiles.count(_.getName.endsWith(".parquet")) <= 2)
@@ -230,7 +242,7 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 2)
       assert(!new File(sig, "v=0").exists && !junk.exists,
         "the next compaction collects superseded and uncommitted versions")
-      assert(new File(sig, "v=2/_graft_commit").exists)
+      assert(committedV(sig, 2))
       assert(readSignatureTable(spark, sig.toString)
         .select("doc_id", "sig").collect()
         .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap == before)
@@ -337,6 +349,11 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       val want = table()
       val ckpt = fakeCheckpoint(root, "ckpt") // seed-only: no batches to fold
 
+      // compaction folds publish as nonce-suffixed `v=N.<nonce>` dirs
+      // (the concurrent-compactor guard); look versions up by NUMBER
+      def vdir(n: Int): Option[File] = vdirOf(sig, n)
+      def committed(n: Int): Boolean = committedV(sig, n)
+
       // -- window 1: crash while WRITING the fold. The staged v=1 exists
       // but has no commit marker — readers never resolve it, the live
       // table is untouched, and no manual restore exists to get wrong.
@@ -350,27 +367,25 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       // recovery is the next compaction run itself: it collects the
       // debris and redoes the fold into the same version number
       compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
-      assert(new File(sig, "v=1/_graft_commit").exists,
-        "the redone fold publishes v=1")
+      assert(committed(1), "the redone fold publishes version 1")
       assert(table() == want)
 
       // -- window 2: crash AFTER the marker — which is also the NORMAL
-      // completed state: v=0 and v=1 both committed, the newer one live,
-      // the superseded one collected by the next run.
-      assert(new File(sig, "v=0/_graft_commit").exists &&
-        new File(sig, "v=1/_graft_commit").exists)
+      // completed state: versions 0 and 1 both committed, the newer one
+      // live, the superseded one collected by the next run.
+      assert(committed(0) && committed(1))
       assert(table() == want, "max committed version wins")
 
       // -- reader racing the flip: resolve the live version, THEN let a
-      // compaction publish v=2 — the already-resolved reader finishes
-      // against its intact directory because the superseded version is
-      // kept for one full cycle.
+      // compaction publish version 2 — the already-resolved reader
+      // finishes against its intact directory because the superseded
+      // version is kept for one full cycle.
       val pinnedAtV1 = readSignatureTable(spark, sig.toString)
         .select("doc_id", "sig")
       compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
-      assert(new File(sig, "v=2/_graft_commit").exists)
-      assert(!new File(sig, "v=0").exists, "v=0 collected one cycle late")
-      assert(new File(sig, "v=1").exists, "v=1 survives the cycle it was superseded in")
+      assert(committed(2))
+      assert(vdir(0).isEmpty, "v=0 collected one cycle late")
+      assert(vdir(1).isDefined, "v=1 survives the cycle it was superseded in")
       assert(pinnedAtV1.collect().map(_.getLong(0)).toSet == want,
         "a reader that resolved before the flip reads a complete table")
 
@@ -378,11 +393,11 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       // collected), never yields a half-table
       val pinnedAtV2 = readSignatureTable(spark, sig.toString)
         .select("doc_id", "sig")
-      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1) // v=3, collects v=1
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1) // v3, collects v1
       assert(pinnedAtV2.collect().map(_.getLong(0)).toSet == want,
-        "one flip back still reads (v=2 kept this cycle)")
-      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1) // v=4, collects v=2
-      assert(!new File(sig, "v=2").exists)
+        "one flip back still reads (version 2 kept this cycle)")
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1) // v4, collects v2
+      assert(vdir(2).isEmpty)
       intercept[Exception](pinnedAtV2.collect())
 
       // and the current table still dedups: a copy of corpus 1 drops
@@ -392,6 +407,43 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
         readSignatureTable(spark, sig.toString).select("doc_id", "sig"), probe)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(keptIds == Set(42L))
+    } finally Fs.rmTree(root)
+  }
+
+  test("two racing compactors: the first committer wins, the loser " +
+      "fail-stops at its commit point and leaves no staging behind") {
+    import operators.Dedup.{compactSignatureTable, readSignatureTable, writeSignatureTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_sigrace_").toFile
+    val sig = new File(root, "sig")
+    def table(): Set[Long] = readSignatureTable(spark, sig.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      writeSignatureTable(corpusA, sig.toString)
+      val want = table()
+      val ckpt = fakeCheckpoint(root, "ckpt")
+      // compactor B resolves live v=0 and fully writes its fold; inside
+      // B's pre-commit window (the beforeCommit seam — exactly where a
+      // real race lands) compactor A runs start-to-finish and commits
+      // version 1 first. B must then refuse its own commit.
+      val e = intercept[RuntimeException] {
+        compactSignatureTable(spark, sig.toString, ckpt.toString, 1,
+          () => compactSignatureTable(spark, sig.toString, ckpt.toString,
+            targetFiles = 1))
+      }
+      assert(e.getMessage.contains("concurrent compactor committed"),
+        s"the loser must name the race, got: ${e.getMessage}")
+      // exactly ONE version-1 directory survives — the winner's,
+      // committed; the loser's staging is gone (A collected it as
+      // uncommitted debris, and B's failure path deletes any remnant)
+      val v1s = Option(sig.listFiles).toSeq.flatten
+        .filter(_.getName.startsWith("v=1")).toSeq
+      assert(v1s.size == 1 && new File(v1s.head, "_graft_commit").exists,
+        s"want one committed version-1 fold, got: ${v1s.map(_.getName)}")
+      // the table resolves to the winner's fold, content intact
+      assert(table() == want)
+      // and the NEXT (sequential) compaction proceeds normally from it
+      compactSignatureTable(spark, sig.toString, ckpt.toString, targetFiles = 1)
+      assert(committedV(sig, 2) && table() == want)
     } finally Fs.rmTree(root)
   }
 

@@ -65,6 +65,7 @@ object Similarity extends QueryModule {
   private val PAIR_BANDS = 8 // near-dup candidate bands ...
   private val PAIR_BITS = 6 // ... of this many sign bits each
   private val PAIR_MIN_SIM = 0.3
+  private val EMB_DIM = 64 // driver fixture embedding dimension
 
   /** embeddings + precomputed L2 norm (one codegen'd pass per row). */
   private def withNorm(df: DataFrame): DataFrame =
@@ -673,6 +674,96 @@ object Similarity extends QueryModule {
       .distinct()
   }
 
+  // ---- scale-safe derived-knob pairs ----------------------------------
+
+  /** Knob-derivation constants for [[nearDupPairsScaled]]: target ~128
+    * vectors per band bucket (the occupancy the pair-scale probe prices
+    * as flat per-bucket work), band width clamped to [4, 16] bits so a
+    * dim-64 embedding always affords >= 4 bands.
+    */
+  private[graft] val SCALED_OCC = 128
+  private[graft] val SCALED_MIN_BITS = 4
+  private[graft] val SCALED_MAX_BITS = 16
+
+  /** The derived band width for a corpus of `n` vectors: the narrowest
+    * width in [minBits, maxBits] whose expected bucket occupancy
+    * n / 2^bits stays <= occ — i.e. bits grows with log2(n), the exact
+    * knob motion that holds per-bucket candidate work flat as the corpus
+    * scales (candidates/bucket ~ occ², buckets ~ n/occ, so total
+    * candidates stay LINEAR in n instead of quadratic). Pure integer
+    * comparisons so Spark, DuckDB, and this Scala mirror (used by specs)
+    * can never disagree on a boundary.
+    */
+  private[graft] def scaledBits(n: Long, occ: Int = SCALED_OCC,
+      minBits: Int = SCALED_MIN_BITS, maxBits: Int = SCALED_MAX_BITS): Int =
+    (minBits until maxBits)
+      .find(b => n <= occ.toLong * (1L << b))
+      .getOrElse(maxBits)
+
+  /** `bands` from the remaining dimension budget: every disjoint
+    * `bits`-wide dim slice becomes a band, buying back the recall wider
+    * buckets lose. floor(dim / bits) >= 1 for dim >= minBits.
+    */
+  private[graft] def scaledBands(dim: Int, bits: Int): Int =
+    math.max(1, dim / bits)
+
+  /** The [[scaledBits]] ladder as SQL over a column `n` — valid verbatim
+    * in BOTH Spark and DuckDB (plain CASE over integer literals), so the
+    * operator and its oracle derive knobs from the same text.
+    */
+  private[graft] def scaledBitsSql(nCol: String, occ: Int = SCALED_OCC,
+      minBits: Int = SCALED_MIN_BITS, maxBits: Int = SCALED_MAX_BITS): String =
+    (minBits until maxBits)
+      .map(b => s"WHEN $nCol <= ${occ.toLong * (1L << b)} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $maxBits END")
+
+  /** Embedding near-dup pairs at knobs DERIVED from the corpus size —
+    * the production entry point for arbitrary-scale corpora, where the
+    * fixed-knob [[nearDupPairs]] caller would have to re-tune `bits` by
+    * hand every decade. The derivation runs IN the plan (a 1-row count
+    * aggregate broadcast onto the band projection — no driver action, no
+    * collect), so the same query text is scale-safe at any corpus size:
+    * sf0.1's 2k vectors derive 16 bands x 4 bits, the 100x rehearsal's
+    * 200k derive 5 x 11, a 2M-vector decade derives 4 x 14 — per-bucket
+    * occupancy pinned near [[SCALED_OCC]] throughout, candidate volume
+    * linear in n. Verify stays INLINE in the bucket join (same shape as
+    * [[nearDupPairs]], pinned by AnnRecallSpec): candidates are priced
+    * in CPU, never shuffled. Recall at the derived point is measured by
+    * RecallCurve's pair grid and floored in AnnRecallSpec — wider bands
+    * trade recall at moderate sims for scale-linearity; `dim` is the
+    * caller's embedding dimension (knobs always satisfy
+    * bands·bits <= dim, and a short row still fails loudly in-plan).
+    */
+  def nearDupPairsScaled(corpus: DataFrame, dim: Int,
+      minSim: Double): DataFrame = {
+    require(dim >= SCALED_MIN_BITS,
+      s"nearDupPairsScaled: dim $dim below the minimum band width " +
+        s"$SCALED_MIN_BITS")
+    val knobs = corpus.agg(count(lit(1)).as("n"))
+      .select(expr(scaledBitsSql("n")).as("bits"))
+      .select(col("bits"),
+        greatest(lit(1), expr(s"CAST(floor($dim / bits) AS INT)")).as("bands"))
+    val codesArr =
+      s"""transform(sequence(0, bands - 1), b ->
+         |  IF(size(embedding) >= (b + 1) * bits,
+         |    aggregate(sequence(0, bits - 1), 0, (acc, j) ->
+         |      acc + IF(element_at(embedding, b * bits + j + 1) >= 0,
+         |               shiftleft(1, j), 0)),
+         |    raise_error(concat('nearDupPairsScaled: derived bands*bits = ',
+         |      bands * bits, ' exceeds the embedding dimension ',
+         |      size(embedding), ' -- pass the corpus'' true dim'))))""".stripMargin
+    val codes = withNorm(corpus).crossJoin(broadcast(knobs))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(expr(codesArr)).as(Seq("band", "code")))
+    codes.as("a").join(codes.as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", simCol("a.embedding", "b.embedding", "a.nrm", "b.nrm"))
+      .filter(col("sim") >= minSim)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("sim"))
+      .distinct()
+  }
+
   // ---- driver-gated instance of the parameterized pairs API ----------
 
   /** [[nearDupPairs]] at the sim_cos_pairs settings (8 bands × 6 bits,
@@ -704,23 +795,65 @@ object Similarity extends QueryModule {
        |ORDER BY va, vb""".stripMargin
   }
 
+  /** [[nearDupPairsScaled]] on the fixture embeddings — the
+    * contract-checked instance at the SCALE-SAFE operating point, i.e.
+    * whatever knobs the corpus size derives (16x4 at driver scales,
+    * 5x11 at the 100x rehearsal), unlike [[nearDupParam]] which pins
+    * the sf0.1-era 8x6 knobs at every scale and goes superlinear past
+    * ~10^5 vectors. Same minSim and output shape, so the two instances
+    * differ ONLY in knob policy — this one is the documented production
+    * entry point.
+    */
+  private def nearDupScaled(s: SparkSession, d: String): DataFrame =
+    nearDupPairsScaled(embeddings(s, d), EMB_DIM, PAIR_MIN_SIM)
+      .orderBy("va", "vb")
+
+  /** Oracle for [[nearDupScaled]]: DuckDB derives bits/bands from the
+    * same integer CASE ladder ([[scaledBitsSql]] — shared TEXT with the
+    * Spark plan) over its own count(*), then builds the band codes with
+    * a list lambda, so both engines derive and apply identical knobs at
+    * any corpus size without the SQL being regenerated per scale.
+    */
+  private def nearDupScaledOracle: String =
+    s"""WITH $normCte,
+       |kn AS (SELECT count(*) AS n FROM embeddings),
+       |kb AS (SELECT ${scaledBitsSql("n")} AS bits FROM kn),
+       |kk AS (SELECT bits,
+       |  GREATEST(1, CAST(floor($EMB_DIM / bits) AS INT)) AS bands FROM kb),
+       |be AS (SELECT e.vec_id, e.embedding, e.nrm, kk.bits,
+       |  unnest(range(kk.bands)) AS band FROM e, kk),
+       |bands AS (
+       |  SELECT vec_id, embedding, nrm, band,
+       |    list_sum(list_transform(range(bits), j ->
+       |      CASE WHEN embedding[band * bits + j + 1] >= 0
+       |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS code
+       |  FROM be)
+       |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+       |  ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+       |WHERE ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $PAIR_MIN_SIM
+       |ORDER BY va, vb""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_topk_brute"    -> topkBrute _,
-    "sim_topk_lsh"      -> topkLsh _,
-    "sim_topk_ivf"      -> topkIvf _,
-    "sim_ivf_kmeans"    -> topkIvfKmeans _,
-    "sim_cos_pairs"     -> cosinePairs _,
-    "sim_neardup_param" -> nearDupParam _,
+    "sim_topk_brute"     -> topkBrute _,
+    "sim_topk_lsh"       -> topkLsh _,
+    "sim_topk_ivf"       -> topkIvf _,
+    "sim_ivf_kmeans"     -> topkIvfKmeans _,
+    "sim_cos_pairs"      -> cosinePairs _,
+    "sim_neardup_param"  -> nearDupParam _,
+    "sim_neardup_scaled" -> nearDupScaled _,
   )
 
   val oracles: Map[String, String] = Map(
-    "sim_topk_brute"    -> topkBruteOracle,
-    "sim_topk_lsh"      -> topkLshOracle,
-    "sim_topk_ivf"      -> topkIvfOracle,
-    "sim_ivf_kmeans"    -> topkIvfKmeansOracle,
-    "sim_cos_pairs"     -> cosinePairsOracle,
-    "sim_neardup_param" -> nearDupParamOracle,
+    "sim_topk_brute"     -> topkBruteOracle,
+    "sim_topk_lsh"       -> topkLshOracle,
+    "sim_topk_ivf"       -> topkIvfOracle,
+    "sim_ivf_kmeans"     -> topkIvfKmeansOracle,
+    "sim_cos_pairs"      -> cosinePairsOracle,
+    "sim_neardup_param"  -> nearDupParamOracle,
+    "sim_neardup_scaled" -> nearDupScaledOracle,
   )
 }

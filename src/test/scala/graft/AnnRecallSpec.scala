@@ -150,6 +150,85 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("scaledBits ladder: bits widen with log2(n) at exact integer " +
+      "boundaries, clamped to [4, 16], and bands fill the dim budget") {
+    import Similarity.{scaledBands, scaledBits}
+    assert(scaledBits(1) == 4 && scaledBits(2048) == 4,
+      "floor of the clamp up to occ * 2^4")
+    assert(scaledBits(2049) == 5, "first count past occ * 2^4 widens to 5")
+    assert(scaledBits(500) == 4 && scaledBits(2000) == 4,
+      "driver fixture sizes derive 4 bits")
+    assert(scaledBits(200000) == 11, "the 100x rehearsal corpus derives 11")
+    assert(scaledBits(2000000) == 14, "a 2M-vector decade derives 14")
+    assert(scaledBits(Long.MaxValue) == 16, "ceiling of the clamp")
+    assert(scaledBands(64, 4) == 16 && scaledBands(64, 11) == 5 &&
+      scaledBands(64, 14) == 4 && scaledBands(64, 16) == 4)
+    // derived knobs always fit the dimension: bands * bits <= dim
+    (4 to 16).foreach(b => assert(scaledBands(64, b) * b <= 64))
+  }
+
+  test("nearDupPairsScaled equals nearDupPairs at the knobs the Scala " +
+      "mirror derives for this corpus size — the in-plan derivation and " +
+      "the documented ladder can never drift") {
+    import org.apache.spark.sql.functions.col
+    val n = 5000 // ladder: 5000 <= 128 * 2^6 -> 6 bits, 10 bands
+    val (corpus0, _) =
+      SyntheticVectors.corpusAndQueries(spark, n, 0, 64, 128, 13L)
+    val corpus = corpus0.persist()
+    try {
+      val bits = Similarity.scaledBits(n)
+      val bands = Similarity.scaledBands(64, bits)
+      assert(bits == 6 && bands == 10, s"ladder moved: $bands x $bits")
+      val scaled = Similarity.nearDupPairsScaled(corpus, 64, 0.9)
+      val fixed = Similarity.nearDupPairs(corpus, bands, bits, 0.9)
+      assert(scaled.count() > 0, "mixture must contain near-dup pairs")
+      assert(scaled.except(fixed).isEmpty && fixed.except(scaled).isEmpty,
+        "derived-knob pairs must equal fixed-knob pairs at the same knobs")
+      // and at a size one decade up the knobs genuinely CHANGE (the
+      // scale-safety): fewer, wider bands on the same data would derive
+      // had the corpus been 200k rows
+      assert(Similarity.scaledBits(200000) > bits)
+    } finally { corpus.unpersist(); () }
+  }
+
+  test("nearDupPairsScaled verifies inline like the fixed-knob form: the " +
+      "sim predicate rides the bucket join, and the only aggregate below " +
+      "it is the grouping-less 1-row knob derivation") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual
+    import org.apache.spark.sql.graft.DotProductD
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (corpus, _) =
+        SyntheticVectors.corpusAndQueries(spark, 500, 0, 64, 8, 3L)
+      val plan = Similarity.nearDupPairsScaled(corpus, 64, minSim = 0.5)
+        .queryExecution.sparkPlan
+      val joins = plan.collect { case j: BaseJoinExec => j }
+      // the bucket self-join is the one join whose condition carries the
+      // inline verify (the knob broadcasts add joins, but no other join
+      // compares dot products)
+      val bucketJoins = joins.filter(_.condition.exists(_.exists {
+        case cmp: GreaterThanOrEqual =>
+          cmp.exists { case _: DotProductD => true; case _ => false }
+        case _ => false
+      }))
+      assert(bucketJoins.size == 1,
+        s"exactly one join must carry the inline cosine verify:\n$plan")
+      // below that join, only the scalar (grouping-less) knob-count
+      // aggregate may appear — a GROUPED aggregate below the join is the
+      // candidate-distinct regression shape that spilled 80 GB at sf10
+      val groupedBelow = bucketJoins.head.collect {
+        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+      }
+      assert(groupedBelow.isEmpty,
+        s"no grouped aggregate may run below the bucket join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("LSH knob validation: bands*bits beyond the embedding dimension " +
       "raises a readable error naming the knobs, not a silent bucket collapse") {
     val (corpus, queries) =

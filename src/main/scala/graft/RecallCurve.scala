@@ -131,10 +131,18 @@ object RecallCurve {
     val pc = corpus.filter(col("vec_id") < PAIR_N).persist()
     val sims = pairSims(pc).persist()
     sims.count()
+    // Grid: the legacy operating-point sweeps (bands at 8 bits, bits at
+    // 8 bands, minSim around 0.9) PLUS the dim-64 BUDGET points — every
+    // (floor(64/bits), bits) pair the scale-safe derivation can emit,
+    // i.e. the knobs nearDupPairsScaled gates at growing corpus sizes
+    // (16x4 at <=2k vectors ... 4x16 at >=4M). Without these rows the
+    // derived operating point would be cost-priced but recall-blind.
+    val budgetBits = Seq(4, 6, 10, 12, 16)
     val grid =
       Seq(1, 2, 4, 8).map(b => (b, 8, 0.9)) ++
         Seq(4, 6).map(w => (8, w, 0.9)) ++
-        Seq(0.8, 0.95).map(m => (8, 8, m))
+        Seq(0.8, 0.95).map(m => (8, 8, m)) ++
+        budgetBits.map(w => (operators.Similarity.scaledBands(DIM, w), w, 0.9))
     val pairRows = grid.map { case (bands, bits, minSim) =>
       val truth = sims.filter(col("sim") >= minSim)
       val t0 = System.nanoTime()
@@ -151,7 +159,37 @@ object RecallCurve {
       .map { case (s, r, fp, _) => s""""$s":{"recall":${f"$r%.4f"},"false":$fp}""" }
       .mkString(",")
     println(s"""{"pair_n":$PAIR_N,"dim":$DIM,"clusters":$CLUSTERS,$pairJson}""")
-    sims.unpersist(); pc.unpersist()
+
+    // ---- planted near-duplicates: the regime dedup actually targets --
+    // Moderate-sim (0.9) recall at wide bands is the honest LSH trade;
+    // near-IDENTICAL pairs (training-corpus exact/near-exact copies,
+    // sim >= 0.98) are what a dedup pass must not miss. Plant one
+    // per-dim-nudged copy of each of the first PAIR_DUPS vectors
+    // (deterministic nudge; sim ~0.999) and measure the fraction of
+    // planted pairs each budget point recovers at minSim 0.98.
+    val PAIR_DUPS = 250
+    val nudged = pc.filter(col("vec_id") < PAIR_DUPS)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "IF(j = 0, CAST(x + 0.02 AS FLOAT), x))").as("embedding"))
+    val planted = pc.unionByName(nudged).persist()
+    planted.count()
+    val dupRows = budgetBits.map { w =>
+      val bands = operators.Similarity.scaledBands(DIM, w)
+      val t0 = System.nanoTime()
+      val found = operators.Similarity
+        .nearDupPairs(planted, bands, w, minSim = 0.98)
+        .filter(col("vb") >= 1000000L && col("va") === col("vb") - 1000000L)
+      val hits = found.count()
+      (s"planted bands=$bands bits=$w minSim=0.98",
+        hits.toDouble / PAIR_DUPS, (System.nanoTime() - t0) / 1e9)
+    }
+    println(f"%n| setting | planted-dup recall | sec |%n|---|---|---|")
+    dupRows.foreach { case (s, r, sec) => println(f"| $s | $r%.3f | $sec%.1f |") }
+    val dupJson = dupRows
+      .map { case (s, r, _) => s""""$s":${f"$r%.4f"}""" }.mkString(",")
+    println(s"""{"planted_dups":$PAIR_DUPS,"dim":$DIM,$dupJson}""")
+    planted.unpersist(); sims.unpersist(); pc.unpersist()
     spark.stop()
   }
 }

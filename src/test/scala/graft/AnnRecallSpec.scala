@@ -191,6 +191,38 @@ class AnnRecallSpec extends SparkSpec {
     } finally { corpus.unpersist(); () }
   }
 
+  test("budget-point floors: planted near-identical dups are fully " +
+      "recovered even at the widest band (4x16), and moderate-sim recall " +
+      "orders by band width — the trade SCALE.md documents") {
+    import org.apache.spark.sql.functions._
+    val (corpus0, _) =
+      SyntheticVectors.corpusAndQueries(spark, 2000, 0, 64, 128, 42L)
+    // plant a one-dim-nudged copy of each of the first 100 vectors:
+    // cosine ~0.9999, the exact/near-exact copy class a corpus dedup
+    // must not miss at ANY derived operating point
+    val nudged = corpus0.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "IF(j = 0, CAST(x + 0.02 AS FLOAT), x))").as("embedding"))
+    val planted = corpus0.unionByName(nudged).persist()
+    try {
+      val wide = Similarity.nearDupPairs(planted, bands = 4, bits = 16,
+          minSim = 0.98)
+        .filter(col("vb") >= 1000000L && col("va") === col("vb") - 1000000L)
+        .count()
+      assert(wide >= 95,
+        s"planted-dup recall at the widest budget point regressed: $wide/100")
+      // moderate-sim recall must still order by band width: the
+      // narrow-bits point catches at least as many sim>=0.9 pairs
+      val narrow9 = Similarity
+        .nearDupPairs(corpus0, bands = 16, bits = 4, minSim = 0.9).count()
+      val wide9 = Similarity
+        .nearDupPairs(corpus0, bands = 4, bits = 16, minSim = 0.9).count()
+      assert(narrow9 >= wide9,
+        s"16x4 must not find fewer sim>=0.9 pairs than 4x16 ($narrow9 vs $wide9)")
+    } finally { planted.unpersist(); () }
+  }
+
   test("nearDupPairsScaled verifies inline like the fixed-knob form: the " +
       "sim predicate rides the bucket join, and the only aggregate below " +
       "it is the grouping-less 1-row knob derivation") {

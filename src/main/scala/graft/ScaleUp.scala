@@ -33,12 +33,16 @@ import org.apache.spark.sql.functions._
   *    flip sign) — near-dup pair counts scale linearly and the copy-0
   *    query vectors (vec_id < 8) keep their original neighborhoods.
   *
-  * Usage: runMain graft.ScaleUp <inDir> <outDir> [factor] [filesPerTable]
+  * Usage: runMain graft.ScaleUp <inDir> <outDir> [factor] [filesPerTable] [tables]
   *
   * `filesPerTable` > 1 switches the output to the Spark-native
   * DIRECTORY layout (`<t>.parquet/part-*.parquet`, that many files):
   * the shape every real deployment has, and the one that scans
   * partition-parallel. Default 1 mirrors the driver's one-file layout.
+  *
+  * `tables` (comma-separated) restricts the derivation to a subset —
+  * the third-decade probe derives only documents+embeddings at
+  * factor 1000 rather than paying a 600M-row lineitem it never reads.
   */
 object ScaleUp {
 
@@ -48,6 +52,8 @@ object ScaleUp {
     val (in, out) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val filesPerTable = args.lift(3).map(_.toInt).getOrElse(1)
+    val tables = args.lift(4)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +64,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, in, out, factor, filesPerTable)
+    run(spark, in, out, factor, filesPerTable, tables)
     println(s"[scaleup] wrote ${factor}x of $in to $out")
     spark.stop()
   }
@@ -67,15 +73,20 @@ object ScaleUp {
     * the structural invariants the sf1 rehearsal's claims rest on).
     */
   def run(spark: SparkSession, in: String, out: String, factor: Int,
-      filesPerTable: Int = 1): Unit = {
-    // the per-copy vocabulary rename appends TWO letters (aa..zz), so the
-    // renamed words stay within [a-z] — the dedup shingler splits on
-    // [^a-z], and a suffix outside that class would be stripped, silently
-    // collapsing copies back onto copy 0's shingle vocabulary and
-    // squaring the pair counts the derivation exists to keep linear
-    require(factor >= 1 && factor <= 676,
-      s"ScaleUp: factor $factor out of range — the two-letter per-copy " +
-        "vocabulary rename supports at most 676 copies")
+      filesPerTable: Int = 1, tables: Option[Set[String]] = None): Unit = {
+    // the per-copy vocabulary rename appends letters within [a-z] — the
+    // dedup shingler splits on [^a-z], and a suffix outside that class
+    // would be stripped, silently collapsing copies back onto copy 0's
+    // shingle vocabulary and squaring the pair counts the derivation
+    // exists to keep linear. The tag width is UNIFORM per run (2 letters
+    // up to 676 copies — byte-identical to every earlier rehearsal
+    // fixture — 3 beyond, up to 26^3), so no two (word, tag) pairs of
+    // different copies can concatenate to the same string within a run.
+    require(factor >= 1 && factor <= 17576,
+      s"ScaleUp: factor $factor out of range — the three-letter per-copy " +
+        "vocabulary rename supports at most 26^3 copies")
+    val tagLen = if (factor <= 676) 2 else 3
+    require(tables.forall(_.nonEmpty), "ScaleUp: empty tables filter")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$in/$t.parquet")
     // one FILE per table, exactly the driver fixture layout: the stream
@@ -127,33 +138,49 @@ object ScaleUp {
         d.withColumn(k, col(k) + col("copy") * STRIDE))
     }
 
-    Seq("region", "nation").foreach(t => write(read(t), t))
-    write(shifted(read("customer"), "customer", "c_custkey").drop("copy"), "customer")
-    write(shifted(read("supplier"), "supplier", "s_suppkey").drop("copy"), "supplier")
-    write(shifted(read("part"), "part", "p_partkey").drop("copy"), "part")
-    write(shifted(read("orders"), "orders", "o_orderkey", "o_custkey")
-      .drop("copy"), "orders")
-    write(shifted(read("lineitem"), "lineitem", "l_orderkey", "l_partkey", "l_suppkey")
-      .drop("copy"), "lineitem")
-    write(shifted(read("events"), "events", "event_id", "user_id")
-      .drop("copy"), "events")
+    // fixed-width base-26 tag of (copy - 1): most-significant letter
+    // first, so tag(0) = "aa"/"aaa" and every tag has exactly tagLen
+    // letters — uniform width is what rules out cross-copy collisions
+    val tagCols = (tagLen - 1 to 0 by -1).map(k =>
+      chr(lit(97) + pmod(expr(s"(copy - 1) div ${math.pow(26, k).toLong}"),
+        lit(26))))
 
-    write(shifted(read("documents"), "documents", "doc_id")
-      .withColumn("text", when(col("copy") === 0, col("text"))
-        .otherwise(regexp_replace(col("text"), lit("([a-z]+)"),
-          concat(lit("$1"),
-            chr(lit(97) + expr("(copy - 1) div 26")),
-            chr(lit(97) + pmod(col("copy") - 1, lit(26)))))))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("copy"), "documents")
+    def wants(t: String): Boolean = tables.forall(_.contains(t))
+    def ifWanted(t: String)(w: => Unit): Unit = if (wants(t)) w
 
-    write(shifted(read("embeddings"), "embeddings", "vec_id")
-      .withColumn("embedding", when(col("copy") === 0, col("embedding"))
-        .otherwise(expr(
-          """transform(embedding, (x, j) ->
-            |  CASE WHEN pmod(ascii(substr(md5(concat(copy, '_', j)), 1, 1)), 2) = 1
-            |  THEN -x ELSE x END)""".stripMargin)))
-      .drop("copy"), "embeddings")
+    Seq("region", "nation").foreach(t => ifWanted(t)(write(read(t), t)))
+    ifWanted("customer")(
+      write(shifted(read("customer"), "customer", "c_custkey").drop("copy"), "customer"))
+    ifWanted("supplier")(
+      write(shifted(read("supplier"), "supplier", "s_suppkey").drop("copy"), "supplier"))
+    ifWanted("part")(
+      write(shifted(read("part"), "part", "p_partkey").drop("copy"), "part"))
+    ifWanted("orders")(
+      write(shifted(read("orders"), "orders", "o_orderkey", "o_custkey")
+        .drop("copy"), "orders"))
+    ifWanted("lineitem")(
+      write(shifted(read("lineitem"), "lineitem", "l_orderkey", "l_partkey", "l_suppkey")
+        .drop("copy"), "lineitem"))
+    ifWanted("events")(
+      write(shifted(read("events"), "events", "event_id", "user_id")
+        .drop("copy"), "events"))
+
+    ifWanted("documents")(
+      write(shifted(read("documents"), "documents", "doc_id")
+        .withColumn("text", when(col("copy") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("([a-z]+)"),
+            concat((lit("$1") +: tagCols): _*))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("copy"), "documents"))
+
+    ifWanted("embeddings")(
+      write(shifted(read("embeddings"), "embeddings", "vec_id")
+        .withColumn("embedding", when(col("copy") === 0, col("embedding"))
+          .otherwise(expr(
+            """transform(embedding, (x, j) ->
+              |  CASE WHEN pmod(ascii(substr(md5(concat(copy, '_', j)), 1, 1)), 2) = 1
+              |  THEN -x ELSE x END)""".stripMargin)))
+        .drop("copy"), "embeddings"))
     ()
   }
 }

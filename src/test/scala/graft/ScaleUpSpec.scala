@@ -92,4 +92,38 @@ class ScaleUpSpec extends SparkSpec {
           f"mean=${stats.getDouble(1)}%.3f")
     } finally Fs.rmTree(root)
   }
+
+  test("factor past 676 switches to uniform three-letter tags and the " +
+      "tables filter derives only the asked-for tables") {
+    val root = java.nio.file.Files.createTempDirectory("graft_scaleup3_").toFile
+    val out = root.toString
+    try {
+      // 677 copies forces the 3-letter regime; documents only — the
+      // third-decade probe's exact shape (it never reads lineitem)
+      ScaleUp.run(spark, in, out, factor = 677,
+        tables = Some(Set("documents")))
+      assert(Option(root.listFiles).toSeq.flatten.map(_.getName).sorted ==
+        Seq("documents.parquet"), "only the filtered table is written")
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val base = spark.read.parquet(s"$in/documents.parquet")
+      assert(docs.count() == 677 * base.count())
+      // uniform 3-letter tag: every copy-c>0 word gains exactly 3 chars,
+      // so n_chars grows by 3 x word count of the base doc — and copies
+      // at both ends of the range get DISTINCT tags (copy 1 -> aaa,
+      // copy 676 -> azz, i.e. no wraparound collision)
+      val words = base.select(col("doc_id"),
+        size(split(col("text"), " ")).as("w"), col("n_chars").as("nc0"))
+      val copy1 = docs.filter(col("doc_id") >= S && col("doc_id") < 2 * S)
+        .select((col("doc_id") - S).as("doc_id"), col("n_chars").as("nc1"))
+      val off = copy1.join(words, "doc_id")
+        .filter(col("nc1") =!= col("nc0") + lit(3) * col("w")).count()
+      assert(off == 0, "copy 1 must append exactly 3 letters per word")
+      val c676 = docs.filter(col("doc_id") >= 676 * S)
+        .select("text").limit(1).collect().head.getString(0)
+      val c1 = docs.filter(col("doc_id") >= S && col("doc_id") < 2 * S)
+        .select("text").limit(1).collect().head.getString(0)
+      assert(c1.split(" ").head.endsWith("aaa"), s"copy 1 tag: $c1")
+      assert(c676.split(" ").head.endsWith("azz"), s"copy 676 tag: $c676")
+    } finally Fs.rmTree(root)
+  }
 }

@@ -101,7 +101,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -116,7 +116,15 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Measurement knob for the rehearsal-scale stream sweeps: flip the
+    // stateful-stream state store to the RocksDB provider (heap is the
+    // Spark default) so heap-vs-RocksDB wall time can be compared at
+    // sf10 with everything else identical. The driver never sets it;
+    // StreamingSpec proves both providers produce identical results.
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").filter(_.nonEmpty)
+      .foreach(p =>
+        builder.config("spark.sql.streaming.stateStore.providerClass", p))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
     // JIT/codegen warmup: touch the vectorized parquet reader, hash

@@ -75,8 +75,13 @@ object PairScaleBench {
     val corpus = Tables.embeddings(spark, sfDir).persist()
     val n = corpus.count()
     // bands·bits ≤ dim=64 throughout: the fixed contract point, the
-    // same-band-budget midpoints, and the occupancy-priced extreme
-    val knobs = Seq((8, 6), (8, 8), (6, 10), (5, 12), (4, 16))
+    // same-band-budget midpoints, the occupancy-priced extreme — and
+    // whatever point the scaled derivation picks for THIS corpus size,
+    // so every probed fixture prices its own sim_neardup_scaled knobs
+    val derivedBits = Similarity.scaledBits(n)
+    val derived = (Similarity.scaledBands(64, derivedBits), derivedBits)
+    val knobs =
+      (Seq((8, 6), (8, 8), (6, 10), (5, 12), (4, 16)) :+ derived).distinct
     val rows = knobs.map { case (bands, bits) =>
       val t0 = System.nanoTime()
       val cand = candidateCount(corpus, bands, bits)

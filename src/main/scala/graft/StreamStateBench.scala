@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Heap-vs-RocksDB state-store measurement for the stream family — the
+  * observation behind SCALE.md's "the provider is a config flip"
+  * claim. The functional half is already proven (`StreamingSpec` runs
+  * the identical tumbling fixture on both providers and asserts equal
+  * results plus RocksDB engagement); what was missing is the COST half
+  * at rehearsal scale: what each stateful query's state actually
+  * weighs, and what the provider swap does to wall time when state
+  * lives on local disk instead of the executor heap.
+  *
+  * Runs every `stream_*` query from the driver contract
+  * (`SparkEntry.queries`) under the chosen provider, timing each
+  * through the same noop sink as `Bench`, while a
+  * [[StreamingQueryListener]] records the per-query PEAK of the
+  * state-operator progress metrics: total state rows, state bytes
+  * (heap: `memoryUsedBytes`; RocksDB: SST file bytes + pinned-block
+  * memory from the provider's custom metrics — `rocksdbSstFileSize` /
+  * `rocksdbPinnedBlocksMemoryUsage`, the names Spark 4.1 publishes —
+  * since RocksDB keeps its state off the executor heap and on disk).
+  *
+  * Usage: runMain graft.StreamStateBench <sfDir> [heap|rocksdb] [cpus]
+  * Prints one JSON line: per-query wall seconds + peak state metrics.
+  * Matching a progress event to its bench query uses the fixture's
+  * queryName discipline (`graft_<benchName>_<seq>`, longest-prefix so
+  * `stream_tumbling_append` never misfiles under `stream_tumbling`).
+  */
+object StreamStateBench {
+
+  private[graft] final case class StatePeak(
+      rowsTotal: Long, memUsedBytes: Long, sstBytes: Long,
+      rocksMemBytes: Long, progressCount: Long) {
+    def max(o: StatePeak): StatePeak = StatePeak(
+      rowsTotal.max(o.rowsTotal), memUsedBytes.max(o.memUsedBytes),
+      sstBytes.max(o.sstBytes), rocksMemBytes.max(o.rocksMemBytes),
+      progressCount + o.progressCount)
+  }
+
+  /** Longest contract-query name whose fixture prefix opens the
+    * streaming queryName; None for an unmatched or ABSENT name — the
+    * file-sink fixtures (e.g. stream_tumbling_append) start their
+    * query without a queryName, so progress.name arrives null.
+    */
+  private[graft] def benchNameFor(streamName: String,
+      contract: Seq[String]): Option[String] =
+    Option(streamName).flatMap(sn =>
+      contract.filter(n => sn.startsWith("graft_" + n + "_"))
+        .sortBy(-_.length).headOption)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val providerArg = args.lift(1).getOrElse("heap")
+    val providerClass = providerArg match {
+      case "heap"    => None // Spark's default HDFSBackedStateStoreProvider
+      case "rocksdb" => Some("org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      case other     => Some(other) // escape hatch: any provider FQCN
+    }
+    val cpus = args.lift(2)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+    providerClass.foreach(p =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", p))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val contract = SparkEntry.queries.keys.toSeq
+      .filter(_.startsWith("stream_")).sorted
+    val peaks = new java.util.concurrent.ConcurrentHashMap[String, StatePeak]
+    // fallback attribution for nameless streams: queries run strictly
+    // sequentially and each fixture awaits termination before
+    // returning, so "the bench query running right now" is unambiguous
+    // up to listener-bus lag — which the per-query drain below absorbs
+    @volatile var current: String = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops.nonEmpty) benchNameFor(e.progress.name, contract)
+          .orElse(Option(current))
+          .foreach { bench =>
+            def custom(key: String): Long =
+              ops.map(o => Option(o.customMetrics.get(key))
+                .map(_.longValue).getOrElse(0L)).sum
+            val p = StatePeak(
+              rowsTotal = ops.map(_.numRowsTotal).sum,
+              memUsedBytes = ops.map(_.memoryUsedBytes).sum,
+              sstBytes = custom("rocksdbSstFileSize"),
+              rocksMemBytes = custom("rocksdbPinnedBlocksMemoryUsage"),
+              progressCount = 1)
+            peaks.merge(bench, p, (a, b) => a.max(b))
+          }
+      }
+    }
+    spark.streams.addListener(listener)
+
+    val walls = contract.map { name =>
+      current = name
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val w = (System.nanoTime() - t0) / 1e9
+      // progress events post asynchronously on the listener bus; the
+      // stream has terminated, so a short drain both completes this
+      // query's peaks and keeps the `current` fallback unambiguous
+      Thread.sleep(1000)
+      current = null
+      System.err.println(f"[statebench] $name $w%.2fs")
+      name -> w
+    }
+    spark.streams.removeListener(listener)
+
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = walls.map { case (name, w) =>
+      val p = Option(peaks.get(name))
+        .getOrElse(StatePeak(0, 0, 0, 0, 0))
+      s""""$name":{"wall_sec":${r3(w)},"state_rows":${p.rowsTotal}""" +
+        s""","state_mem_bytes":${p.memUsedBytes}""" +
+        s""","rocksdb_sst_bytes":${p.sstBytes}""" +
+        s""","rocksdb_mem_bytes":${p.rocksMemBytes}""" +
+        s""","progress_events":${p.progressCount}}"""
+    }.mkString("{", ",", "}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try Cleanup.releaseAll(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[statebench] cleanup failed (ignored): ${e.getMessage}")
+    }
+    println(s"""{"bench":"stream_state","provider":"$providerArg"""" +
+      s""","total_sec":${r3(walls.map(_._2).sum)},"queries":$qs""" +
+      s""","cpus":$cpus,"sf":"$sfDir"}""")
+    System.out.flush()
+  }
+}

@@ -587,6 +587,45 @@ object Sources extends QueryModule {
       s.table(name).orderBy("user_id", "click_s", "purchase_s")
     }
 
+  /** Stream-static enrichment: the event stream joined to the static
+    * customer dimension (user_id → c_custkey), then aggregated per
+    * (market segment, event type) — the canonical "enrich the firehose
+    * with a dim table" production shape. The static side needs no
+    * watermark and holds NO join state: Spark re-plans it per
+    * micro-batch and broadcasts it (customer at 100 TB event scale is
+    * still the small side), so the only stateful operator is the final
+    * aggregation — state O(segments × types), independent of stream
+    * volume. Events without a matching customer pass through with a
+    * null segment (left join): an enrichment must never DROP events
+    * because the dim is stale — the unmatched bucket is the signal
+    * that it is.
+    */
+  private def streamEnrich(s: SparkSession, d: String): DataFrame =
+    // complete-mode agg re-emits every group each data batch; the
+    // trailing no-data batch would only evict window state the
+    // bounded replay is about to discard
+    withStreamFanout(s, skipNoDataBatch = true) {
+      val name = "graft_stream_enrich_" + streamSeq.incrementAndGet()
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("segment", "event_type")
+    }
+
+  private val streamEnrichOracle =
+    """SELECT c.c_mktsegment AS segment, e.event_type, count(*) AS n,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val streamJoinOracle =
     """SELECT c.user_id, floor(epoch(c.ts))::BIGINT AS click_s,
       |  floor(epoch(p.ts))::BIGINT AS purchase_s
@@ -700,6 +739,7 @@ object Sources extends QueryModule {
     "stream_dedup"       -> streamDedup _,
     "stream_join"        -> streamJoin _,
     "stream_session"     -> streamSession _,
+    "stream_enrich"      -> streamEnrich _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -713,6 +753,7 @@ object Sources extends QueryModule {
     "stream_sliding"     -> streamSlidingOracle,
     "stream_dedup"       -> streamDedupOracle,
     "stream_join"        -> streamJoinOracle,
+    "stream_enrich"      -> streamEnrichOracle,
     "stream_session"     ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

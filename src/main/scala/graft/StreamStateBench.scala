@@ -23,6 +23,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * since RocksDB keeps its state off the executor heap and on disk).
   *
   * Usage: runMain graft.StreamStateBench <sfDir> [heap|rocksdb] [cpus]
+  *   [query,query,...]
+  * The optional trailing filter restricts the run to named stream_*
+  * queries — the decade probes target only the state-heavy ones (a
+  * full sf100 sweep would spend most of its wall on queries whose
+  * state the sf10 rows already bound at KB scale).
   * Prints one JSON line: per-query wall seconds + peak state metrics.
   * Matching a progress event to its bench query uses the fixture's
   * queryName discipline (`graft_<benchName>_<seq>`, longest-prefix so
@@ -75,8 +80,17 @@ object StreamStateBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val contract = SparkEntry.queries.keys.toSeq
+    val all = SparkEntry.queries.keys.toSeq
       .filter(_.startsWith("stream_")).sorted
+    val contract = args.lift(3) match {
+      case None => all
+      case Some(f) =>
+        val wanted = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = wanted.diff(all.toSet)
+        require(unknown.isEmpty,
+          s"unknown stream queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        all.filter(wanted)
+    }
     val peaks = new java.util.concurrent.ConcurrentHashMap[String, StatePeak]
     // fallback attribution for nameless streams: queries run strictly
     // sequentially and each fixture awaits termination before

@@ -75,6 +75,16 @@ object StreamStateBench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // The replay fixtures surface results through a COMPLETE-mode
+      // memory sink (built for driver-side oracle comparison); at the
+      // sf100 probe the session query's 95M result rows trip the 1 GiB
+      // default driver result cap BEFORE the state store is even
+      // stressed. Lifting the cap is a measurement-harness decision —
+      // the sink cost is identical under both providers, so the
+      // provider delta this main exists to measure is unaffected.
+      // Production pipelines append finalized rows to a file sink
+      // (stream_tumbling_append) and never ship results driver-side.
+      .config("spark.driver.maxResultSize", "0")
     providerClass.foreach(p =>
       builder.config("spark.sql.streaming.stateStore.providerClass", p))
     val spark = builder.getOrCreate()
@@ -155,9 +165,10 @@ object StreamStateBench {
     catch { case e: Throwable =>
       System.err.println(s"[statebench] cleanup failed (ignored): ${e.getMessage}")
     }
+    val heapGb = Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024
     println(s"""{"bench":"stream_state","provider":"$providerArg"""" +
       s""","total_sec":${r3(walls.map(_._2).sum)},"queries":$qs""" +
-      s""","cpus":$cpus,"sf":"$sfDir"}""")
+      s""","cpus":$cpus,"heap_gb":${r3(heapGb)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

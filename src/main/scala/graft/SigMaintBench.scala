@@ -21,9 +21,20 @@ import graft.operators.Dedup
   * leaves the exact layout a long-lived crawl ingest accrues, which
   * `Dedup.compactSignatureTable` folds to `targetFiles` files.
   *
-  * Usage: runMain graft.SigMaintBench <sfDir> <workDir> [batches] [targetFiles]
+  * Usage: runMain graft.SigMaintBench <sfDir> <workDir> [batches]
+  *   [targetFiles] [filesPerBatch]
   * Prints one JSON line with before/after file counts, bytes, and
   * stream/compact wall times.
+  *
+  * filesPerBatch (default 1) controls how many parquet files each
+  * planted micro-batch ships: 1 is the original file↔trigger harness
+  * shape; >1 sets maxFilesPerTrigger to the same number so each
+  * trigger still ingests exactly one crawl batch, but reads its files
+  * in parallel. The knob exists because the single-file shape
+  * SERIALIZES the batch's shingle+minhash CPU into one task — at the
+  * sf100 decade (400k docs/batch) that measured 17 min/trigger at
+  * ~1.3 cores, a harness artifact: a real crawl lands every ingest
+  * batch as many part files.
   */
 object SigMaintBench {
 
@@ -37,17 +48,33 @@ object SigMaintBench {
     go(dir)
   }
 
-  /** Write `df` as ONE parquet file at `dest` (each planted micro-batch
-    * is one file so maxFilesPerTrigger=1 maps files 1:1 onto triggers).
+  /** Write batch `b` as exactly `k` parquet files `bNNN_MM.parquet`
+    * under `in`, every file stamped with the same strictly-increasing
+    * per-batch modification time: the file stream source admits files
+    * oldest-first, so a maxFilesPerTrigger=k trigger takes exactly one
+    * batch's files (every earlier batch already consumed) and reads
+    * them in parallel. k=1 keeps the original one-file-per-trigger
+    * harness shape aside from the `_00` name suffix.
     */
-  private def writeOneFile(df: DataFrame, dest: File): Unit = {
+  private def writeBatchFiles(df: DataFrame, in: File, b: Int,
+      k: Int): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sigmaint_w_")
-    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Option(tmp.toFile.listFiles).toSeq.flatten
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no part file under $tmp"))
-    java.nio.file.Files.move(part.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    df.repartition(k).write.mode("overwrite").parquet(tmp.toString)
+    val parts = Option(tmp.toFile.listFiles).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    // maxFilesPerTrigger=k REQUIRES exactly k files per batch or the
+    // batch↔trigger mapping silently drifts
+    require(parts.size == k, s"batch $b wrote ${parts.size} files, wanted $k")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dest = new File(in, f"b$b%03d_$i%02d.parquet")
+      java.nio.file.Files.move(p.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // fixed epoch base: only the ORDER between batches matters, and a
+      // wall-clock base would make reruns in one minute interleave
+      dest.setLastModified(1700000000000L + b * 60000L)
+      ()
+    }
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
       f.delete(); ()
@@ -60,6 +87,8 @@ object SigMaintBench {
     val work = new File(args(1))
     val batches = args.lift(2).map(_.toInt).getOrElse(20)
     val targetFiles = args.lift(3).map(_.toInt).getOrElse(8)
+    val filesPerBatch = args.lift(4).map(_.toInt).getOrElse(1)
+    require(filesPerBatch >= 1, s"filesPerBatch $filesPerBatch < 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,18 +112,22 @@ object SigMaintBench {
       .orderBy("doc_id").limit(corpusN.toInt)
     Dedup.writeSignatureTable(corpus, sig.toString)
 
-    // remaining docs round-robin into `batches` single-file micro-batches
-    // (pmod on doc_id: deterministic, no shared state with the corpus cut)
+    // remaining docs round-robin into `batches` micro-batches of
+    // filesPerBatch files each (pmod on doc_id: deterministic, no
+    // shared state with the corpus cut)
     val rest = docs.join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
     (0 until batches).foreach { b =>
-      writeOneFile(rest.filter(pmod(col("doc_id"), lit(batches)) === b),
-        new File(in, f"b$b%03d.parquet"))
+      writeBatchFiles(rest.filter(pmod(col("doc_id"), lit(batches)) === b),
+        in, b, filesPerBatch)
     }
 
     val t0 = System.nanoTime()
+    val firstFile = Option(in.listFiles).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
     val stream = spark.readStream.schema(
-        spark.read.parquet(new File(in, "b000.parquet").toString).schema)
-      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        spark.read.parquet(firstFile.toString).schema)
+      .option("maxFilesPerTrigger", filesPerBatch.toString)
+      .parquet(in.toString)
     val q = Dedup.incrementalDedupStream(
       stream, sig.toString, kept.toString, ckpt.toString)
     try q.awaitTermination() finally { if (q.isActive) q.stop() }
@@ -121,6 +154,7 @@ object SigMaintBench {
     val rows = Dedup.readSignatureTable(spark, sig.toString).count()
 
     println(s"""{"sf":"$sfDir","docs":$n,"corpus":$corpusN,"batches":$batches,""" +
+      s""""files_per_batch":$filesPerBatch,""" +
       s""""stream_sec":${math.round(streamSec * 10) / 10.0},"kept":$keptN,""" +
       s""""files_before":$filesBefore,"bytes_before":$bytesBefore,""" +
       s""""batch_partitions_before":$partsBefore,""" +

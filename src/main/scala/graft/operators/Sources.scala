@@ -548,6 +548,71 @@ object Sources extends QueryModule {
       s.table(name).orderBy("user_id", "session_start")
     }
 
+  /** The PRODUCTION session shape: watermark-FINALIZED session windows
+    * appended to a parquet file sink — what `stream_session`'s
+    * complete+memory harness deliberately is not. A session is emitted
+    * exactly once, when the watermark (max event time − 2 h) passes its
+    * end (last event + the 30-minute gap); nothing is ever re-emitted
+    * or held driver-side, which is why this shape survives the sf100
+    * decade where the complete-mode sink must materialize 95M rows on
+    * the driver (see SCALE.md). The oracle applies the same cutoff in
+    * exact integer microseconds: sessions whose end+gap ≤ final
+    * watermark. The trailing no-data micro-batch is REQUIRED here —
+    * it is what advances the watermark past the last data batch so
+    * closed sessions actually flush (the per-query skipNoDataBatch
+    * opt-out would silently truncate the output).
+    */
+  private def streamSessionAppend(s: SparkSession, d: String): DataFrame = {
+    val base = streamScratchRoot +
+      s"/graft_stream_append_${ProcessHandle.current().pid()}" +
+      s"_${graft.Fs.pathTag(d)}" +
+      s"_${streamSeq.incrementAndGet()}"
+    graft.Fs.rmTree(new java.io.File(base))
+    withStreamFanout(s) {
+      val q = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+          col("n_events"), col("value_sum"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // explicit schema like readTumblingAppend: a replay where no
+    // session closes before the final watermark commits zero files
+    s.read
+      .schema("user_id BIGINT, session_start BIGINT, n_events BIGINT, value_sum DOUBLE")
+      .parquet(s"$base/out")
+      .orderBy("user_id", "session_start")
+  }
+
+  private val streamSessionAppendOracle =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |      >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, floor(epoch(s_start))::BIGINT AS session_start,
+      |  n_events, value_sum
+      |FROM agg
+      |WHERE epoch_us(s_end) + 1800000000 <=
+      |  (SELECT epoch_us(max(ts)) - 7200000000 FROM events)
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Stream-stream inner join: clicks joined to the user's purchases
     * within the following 30 minutes. Both sides are unbounded; the
     * watermark + time-range condition bound the join state (a click can
@@ -739,6 +804,7 @@ object Sources extends QueryModule {
     "stream_dedup"       -> streamDedup _,
     "stream_join"        -> streamJoin _,
     "stream_session"     -> streamSession _,
+    "stream_session_append" -> streamSessionAppend _,
     "stream_enrich"      -> streamEnrich _,
   )
 
@@ -753,6 +819,7 @@ object Sources extends QueryModule {
     "stream_sliding"     -> streamSlidingOracle,
     "stream_dedup"       -> streamDedupOracle,
     "stream_join"        -> streamJoinOracle,
+    "stream_session_append" -> streamSessionAppendOracle,
     "stream_enrich"      -> streamEnrichOracle,
     "stream_session"     ->
       """WITH marked AS (

@@ -252,6 +252,47 @@ class StreamingSpec extends SparkSpec {
       s"stream fixture leaked session conf: $before -> $after")
   }
 
+  test("append-mode session windows emit exactly the watermark-closed sessions") {
+    // Pins the emission rule `stream_session_append` relies on (a
+    // session flushes once, when the watermark passes last-event+gap)
+    // on a hand-computed input, independent of the oracle fixtures:
+    // a session behind the watermark emits, a session ahead of it is
+    // withheld, and nothing ever re-emits.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.sessionCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("sess_append_out")
+      .start()
+    try {
+      def emitted(): Seq[(Long, Timestamp, Long)] =
+        spark.table("sess_append_out")
+          .select("user_id", "session_start", "n_events")
+          .as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime).toSeq
+      // user 1: events at 10:00 and 10:10 merge into one session
+      // (end 10:40); a third at 13:00 opens a second session. After
+      // this batch the watermark is 13:00 − 2 h = 11:00: the trailing
+      // no-data batch must flush session 1 (10:40 ≤ 11:00) and must
+      // NOT flush session 2 (13:30 > 11:00).
+      input.addData(
+        (ts(0), 1L, "click", 1.0), (ts(10), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, ts(0), 2L)),
+        "only the session behind the watermark may flush")
+      // advance the watermark to 14:00: session 2 (ends 13:30) closes
+      // and emits; the advancing event's OWN session (ends 16:30) is
+      // withheld, and session 1 does not re-emit
+      input.addData((Timestamp.valueOf("2024-01-01 16:00:00"), 9L, "late", 0.0))
+      q.processAllAvailable()
+      assert(emitted() == Seq(
+        (1L, ts(0), 2L),
+        (1L, Timestamp.valueOf("2024-01-01 13:00:00"), 1L)),
+        "the closed session emits exactly once; the open one is withheld")
+    } finally q.stop()
+  }
+
   test("stateful aggregation runs unchanged on the RocksDB state store") {
     // The default state store keeps every key's state on the executor
     // heap — the one streaming component that does NOT survive a 100 TB

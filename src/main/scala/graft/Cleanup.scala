@@ -17,6 +17,7 @@ object Cleanup {
     operators.Dedup.clearCaches()
     operators.RelationalExt.clearCaches()
     operators.Similarity.clearCaches()
+    operators.TrainingPipeline.clearCaches()
     operators.Sources.clearStreamScratch()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()

@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Typed,
     operators.TextAnalysis,
+    operators.TrainingPipeline,
     operators.Similarity,
     operators.Multimodal,
   )

@@ -1,0 +1,479 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
+
+/** Training-data pipeline operators over `documents` / `embeddings` —
+  * the LLM-corpus preparation surface beyond dedup/similarity/quality
+  * (SURVEY §2.C north stars; the reference — a word-count MapReduce,
+  * `mr/word_count.h:22-38` — has no analogue, so these follow the
+  * published pipeline recipes: benchmark decontamination, concat-and-
+  * chunk sequence packing, stratified/weighted sampling, Gopher-style
+  * repetition filters, SemDeDup-style semantic pruning).
+  *
+  * Determinism discipline: every sampling decision uses exact 64-bit
+  * integer hashing (Knuth multiplicative, modular) — never an engine
+  * RNG and never float thresholds — so the DuckDB oracle reproduces the
+  * selections bit-for-bit at any scale.
+  *
+  * Scale notes (100 TB stance) are per-operator below; the common theme
+  * is that every shuffle here carries doc_id + small integers (never
+  * text), small sides are broadcast, and per-group windows are bounded
+  * by construction (shard-local packing, prefiltered quotas).
+  */
+object TrainingPipeline extends QueryModule {
+
+  import Tables._
+
+  /** Per-call persists (the gram/bigram array bases below), released by
+    * Verify/Bench via [[clearCaches]] — the Dedup/Similarity discipline.
+    * Never memoized across calls: a bench retry sweep must re-pay the
+    * array build, not measure a warm cache.
+    */
+  private val persisted = new graft.PersistRegistry
+  def clearCaches(): Unit = persisted.clear()
+
+  /** Persist an n-gram-array frame BEFORE its explode consumers.
+    * Without the materialization barrier, CollapseProject inlines the
+    * interpreted transform(...) lambda into GenerateExec's generator,
+    * which re-evaluates it once per OUTPUT element — O(grams²) per
+    * document (measured 26 s vs 0.2 s for a 5 k-doc explode; the same
+    * wall a plain projection of the array does NOT hit). Quadratic in
+    * document length is fatal at 100 TB, so every gram explode in this
+    * module reads a materialized array column. At cluster scale the
+    * equivalent is writing the gram table to storage once (the Dedup
+    * signature-table pattern) — the point is the barrier, not the heap.
+    */
+  private def barrier(df: DataFrame): DataFrame =
+    persisted.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  // ---- shared text helpers (mirrors Dedup/TextAnalysis tokenization) --
+
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("words",
+      expr("filter(split(text, '[^a-z]+'), x -> x <> '')"))
+
+  private val wordsCte =
+    """docs AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS words
+      |  FROM documents)""".stripMargin
+
+  // ---- decontamination -------------------------------------------------
+
+  /** Shingle width for decontamination. Published pipelines use 13-gram
+    * token overlap against benchmark text; the fixture docs are 20-60
+    * words, so 8 keeps the same "long enough to be non-accidental"
+    * property at fixture length.
+    */
+  private val DECON_GRAM = 8
+  /** Every 97th doc plays the held-out benchmark; the rest are the
+    * training corpus being decontaminated.
+    */
+  private val DECON_MOD = 97
+
+  private def withGrams(df: DataFrame): DataFrame =
+    withWords(df).withColumn("grams",
+      expr(s"""array_distinct(CASE WHEN size(words) >= $DECON_GRAM
+          THEN transform(sequence(0, size(words)-$DECON_GRAM),
+            i -> concat_ws(' ', ${(0 until DECON_GRAM).map(j => s"words[i+$j]").mkString(", ")}))
+          ELSE array(array_join(words, ' ')) END)"""))
+
+  private val gramsCte =
+    s"""g AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(words) >= $DECON_GRAM
+       |      THEN list_transform(range(len(words)-${DECON_GRAM - 1}),
+       |        i -> ${(1 to DECON_GRAM).map(j => s"words[i+$j]").mkString(" || ' ' || ")})
+       |      ELSE [array_to_string(words, ' ')] END) AS grams
+       |  FROM docs)""".stripMargin
+
+  /** Benchmark n-gram decontamination: flag every training document
+    * sharing at least one [[DECON_GRAM]]-word shingle with the held-out
+    * benchmark slice, reporting how many of its distinct shingles hit.
+    *
+    * Scale: the benchmark index is distinct shingles of the EVAL set —
+    * megabytes even when the training corpus is 100 TB — so it rides a
+    * broadcast hash join (a Bloom filter over the same set is the
+    * lossy variant; the broadcast is exact at the same network cost
+    * here). The training side streams through explode → broadcast-join
+    * → partial-count; nothing wide shuffles: the only exchange is the
+    * (doc_id, count) aggregation.
+    */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val g = barrier(withGrams(documents(s, d)).select("doc_id", "grams"))
+    val bench = g.filter(col("doc_id") % DECON_MOD === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    g.filter(col("doc_id") % DECON_MOD =!= 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  private def decontaminateOracle: String =
+    s"""WITH $wordsCte,
+       |$gramsCte,
+       |bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $DECON_MOD = 0),
+       |train AS (
+       |  SELECT doc_id, len(grams)::BIGINT AS n_grams, unnest(grams) AS gram
+       |  FROM g WHERE doc_id % $DECON_MOD <> 0)
+       |SELECT train.doc_id, max(train.n_grams) AS n_grams,
+       |  count(*)::BIGINT AS n_hits
+       |FROM train JOIN bench ON train.gram = bench.gram
+       |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- sequence packing ------------------------------------------------
+
+  private val PACK_BUDGET = 512L // tokens per training sequence
+  private val PACK_SHARDS = 16L  // independent packing shards
+
+  /** Concat-and-chunk sequence packing: within each shard, documents are
+    * concatenated in doc_id order and cut into [[PACK_BUDGET]]-token
+    * sequences; a document belongs to the sequence its first token lands
+    * in. Emits per-sequence occupancy (doc count, token count, first
+    * doc) — the packing manifest a trainer's data loader consumes.
+    *
+    * Scale: packing is a running sum, which is inherently sequential —
+    * so the parallel unit is the SHARD, exactly as production loaders
+    * pack per input shard. Each shard is one window partition whose
+    * running sum streams in sorted order; shard count scales with the
+    * cluster (here 16, at 100 TB a few thousand), and no shard ever
+    * needs global coordination. The one shuffle is the hash exchange on
+    * shard — doc_id + one long per row, never text.
+    */
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % PACK_SHARDS).as("shard"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))")
+          .cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $PACK_BUDGET"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("shard", "seq_id")
+  }
+
+  private def packSequencesOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % $PACK_SHARDS AS shard,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tok
+       |  FROM documents),
+       |cums AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM toks)
+       |SELECT shard, ((cum - n_tok) // $PACK_BUDGET)::BIGINT AS seq_id,
+       |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |  min(doc_id) AS first_doc
+       |FROM cums GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
+  // ---- deterministic hashing shared by the sampling operators ----------
+
+  /** Knuth multiplicative hash of doc_id into [0, 1e6) — exact 64-bit
+    * integer arithmetic in both engines (max intermediate ~2.7e15, far
+    * under Long range), so sampling decisions are reproducible
+    * cross-engine and cross-run with no RNG seed to manage. The `salt`
+    * decorrelates independent sampling stages.
+    */
+  private val HASH_MOD = 1000000L
+  private def hashExpr(salt: Long): String =
+    s"((doc_id % 1000003) * 2654435761 + $salt) % $HASH_MOD"
+
+  // ---- stratified sampling ----------------------------------------------
+
+  private val STRAT_CAP = 50 // sampled docs per language
+
+  /** Per-language stratified sample: exactly min(CAP, |stratum|) docs
+    * per language, chosen by hash order (uniform without an RNG).
+    *
+    * Scale: the naive shape — rank every row of a 100 TB stratum
+    * through one window partition — sorts a whole stratum on one task.
+    * Instead a hash PREFILTER bounds the window's input first: per-
+    * stratum counts (a tiny partial-agg, broadcast back) derive a
+    * threshold that keeps ~8× the quota in expectation, and only those
+    * survivors enter the rank window. The full sort collapses from
+    * |stratum| to O(CAP) rows per language; correctness is unaffected
+    * because hash order is rank order (rank of the smallest CAP hashes
+    * is identical computed over survivors as over the stratum —
+    * the prefilter keeps a superset of every possible winner as long as
+    * threshold ≥ the CAP-th hash; the 8× margin makes undershoot
+    * astronomically unlikely, and the min(CAP, n) contract below is
+    * exact for small strata where the threshold saturates at 1e6).
+    */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = hashExpr(17L)
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+      expr(h).as("h"))
+    val counts = base.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("cut",
+        least(lit(HASH_MOD), lit(8L * STRAT_CAP) * lit(HASH_MOD) / col("n")))
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    base.join(broadcast(counts), "lang")
+      .filter(col("h") < col("cut"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= STRAT_CAP)
+      .select("lang", "rk", "doc_id", "h")
+      .orderBy("lang", "rk")
+  }
+
+  private def stratifiedSampleOracle: String = {
+    val h = hashExpr(17L)
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, $h AS h FROM documents),
+       |cnt AS (
+       |  SELECT lang, least($HASH_MOD, ${8L * STRAT_CAP} * $HASH_MOD / count(*)) AS cut
+       |  FROM base GROUP BY lang),
+       |survivors AS (
+       |  SELECT base.doc_id, base.lang, base.h FROM base
+       |  JOIN cnt ON base.lang = cnt.lang AND base.h < cnt.cut),
+       |ranked AS (
+       |  SELECT lang, doc_id, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |  FROM survivors)
+       |SELECT lang, rk, doc_id, h FROM ranked
+       |WHERE rk <= $STRAT_CAP ORDER BY lang, rk""".stripMargin
+  }
+
+  // ---- weighted source mixing -------------------------------------------
+
+  /** Mixture weights per source tier, in millionths (the four tiers
+    * stand in for a per-domain mixture table; at production scale the
+    * table is a broadcast dimension keyed by domain).
+    */
+  private val MIX_TIERS = Seq(250000L, 500000L, 750000L, 1000000L)
+
+  private def mixTierSql(srcnum: String): String =
+    s"CASE ($srcnum) % 4 " +
+      MIX_TIERS.zipWithIndex.map { case (w, i) => s"WHEN $i THEN $w" }
+        .mkString(" ") + " END"
+
+  /** Weighted source mixing: keep each document with its source's
+    * mixture probability, decided by deterministic hash threshold.
+    * Emits the per-source accounting a mixing run publishes: corpus
+    * size, kept size, target weight, achieved rate.
+    *
+    * Scale: one narrow projection + hash filter (no text leaves the
+    * scan: column pruning reads doc_id + source only), then a 20-group
+    * partial aggregation. The decision is row-local — no shuffle before
+    * the final tiny agg — which is what lets a mixing pass run as a
+    * side-effect of any other scan at 100 TB.
+    */
+  private def mixWeighted(s: SparkSession, d: String): DataFrame = {
+    val srcnum = "CAST(substr(source, 4) AS BIGINT)"
+    val h = hashExpr(291L)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(srcnum).as("srcnum"),
+        expr(mixTierSql(srcnum)).as("weight_ppm"),
+        expr(h).as("h"))
+      .groupBy("source", "srcnum", "weight_ppm")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("weight_ppm"), 1L).otherwise(0L)).as("n_kept"))
+      // exact integer division (`div`), not double `/` then cast: at
+      // billions of rows a double quotient can round across an integer
+      // boundary the oracle's `//` never crosses
+      .withColumn("rate_ppm", expr(s"(n_kept * $HASH_MOD) div n_total"))
+      .select("source", "weight_ppm", "n_total", "n_kept", "rate_ppm")
+      .orderBy("srcnum")
+  }
+
+  private def mixWeightedOracle: String = {
+    val srcnum = "CAST(substr(source, 4) AS BIGINT)"
+    val h = hashExpr(291L)
+    s"""WITH base AS (
+       |  SELECT doc_id, source, $srcnum AS srcnum,
+       |    ${mixTierSql(srcnum)} AS weight_ppm, $h AS h
+       |  FROM documents)
+       |SELECT source, weight_ppm, count(*)::BIGINT AS n_total,
+       |  sum(CASE WHEN h < weight_ppm THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  (sum(CASE WHEN h < weight_ppm THEN 1 ELSE 0 END) * $HASH_MOD // count(*))::BIGINT AS rate_ppm
+       |FROM base GROUP BY source, srcnum, weight_ppm ORDER BY srcnum""".stripMargin
+  }
+
+  // ---- repetition quality stats (Gopher-style) ---------------------------
+
+  /** Per-document repetition statistics in the style of the Gopher
+    * quality rules: the fraction of word-bigrams occupied by the single
+    * most frequent bigram, and the fraction of word-trigrams that are
+    * duplicates of an earlier trigram. High values mark boilerplate /
+    * degenerate repetition a pretraining corpus filters out.
+    *
+    * Scale: the trigram duplicate fraction is row-local (two array
+    * sizes). The top-bigram count needs a per-(doc, bigram) frequency —
+    * explode → partial-count → per-doc max, the same two-exchange shape
+    * as word count, keyed on (doc_id, gram) so hot documents spread by
+    * gram, not collapse onto one task. Ratios carry 6-dp rounding and
+    * zero-guards (NULL, not inf/NaN) per the cross-engine discipline.
+    */
+  private def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val base = barrier(withWords(documents(s, d))
+      .withColumn("n_words", expr("size(words)").cast("long"))
+      .withColumn("bigrams",
+        expr("""CASE WHEN size(words) >= 2
+            THEN transform(sequence(0, size(words)-2),
+              i -> concat_ws(' ', words[i], words[i+1]))
+            ELSE array() END""").cast("array<string>"))
+      .withColumn("trigrams",
+        expr("""CASE WHEN size(words) >= 3
+            THEN transform(sequence(0, size(words)-3),
+              i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+            ELSE array() END""").cast("array<string>"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("bigrams")).cast("long").as("n_bi"),
+        size(col("trigrams")).cast("long").as("n_tri"),
+        size(array_distinct(col("trigrams"))).cast("long").as("n_tri_d"),
+        col("bigrams")))
+    val topBi = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bi"))
+    base.drop("bigrams")
+      .join(topBi, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac",
+        round(col("top_bi").cast("double") /
+          when(col("n_bi") > 0, col("n_bi")), 6))
+      .withColumn("dup_trigram_frac",
+        round((col("n_tri") - col("n_tri_d")).cast("double") /
+          when(col("n_tri") > 0, col("n_tri")), 6))
+      .select("doc_id", "n_words", "top_bigram_frac", "dup_trigram_frac")
+      .orderBy("doc_id")
+  }
+
+  private def repetitionStatsOracle: String =
+    s"""WITH $wordsCte,
+       |base AS (
+       |  SELECT doc_id, len(words)::BIGINT AS n_words,
+       |    CASE WHEN len(words) >= 2
+       |      THEN list_transform(range(len(words)-1),
+       |        i -> words[i+1] || ' ' || words[i+2])
+       |      ELSE [] END AS bigrams,
+       |    CASE WHEN len(words) >= 3
+       |      THEN list_transform(range(len(words)-2),
+       |        i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+       |      ELSE [] END AS trigrams
+       |  FROM docs),
+       |sizes AS (
+       |  SELECT doc_id, n_words, len(bigrams)::BIGINT AS n_bi,
+       |    len(trigrams)::BIGINT AS n_tri,
+       |    len(list_distinct(trigrams))::BIGINT AS n_tri_d
+       |  FROM base),
+       |bg AS (
+       |  SELECT doc_id, unnest(bigrams) AS bg FROM base),
+       |topbi AS (
+       |  SELECT doc_id, max(c) AS top_bi FROM (
+       |    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+       |  GROUP BY doc_id)
+       |SELECT sizes.doc_id, n_words,
+       |  round(top_bi::DOUBLE / (CASE WHEN n_bi > 0 THEN n_bi END), 6) AS top_bigram_frac,
+       |  round((n_tri - n_tri_d)::DOUBLE / (CASE WHEN n_tri > 0 THEN n_tri END), 6) AS dup_trigram_frac
+       |FROM sizes LEFT JOIN topbi ON sizes.doc_id = topbi.doc_id
+       |ORDER BY 1""".stripMargin
+
+  // ---- semantic dedup (SemDeDup-style) -----------------------------------
+
+  // 6 bits / tau 0.3 fit the FIXTURE's cosine geometry (max pairwise
+  // cosine at sf0.01 is 0.51; similarity mass sits at 0.25-0.4): the
+  // contract instance must prune a non-degenerate set at every test
+  // scale. At production scale widen SEM_BITS with log2(n) and raise
+  // tau to the embedding model's "same content" operating point.
+  private val SEM_BITS = 6   // sign-LSH bucket width
+  private val SEM_TAU = 0.3  // cosine threshold for "semantically same"
+
+  /** Sign-LSH bucket over the first [[SEM_BITS]] dimensions, as an
+    * integer code (Spark side, 0-based arrays).
+    */
+  private def semBucketExpr: String =
+    (0 until SEM_BITS)
+      .map(j => s"CASE WHEN embedding[$j] >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+
+  private def semBucketSql: String =
+    (0 until SEM_BITS)
+      .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+
+  /** SemDeDup-style semantic pruning: bucket embeddings by sign-LSH,
+    * keep the lowest-id vector per bucket as the representative, and
+    * drop every bucket-mate whose cosine to the representative clears
+    * [[SEM_TAU]]. Emits the drop list (vec_id, keeper, sim) — the
+    * manifest a pruning pass applies as an anti-join.
+    *
+    * Scale: one partial-aggregated min per bucket (min over a struct
+    * led by vec_id — combines map-side, so a boilerplate-heavy bucket
+    * never funnels through one task), then the members re-join the
+    * 2^SEM_BITS keepers BY BROADCAST — the keeper table is bounded by
+    * the code space, not the corpus. Cosine runs in the codegen'd
+    * [[vecDot]]; candidates are priced in CPU inside the join, never
+    * shuffled (the verify-inline discipline from nearDupPairs). Widen
+    * SEM_BITS with log2(n) to hold per-bucket population flat at scale,
+    * exactly as the nearDupPairs `bits` ladder does.
+    */
+  private def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val b = embeddings(s, d)
+      .withColumn("nrm", vecNorm(col("embedding")))
+      .withColumn("bucket", expr(semBucketExpr))
+    val keepers = b.groupBy("bucket")
+      .agg(min(struct(col("vec_id"), col("embedding"), col("nrm"))).as("k"))
+      .select(col("bucket"), col("k.vec_id").as("keeper"),
+        col("k.embedding").as("ke"), col("k.nrm").as("kn"))
+    val sim = round(vecDot(col("embedding"), col("ke")) /
+      (col("nrm") * col("kn")), 6)
+    b.join(broadcast(keepers), "bucket")
+      .withColumn("sim", sim)
+      .filter(col("vec_id") =!= col("keeper") && col("sim") >= SEM_TAU)
+      .select("vec_id", "keeper", "sim")
+      .orderBy("vec_id")
+  }
+
+  private def semanticDedupOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+       |         list_transform(embedding, x -> x::DOUBLE))) AS nrm,
+       |    $semBucketSql AS bucket
+       |  FROM embeddings),
+       |k AS (
+       |  SELECT bucket, min(vec_id) AS keeper FROM e GROUP BY bucket),
+       |kk AS (
+       |  SELECT k.bucket, k.keeper, e.embedding AS ke, e.nrm AS kn
+       |  FROM k JOIN e ON e.vec_id = k.keeper),
+       |scored AS (
+       |  SELECT e.vec_id, kk.keeper,
+       |    round(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+       |      list_transform(kk.ke, x -> x::DOUBLE)) / (e.nrm * kk.kn), 6) AS sim
+       |  FROM e JOIN kk ON e.bucket = kk.bucket AND e.vec_id <> kk.keeper)
+       |SELECT vec_id, keeper, sim FROM scored
+       |WHERE sim >= $SEM_TAU ORDER BY vec_id""".stripMargin
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_decontaminate"  -> decontaminate _,
+    "pipe_pack"           -> packSequences _,
+    "pipe_sample_strat"   -> stratifiedSample _,
+    "pipe_mix_weighted"   -> mixWeighted _,
+    "pipe_repetition"     -> repetitionStats _,
+    "pipe_semantic_dedup" -> semanticDedup _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipe_decontaminate"  -> decontaminateOracle,
+    "pipe_pack"           -> packSequencesOracle,
+    "pipe_sample_strat"   -> stratifiedSampleOracle,
+    "pipe_mix_weighted"   -> mixWeightedOracle,
+    "pipe_repetition"     -> repetitionStatsOracle,
+    "pipe_semantic_dedup" -> semanticDedupOracle,
+  )
+}

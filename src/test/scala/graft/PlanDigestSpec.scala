@@ -31,6 +31,7 @@ class PlanDigestSpec extends SparkSpec {
     operators.Dedup.clearCaches()
     operators.RelationalExt.clearCaches()
     operators.Similarity.clearCaches()
+    operators.TrainingPipeline.clearCaches()
     spark.catalog.clearCache()
   }
 

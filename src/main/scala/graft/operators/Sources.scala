@@ -691,6 +691,84 @@ object Sources extends QueryModule {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** documents schema per dataset dir, same memo rationale as
+    * [[eventsSchema]].
+    */
+  private val docsSchema =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
+  /** The documents table as an unbounded source — flat-file and
+    * directory layouts, same scoping rules as [[streamEvents]].
+    */
+  private def streamDocuments(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.tsCompatConfs(s)
+    val schema = docsSchema.computeIfAbsent(
+      d, dir => s.read.parquet(s"$dir/documents.parquet").schema)
+    val tablePath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = tablePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirLayout =
+      fs.exists(tablePath) && fs.getFileStatus(tablePath).isDirectory
+    if (dirLayout) s.readStream.schema(schema).parquet(tablePath.toString)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+  }
+
+  /** Word-count floor for the streaming ingest gate: fixture docs run
+    * 10-100 words (p10 = 19), so 30 rejects a real fraction without
+    * emptying any (lang, source) accounting group.
+    */
+  private val CORPUS_GATE_MIN_WORDS = 30
+
+  /** Streaming corpus ingest — the crawl front door: the documents
+    * table replayed as a stream through the SAME quality gate and
+    * weighted-mix policy the batch pipeline applies
+    * ([[TrainingPipeline.mixTierSql]] / MIX_SALT — one definition, so
+    * stream and batch can never drift), then per-(lang, source)
+    * ingest accounting. Every per-document decision is row-local
+    * (no state), so the only stateful operator is the final
+    * aggregation — state O(langs × sources), independent of crawl
+    * volume; at production scale the sink is the kept-docs parquet in
+    * append mode and this accounting is its side output.
+    */
+  private def streamCorpusGate(s: SparkSession, d: String): DataFrame =
+    // complete-mode agg re-emits every group each data batch; no
+    // watermark-finalized rows exist to wait for
+    withStreamFanout(s, skipNoDataBatch = true) {
+      val name = "graft_stream_corpus_" + streamSeq.incrementAndGet()
+      val srcnum = "CAST(substr(source, 4) AS BIGINT)"
+      val q = streamDocuments(s, d)
+        .withColumn("n_words",
+          expr("size(filter(split(text, '[^a-z]+'), x -> x <> ''))"))
+        .withColumn("n_tok",
+          expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))")
+            .cast("long"))
+        .withColumn("h", expr(TrainingPipeline.hashExpr(TrainingPipeline.MIX_SALT)))
+        .withColumn("weight_ppm", expr(TrainingPipeline.mixTierSql(srcnum)))
+        .filter(col("n_words") >= CORPUS_GATE_MIN_WORDS &&
+          col("h") < col("weight_ppm"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("n_tokens"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("lang", "source")
+    }
+
+  private def streamCorpusGateOracle: String = {
+    val srcnum = "CAST(substr(source, 4) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT lang, source,
+       |    len(list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '')) AS n_words,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tok,
+       |    ${TrainingPipeline.hashExpr(TrainingPipeline.MIX_SALT)} AS h,
+       |    ${TrainingPipeline.mixTierSql(srcnum)} AS weight_ppm
+       |  FROM documents)
+       |SELECT lang, source, count(*)::BIGINT AS n_kept,
+       |  sum(n_tok)::BIGINT AS n_tokens
+       |FROM base WHERE n_words >= $CORPUS_GATE_MIN_WORDS AND h < weight_ppm
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
   private val streamJoinOracle =
     """SELECT c.user_id, floor(epoch(c.ts))::BIGINT AS click_s,
       |  floor(epoch(p.ts))::BIGINT AS purchase_s
@@ -806,6 +884,7 @@ object Sources extends QueryModule {
     "stream_session"     -> streamSession _,
     "stream_session_append" -> streamSessionAppend _,
     "stream_enrich"      -> streamEnrich _,
+    "stream_corpus_gate" -> streamCorpusGate _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -821,6 +900,7 @@ object Sources extends QueryModule {
     "stream_join"        -> streamJoinOracle,
     "stream_session_append" -> streamSessionAppendOracle,
     "stream_enrich"      -> streamEnrichOracle,
+    "stream_corpus_gate" -> streamCorpusGateOracle,
     "stream_session"     ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

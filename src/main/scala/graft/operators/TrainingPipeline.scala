@@ -199,8 +199,8 @@ object TrainingPipeline extends QueryModule {
     * cross-engine and cross-run with no RNG seed to manage. The `salt`
     * decorrelates independent sampling stages.
     */
-  private val HASH_MOD = 1000000L
-  private def hashExpr(salt: Long): String =
+  private[operators] val HASH_MOD = 1000000L
+  private[operators] def hashExpr(salt: Long): String =
     s"((doc_id % 1000003) * 2654435761 + $salt) % $HASH_MOD"
 
   // ---- stratified sampling ----------------------------------------------
@@ -266,7 +266,12 @@ object TrainingPipeline extends QueryModule {
     */
   private val MIX_TIERS = Seq(250000L, 500000L, 750000L, 1000000L)
 
-  private def mixTierSql(srcnum: String): String =
+  /** One definition shared with the streaming ingest gate
+    * (Sources.streamCorpusGate), so the stream and the batch mixing
+    * policy can never drift.
+    */
+  private[operators] val MIX_SALT = 291L
+  private[operators] def mixTierSql(srcnum: String): String =
     s"CASE ($srcnum) % 4 " +
       MIX_TIERS.zipWithIndex.map { case (w, i) => s"WHEN $i THEN $w" }
         .mkString(" ") + " END"
@@ -284,7 +289,7 @@ object TrainingPipeline extends QueryModule {
     */
   private def mixWeighted(s: SparkSession, d: String): DataFrame = {
     val srcnum = "CAST(substr(source, 4) AS BIGINT)"
-    val h = hashExpr(291L)
+    val h = hashExpr(MIX_SALT)
     documents(s, d)
       .select(col("doc_id"), col("source"),
         expr(srcnum).as("srcnum"),
@@ -303,7 +308,7 @@ object TrainingPipeline extends QueryModule {
 
   private def mixWeightedOracle: String = {
     val srcnum = "CAST(substr(source, 4) AS BIGINT)"
-    val h = hashExpr(291L)
+    val h = hashExpr(MIX_SALT)
     s"""WITH base AS (
        |  SELECT doc_id, source, $srcnum AS srcnum,
        |    ${mixTierSql(srcnum)} AS weight_ppm, $h AS h

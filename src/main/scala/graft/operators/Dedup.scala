@@ -36,15 +36,17 @@ object Dedup extends QueryModule {
   private val BANDS = 4 // LSH bands of 4 rows each
   private val ROWS_PER_BAND = K / BANDS
 
-  /** words + 3-word shingles, shared by minhash/jaccard (Spark side). */
+  /** Distinct 3-word shingles, shared by minhash/jaccard (Spark side) —
+    * the codegen'd [[org.apache.spark.sql.graft.WordNGrams]] single-pass
+    * form of the declarative expression the oracle CTE below uses
+    * (bit-exact twin incl. the short-doc whole-text fallback; the
+    * distinct over the fallback's single element is a no-op, so
+    * distinct-everywhere equals the original distinct-in-branch).
+    */
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("words",
-        expr("filter(split(text, '[^a-z]+'), x -> x <> '')"))
-      .withColumn("shingles",
-        expr("""CASE WHEN size(words) >= 3
-            THEN array_distinct(transform(sequence(0, size(words)-3),
-              i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
-            ELSE array(array_join(words, ' ')) END"""))
+    df.withColumn("shingles",
+      array_distinct(org.apache.spark.sql.graft.TextColumns
+        .wordNGrams(col("text"), 3)))
 
   /** DuckDB twin of [[withShingles]] as a CTE body. */
   private val shinglesCte =

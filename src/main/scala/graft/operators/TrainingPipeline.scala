@@ -4,6 +4,7 @@ import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextColumns.wordNGrams
 import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
@@ -87,12 +88,14 @@ object TrainingPipeline extends QueryModule {
     */
   private val DECON_MOD = 97
 
+  /** Grams via the codegen'd [[wordNGrams]] expression — bit-exact twin
+    * of the declarative HOF form the oracle (gramsCte) uses, in one
+    * O(len + output) byte pass per document instead of an interpreted
+    * per-window expression-tree walk (the equality is property-tested in
+    * TextExpressionProps; the oracle compare re-proves it per run).
+    */
   private def withGrams(df: DataFrame): DataFrame =
-    withWords(df).withColumn("grams",
-      expr(s"""array_distinct(CASE WHEN size(words) >= $DECON_GRAM
-          THEN transform(sequence(0, size(words)-$DECON_GRAM),
-            i -> concat_ws(' ', ${(0 until DECON_GRAM).map(j => s"words[i+$j]").mkString(", ")}))
-          ELSE array(array_join(words, ' ')) END)"""))
+    df.withColumn("grams", array_distinct(wordNGrams(col("text"), DECON_GRAM)))
 
   private val gramsCte =
     s"""g AS (
@@ -337,16 +340,15 @@ object TrainingPipeline extends QueryModule {
   private def repetitionStats(s: SparkSession, d: String): DataFrame = {
     val base = materialized(s, d, "rep_base")(withWords(documents(s, d))
       .withColumn("n_words", expr("size(words)").cast("long"))
+      // wordNGrams' short-input fallback is ONE whole-text element, but
+      // this operator's contract (and its oracle) wants an EMPTY array
+      // for docs below the window — hence the explicit size guard
       .withColumn("bigrams",
-        expr("""CASE WHEN size(words) >= 2
-            THEN transform(sequence(0, size(words)-2),
-              i -> concat_ws(' ', words[i], words[i+1]))
-            ELSE array() END""").cast("array<string>"))
+        when(size(col("words")) >= 2, wordNGrams(col("text"), 2))
+          .otherwise(array().cast("array<string>")))
       .withColumn("trigrams",
-        expr("""CASE WHEN size(words) >= 3
-            THEN transform(sequence(0, size(words)-3),
-              i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
-            ELSE array() END""").cast("array<string>"))
+        when(size(col("words")) >= 3, wordNGrams(col("text"), 3))
+          .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("n_words"),
         size(col("bigrams")).cast("long").as("n_bi"),
         size(col("trigrams")).cast("long").as("n_tri"),

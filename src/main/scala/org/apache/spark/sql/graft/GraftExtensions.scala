@@ -46,5 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "one space-padded window) as BIGINT; intended for ASCII-normalized " +
         "text fingerprinting. Returns NULL on NULL input.")(
       c => MinGramHash(c.head))
+    register(ext, "word_ngrams", classOf[WordNGrams].getName, 2,
+      "word_ngrams(s, n) - Array of space-joined n-grams over the " +
+        "maximal [a-z] runs of s (n a literal INT >= 1). With fewer than " +
+        "n words the array holds ONE element: all words joined (the " +
+        "empty string for wordless input). Returns NULL on NULL input.")(
+      c => c(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)
+            if v >= 1 => WordNGrams(c.head, v)
+        case _ => throw org.apache.spark.sql.errors.QueryCompilationErrors
+          .nonFoldableArgumentError("word_ngrams", "n",
+            org.apache.spark.sql.types.IntegerType)
+      })
   }
 }

@@ -107,9 +107,120 @@ case class MinGramHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd word n-gram builder: the array of space-joined n-grams
+  * over the maximal `[a-z]`-runs of the input, in one O(len + output)
+  * byte pass.
+  *
+  * Contract (bit-exact twin of the declarative form every oracle uses —
+  * `transform(sequence(0, size(words)-n), i -> concat_ws(' ', words[i],
+  * ..., words[i+n-1]))` over `filter(split(text, '[^a-z]+'), w -> w <>
+  * '')`, with the `ELSE array(array_join(words, ' '))` short-input
+  * fallback):
+  *
+  *  - words are maximal runs of bytes in 'a'..'z'. Byte-level scanning
+  *    equals the code-point regex here because 'a'..'z' cannot occur
+  *    inside a UTF-8 multi-byte sequence (continuation bytes are
+  *    >= 0x80), so any non-ASCII character separates words exactly as
+  *    `[^a-z]+` does.
+  *  - with >= n words: one element per window position, words joined by
+  *    a single space.
+  *  - with < n words (including zero): ONE element, all words joined —
+  *    the empty string for wordless input — matching the fallback
+  *    branch above.
+  *
+  * Why an expression: the declarative form is built from higher-order
+  * functions, which never enter codegen — and worse, when its array
+  * feeds `explode`, CollapseProject inlines the lambda into the
+  * generator, which re-evaluates it per OUTPUT element: O(grams²) per
+  * document. The callers ALSO materialize before exploding (the
+  * barrier is what fixes the asymptotics); this expression removes the
+  * remaining constant factor — the interpreted per-window expression-
+  * tree walk — with a single byte loop inside whole-stage codegen.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"word_ngrams window must be >= 1 word, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  // one static call per row keeps the whole-stage codegen span intact;
+  // the loop itself gains nothing from being inlined as generated Java
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordNGrams.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  /** The single-pass gram builder backing both eval paths. */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = s.getBytes
+    val len = b.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nWords = 0
+    var i = 0
+    while (i < len) {
+      val c = b(i)
+      if (c >= 'a' && c <= 'z') {
+        val st = i
+        while (i < len && b(i) >= 'a' && b(i) <= 'z') i += 1
+        if (nWords == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nWords * 2)
+          ends = java.util.Arrays.copyOf(ends, nWords * 2)
+        }
+        starts(nWords) = st
+        ends(nWords) = i
+        nWords += 1
+      } else i += 1
+    }
+    if (nWords >= n) {
+      val out = new Array[AnyRef](nWords - n + 1)
+      var g = 0
+      while (g < out.length) { out(g) = join(b, starts, ends, g, g + n); g += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[AnyRef](join(b, starts, ends, 0, nWords)))
+    }
+  }
+
+  /** words[from, until) joined by single spaces, as a fresh UTF8String. */
+  private def join(b: Array[Byte], starts: Array[Int], ends: Array[Int],
+      from: Int, until: Int): UTF8String = {
+    if (until <= from) return UTF8String.EMPTY_UTF8
+    var size = until - from - 1
+    var k = from
+    while (k < until) { size += ends(k) - starts(k); k += 1 }
+    val out = new Array[Byte](size)
+    var p = 0
+    k = from
+    while (k < until) {
+      if (k > from) { out(p) = ' '; p += 1 }
+      val l = ends(k) - starts(k)
+      System.arraycopy(b, starts(k), out, p, l)
+      p += l
+      k += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
 /** Column-level entry points for the text expressions. */
 object TextColumns {
   /** Min base-31 8-gram hash of a string column, as long. */
   def minGramHash(c: Column): Column =
     ExpressionUtils.column(MinGramHash(ExpressionUtils.expression(c)))
+
+  /** Space-joined word n-grams of a string column, as array<string>. */
+  def wordNGrams(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordNGrams(ExpressionUtils.expression(c), n))
 }

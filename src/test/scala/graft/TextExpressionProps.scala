@@ -47,4 +47,62 @@ object TextExpressionProps extends Properties("MinGramHash") {
         org.apache.spark.sql.catalyst.expressions.Literal(t))
       e.eval(null) == reference(t)
     }
+
+  // ---- WordNGrams ------------------------------------------------------
+
+  /** The declarative form every DuckDB oracle (and the pre-expression
+    * Spark code) uses — WordNGrams' contract is bit-exact equality with
+    * THIS, including the short-input whole-text fallback.
+    */
+  private def declarativeNGrams(n: Int): String =
+    s"""CASE WHEN size(words) >= $n
+       |THEN transform(sequence(0, size(words)-$n),
+       |  i -> concat_ws(' ', ${(0 until n).map(j => s"words[i+$j]").mkString(", ")}))
+       |ELSE array(array_join(words, ' ')) END""".stripMargin
+
+  /** Mixed-content text: lowercase runs plus separators of every class
+    * the word regex must treat identically (digits, punctuation, space,
+    * uppercase, and a multi-byte char — continuation bytes must separate
+    * exactly like `[^a-z]+` does).
+    */
+  private val mixedText: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerChar, Gen.numChar, Gen.const(' '), Gen.const('.'),
+      Gen.const('X'), Gen.const('é')))
+      .map(_.mkString)
+
+  property("WordNGrams equals the declarative HOF form for n in 1..9") =
+    Prop.forAll(Gen.listOfN(8, mixedText), Gen.choose(1, 9)) { (texts, n) =>
+      import spark.implicits._
+      val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .withColumn("words",
+          org.apache.spark.sql.functions.expr(
+            "filter(split(s, '[^a-z]+'), x -> x <> '')"))
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.expr(declarativeNGrams(n)).as("want"),
+          org.apache.spark.sql.graft.TextColumns.wordNGrams(
+            org.apache.spark.sql.functions.col("s"), n).as("got"))
+        .collect()
+      rows.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
+    }
+
+  property("WordNGrams interpreted eval matches its codegen contract on " +
+      "edge inputs") = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val cases = Seq(
+      "" -> Seq(""),
+      "   " -> Seq(""),
+      "ab" -> Seq("ab"),
+      "ab cd" -> Seq("ab cd"),
+      "ab cd ef" -> Seq("ab cd", "cd ef"),
+      "a1b c" -> Seq("a b", "b c"))
+    Prop(cases.forall { case (in, want) =>
+      val got = org.apache.spark.sql.graft.WordNGrams(Literal(in), 2)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      got == want
+    })
+  }
 }

@@ -81,7 +81,7 @@ object ConnectedComponents {
     * mid-session config change to a new root without resetting (and
     * re-UUID-ing) on every round.
     */
-  private def ckptRound(df: DataFrame): DataFrame =
+  private[operators] def ckptRound(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(CheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
@@ -102,7 +102,7 @@ object ConnectedComponents {
     * persisted blocks (the round lives in checkpoint FILES), so the
     * unpersist is a harmless no-op there.
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[operators] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false); ()

@@ -219,6 +219,44 @@ object RelationalExt extends QueryModule {
         max("l_quantity").as("qmax"))
       .orderBy("l_returnflag")
 
+  /** KLL/GK-sketch approximate percentiles with a rank-error-bound
+    * check — the 100 TB path for quantiles, where the exact
+    * `percentile` (full sort per group) is the small-data baseline.
+    * `approx_percentile(x, q, acc)` guarantees rank error ≤ N/acc;
+    * the check brackets each approximate value between the exact
+    * quantiles at q ± 2/acc (double the guarantee, absorbing the
+    * continuous-interpolation boundary) — same contract style as the
+    * HLL `rel_approx_distinct` bound. The oracle emits the exact
+    * quantiles and TRUE: the sketch must land inside its own bound for
+    * the row to hash-match.
+    */
+  private def approxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val acc = 100
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr(s"approx_percentile(l_quantity, array(0.5, 0.95), $acc)").as("ap"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.95)").as("q95"),
+        expr("percentile(l_quantity, 0.48)").as("q50_lo"),
+        expr("percentile(l_quantity, 0.52)").as("q50_hi"),
+        expr("percentile(l_quantity, 0.93)").as("q95_lo"),
+        expr("percentile(l_quantity, 0.97)").as("q95_hi"))
+      .select(col("l_returnflag"), col("q50"), col("q95"),
+        (element_at(col("ap"), 1) >= col("q50_lo") &&
+          element_at(col("ap"), 1) <= col("q50_hi")).as("p50_in_bounds"),
+        (element_at(col("ap"), 2) >= col("q95_lo") &&
+          element_at(col("ap"), 2) <= col("q95_hi")).as("p95_in_bounds"))
+      .orderBy("l_returnflag")
+  }
+
+  private val approxPercentilesOracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.95) AS q95,
+      |  TRUE AS p50_in_bounds, TRUE AS p95_in_bounds
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val percentilesOracle =
     """SELECT l_returnflag,
       |  quantile_cont(l_quantity, 0.25) AS q25,
@@ -598,6 +636,7 @@ object RelationalExt extends QueryModule {
     "rel_window_range"  -> windowRange _,
     "rel_agg_stats"     -> aggStats _,
     "rel_percentile"    -> percentiles _,
+    "rel_approx_percentile" -> approxPercentiles _,
     "rel_asof_join"     -> asofJoin _,
     "rel_salted_agg"    -> saltedAgg _,
     "rel_bucketed_join" -> bucketedJoin _,
@@ -618,6 +657,7 @@ object RelationalExt extends QueryModule {
     "rel_window_range"  -> windowRangeOracle,
     "rel_agg_stats"     -> aggStatsOracle,
     "rel_percentile"    -> percentilesOracle,
+    "rel_approx_percentile" -> approxPercentilesOracle,
     "rel_asof_join"     -> asofOracle,
     "rel_salted_agg"    -> saltedAggOracle,
     "rel_bucketed_join" -> bucketedJoinOracle,

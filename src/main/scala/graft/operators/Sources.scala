@@ -254,6 +254,55 @@ object Sources extends QueryModule {
       |  count(DISTINCT o_orderpriority) AS n_prio
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- malformed-record handling (PERMISSIVE JSON ingest) -------------
+
+  /** Corrupt-record accounting — the ingest reality at 100 TB: a crawl
+    * batch always carries malformed lines, and dropping them silently
+    * (DROPMALFORMED) or failing the job (FAILFAST) are both wrong for a
+    * production pipeline; PERMISSIVE parses what it can and routes the
+    * raw malformed line to a quarantine column for reprocessing.
+    *
+    * The fixture plants the corruption deterministically (every
+    * `doc_id % 37 == 0` JSON line loses its last two characters, so it
+    * can never parse), writes the lines as a text file, and reads them
+    * back as JSON with `columnNameOfCorruptRecord` — good rows keep
+    * their fields, bad rows surface with all fields null and the raw
+    * line in `_corrupt`. The aggregation buckets per language plus a
+    * `_corrupt` quarantine bucket; the oracle predicts every row from
+    * the planting rule alone, so the parse behavior itself is what's
+    * being checked. Scale shape: row-local parse, one hash aggregation.
+    */
+  private def badRecords(s: SparkSession, d: String): DataFrame = {
+    val out = scratch("json_badrecords", d)
+    documents(s, d)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("j"),
+        col("doc_id"))
+      .select(when(col("doc_id") % 37 === 0,
+          expr("substring(j, 1, length(j) - 2)")).otherwise(col("j")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(out)
+      .groupBy(when(col("_corrupt").isNotNull, lit("_corrupt"))
+        .otherwise(col("lang")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("n_chars"), lit(0L)).as("chars"),
+        count(col("_corrupt")).as("n_bad"))
+      .orderBy("bucket")
+  }
+
+  private val badRecordsOracle =
+    """SELECT lang AS bucket, count(*) AS n,
+      |  coalesce(sum(n_chars), 0)::BIGINT AS chars, 0::BIGINT AS n_bad
+      |FROM documents WHERE doc_id % 37 <> 0 GROUP BY lang
+      |UNION ALL
+      |SELECT '_corrupt' AS bucket, count(*) AS n, 0::BIGINT AS chars,
+      |  count(*) AS n_bad
+      |FROM documents WHERE doc_id % 37 = 0 HAVING count(*) > 0
+      |ORDER BY bucket""".stripMargin
+
   // ---- Structured Streaming: file source → windowed agg → sink --------
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -876,6 +925,7 @@ object Sources extends QueryModule {
     "src_text_wordcount" -> textRoundtrip _,
     "src_partitioned"    -> partitionedRoundtrip _,
     "src_orc_roundtrip"  -> orcRoundtrip _,
+    "src_bad_records"    -> badRecords _,
     "stream_tumbling"    -> streamTumbling _,
     "stream_tumbling_append" -> streamTumblingAppend _,
     "stream_sliding"     -> streamSliding _,
@@ -893,6 +943,7 @@ object Sources extends QueryModule {
     "src_text_wordcount" -> textOracle,
     "src_partitioned"    -> partitionedOracle,
     "src_orc_roundtrip"  -> orcOracle,
+    "src_bad_records"    -> badRecordsOracle,
     "stream_tumbling"    -> streamTumblingOracle,
     "stream_tumbling_append" -> streamTumblingAppendOracle,
     "stream_sliding"     -> streamSlidingOracle,

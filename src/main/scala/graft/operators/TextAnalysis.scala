@@ -461,6 +461,75 @@ object TextAnalysis extends QueryModule {
        |  sum(n_emails)::BIGINT AS emails_removed
        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- heavy hitters (frequent tokens) --------------------------------
+
+  /** Misra–Gries summary size: guarantees every token with global
+    * frequency > N/HH_K survives some partition's summary, so the
+    * candidate union is a SUPERSET of the true heavy hitters and the
+    * exact recount makes the final answer exact.
+    */
+  private val HH_K = 200
+
+  /** Frequent tokens above a 1/[[HH_K]] corpus share — the stopword /
+    * boilerplate-token discovery pass a corpus pipeline runs before
+    * quality scoring (stopword ratios) and collocation mining.
+    *
+    * Two-pass mergeable-summary shape — the 100 TB design, not the
+    * naive one: a single exact `groupBy(word)` shuffles the ENTIRE
+    * token multiset (≈ corpus size); here pass 1 runs a per-partition
+    * Misra–Gries sketch (k counters, `mapPartitions` — genuine
+    * per-partition imperative state, the documented exception to the
+    * no-RDD rule) and ships ≤ k WORDS per partition, and pass 2
+    * recounts ONLY the candidate set via a broadcast semi-join —
+    * per-partition partial counts of ≤ k keys, so both shuffles are
+    * O(partitions · k), independent of corpus size. The MG pigeonhole
+    * argument (count(w) > N/k ⇒ count_p(w) > n_p/k in some partition
+    * ⇒ w survives that partition's sketch) keeps the candidate set a
+    * superset of the truth; the recount makes the output EXACT and
+    * partitioning-independent — which is why a DuckDB oracle can
+    * hash-match it even though the intermediate sketch is not
+    * deterministic.
+    */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def words = withWords(documents(s, d))
+      .select(explode(col("words")).as("word")).as[String]
+    val cand = words.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        counters.get(w) match {
+          case Some(c) => counters(w) = c + 1
+          case None if counters.size < HH_K => counters(w) = 1L
+          case None =>
+            // decrement-all step; drop exhausted counters
+            counters.filterInPlace((_, c) => c > 1)
+              .mapValuesInPlace((_, c) => c - 1)
+            ()
+        }
+      }
+      counters.keysIterator
+    }.toDF("word").distinct()
+    val tot = words.groupBy().agg(count(lit(1)).as("n_tok"))
+    words.join(broadcast(cand), "word")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n") * HH_K > col("n_tok"))
+      .select(col("word"), col("n"),
+        expr("(n * 1000000) div n_tok").as("share_ppm"))
+      .orderBy(desc("n"), col("word"))
+  }
+
+  private val heavyHittersOracle =
+    s"""WITH $wordsCte,
+       |tok AS (SELECT unnest(words) AS word FROM docs),
+       |tot AS (SELECT count(*) AS n_tok FROM tok)
+       |SELECT word, count(*) AS n,
+       |  CAST((count(*) * 1000000) // max(n_tok) AS BIGINT) AS share_ppm
+       |FROM tok, tot
+       |GROUP BY word
+       |HAVING count(*) * $HH_K > max(n_tok)
+       |ORDER BY n DESC, word""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -474,6 +543,7 @@ object TextAnalysis extends QueryModule {
     "text_pii_scrub"   -> piiScrub _,
     "text_pipeline_dedup" -> pipelineDedup _,
     "text_clean_pipeline" -> cleanPipeline _,
+    "text_heavy_hitters"  -> heavyHitters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +563,6 @@ object TextAnalysis extends QueryModule {
     "text_pii_scrub"   -> piiScrubOracle,
     "text_pipeline_dedup" -> pipelineDedupOracle,
     "text_clean_pipeline" -> cleanPipelineOracle,
+    "text_heavy_hitters"  -> heavyHittersOracle,
   )
 }

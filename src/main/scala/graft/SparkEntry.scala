@@ -24,6 +24,7 @@ object SparkEntry {
     operators.TrainingPipeline,
     operators.Similarity,
     operators.Multimodal,
+    operators.Layout,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

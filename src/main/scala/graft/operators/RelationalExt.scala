@@ -257,6 +257,76 @@ object RelationalExt extends QueryModule {
       |  TRUE AS p50_in_bounds, TRUE AS p95_in_bounds
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- MERGE / CDC upsert ---------------------------------------------
+
+  /** MERGE INTO semantics (the lakehouse CDC-apply step) as one
+    * full-outer join + row-local case logic — the scale-out shape every
+    * table format compiles MERGE to. The change batch is derived
+    * deterministically from orders (per-customer order count n and
+    * exact-decimal total): n = 1 → DELETE, n ≥ 8 → UPDATE acctbal to
+    * the total, n ≥ 20 → also INSERT a shifted-key row (new-customer
+    * arm; keys offset by 10^6 so they cannot collide with the target).
+    * Unmatched U/D changes are ignored, matched rows without a change
+    * pass through — the full WHEN MATCHED / NOT MATCHED matrix.
+    *
+    * Scale shape: one shuffle on the merge key for the outer join (at
+    * 100 TB both sides hash-partition on c_custkey; a bucketed target
+    * table makes it shuffle-free on the target side), change-batch
+    * aggregation is partial→final, everything after the join is
+    * row-local. Row-level output (every surviving customer with the
+    * action applied) so the oracle checks the MERGE matrix cell by
+    * cell, not just the counts.
+    */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val chg = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    val cdc = chg.filter(col("n") >= 8)
+      .select(col("o_custkey").as("k"), lit("U").as("op"), col("total"))
+      .union(chg.filter(col("n") === 1)
+        .select(col("o_custkey").as("k"), lit("D").as("op"), col("total")))
+      .union(chg.filter(col("n") >= 20)
+        .select((col("o_custkey") + 1000000L).as("k"), lit("I").as("op"),
+          col("total")))
+    customer(s, d).join(cdc, col("c_custkey") === col("k"), "full_outer")
+      // WHEN MATCHED AND op='D' THEN DELETE; unmatched U/D are no-ops
+      .filter(coalesce(col("op"), lit("")) =!= "D" &&
+        (col("c_custkey").isNotNull || col("op") === "I"))
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        coalesce(col("c_mktsegment"), lit("NEW")).as("c_mktsegment"),
+        round(when(col("op") === "U", col("total"))
+          .otherwise(coalesce(col("c_acctbal"), col("total"))), 2).as("bal"),
+        when(col("op") === "U", lit("updated"))
+          .when(col("op") === "I", lit("inserted"))
+          .otherwise(lit("kept")).as("action"))
+      .orderBy("c_custkey")
+  }
+
+  private val mergeUpsertOracle =
+    """WITH chg AS (
+      |  SELECT o_custkey, count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY o_custkey),
+      |cdc AS (
+      |  SELECT o_custkey AS k, 'U' AS op, total FROM chg WHERE n >= 8
+      |  UNION ALL
+      |  SELECT o_custkey AS k, 'D' AS op, total FROM chg WHERE n = 1
+      |  UNION ALL
+      |  SELECT o_custkey + 1000000 AS k, 'I' AS op, total FROM chg WHERE n >= 20)
+      |SELECT
+      |  coalesce(c_custkey, k) AS c_custkey,
+      |  coalesce(c_mktsegment, 'NEW') AS c_mktsegment,
+      |  round(CASE WHEN op = 'U' THEN total
+      |             ELSE coalesce(c_acctbal, total) END, 2) AS bal,
+      |  CASE WHEN op = 'U' THEN 'updated'
+      |       WHEN op = 'I' THEN 'inserted'
+      |       ELSE 'kept' END AS action
+      |FROM customer FULL OUTER JOIN cdc ON c_custkey = k
+      |WHERE coalesce(op, '') <> 'D'
+      |  AND (c_custkey IS NOT NULL OR op = 'I')
+      |ORDER BY c_custkey""".stripMargin
+
   private val percentilesOracle =
     """SELECT l_returnflag,
       |  quantile_cont(l_quantity, 0.25) AS q25,
@@ -637,6 +707,7 @@ object RelationalExt extends QueryModule {
     "rel_agg_stats"     -> aggStats _,
     "rel_percentile"    -> percentiles _,
     "rel_approx_percentile" -> approxPercentiles _,
+    "rel_merge_upsert"  -> mergeUpsert _,
     "rel_asof_join"     -> asofJoin _,
     "rel_salted_agg"    -> saltedAgg _,
     "rel_bucketed_join" -> bucketedJoin _,
@@ -658,6 +729,7 @@ object RelationalExt extends QueryModule {
     "rel_agg_stats"     -> aggStatsOracle,
     "rel_percentile"    -> percentilesOracle,
     "rel_approx_percentile" -> approxPercentilesOracle,
+    "rel_merge_upsert"  -> mergeUpsertOracle,
     "rel_asof_join"     -> asofOracle,
     "rel_salted_agg"    -> saltedAggOracle,
     "rel_bucketed_join" -> bucketedJoinOracle,

@@ -530,6 +530,113 @@ object TextAnalysis extends QueryModule {
        |HAVING count(*) * $HH_K > max(n_tok)
        |ORDER BY n DESC, word""".stripMargin
 
+  // ---- BPE vocabulary learning ----------------------------------------
+
+  private val BPE_MERGES = 10
+
+  /** Byte-pair-encoding merge learning over the corpus vocabulary — the
+    * tokenizer-training stage of an LLM data pipeline, run as [[BPE_MERGES]]
+    * fully declarative rounds: count adjacent symbol pairs weighted by
+    * word frequency (one partial→final aggregation over the vocab
+    * table), take the argmax pair (count desc, then lexicographic — a
+    * 1-row TakeOrderedAndProject, broadcast into the next round), and
+    * apply the merge with two passes of boundary-delimited string
+    * `replace` over space-joined symbol sequences. No driver collect
+    * anywhere: the learned pair feeds the rewrite as a broadcast join,
+    * and the output is the union of the ten 1-row argmax frames.
+    *
+    * The merge rewrite is exact and engine-portable by construction:
+    * sequences are padded with one space each side, the pattern
+    * `' a b '` can only match at token boundaries, and both engines
+    * implement `replace` as leftmost non-overlapping scan — two passes
+    * make adjacent chains (`a b a b`) merge like the canonical greedy
+    * pass. The DuckDB oracle unrolls the identical ten rounds as CTEs.
+    *
+    * Scale shape: everything iterates over the VOCABULARY (distinct
+    * words + frequencies), not the corpus — the corpus is touched once
+    * to build word counts. Each round is checkpointed (CC discipline)
+    * so the optimizer unit stays constant-size across rounds.
+    */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val seed = withWords(documents(s, d))
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq",
+        concat(rtrim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" </w>")))
+    val pairsOf = (v: DataFrame) =>
+      v.filter(size(split(col("seq"), " ")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(split(seq, ' ')) - 1),
+            |  i -> named_struct(
+            |    'a', element_at(split(seq, ' '), i),
+            |    'b', element_at(split(seq, ' '), i + 1)))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+    var vocab = seed
+    val bests = (1 to BPE_MERGES).map { k =>
+      val vc = ConnectedComponents.ckptRound(vocab)
+      val best = pairsOf(vc)
+        .groupBy("a", "b").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+      vocab = vc.crossJoin(broadcast(best))
+        .withColumn("pat",
+          concat(lit(" "), col("a"), lit(" "), col("b"), lit(" ")))
+        .withColumn("rep", concat(lit(" "), col("a"), col("b"), lit(" ")))
+        .withColumn("r1", expr("replace(concat(' ', seq, ' '), pat, rep)"))
+        .withColumn("r2", expr("replace(r1, pat, rep)"))
+        .select(col("word"), col("freq"),
+          expr("substring(r2, 2, length(r2) - 2)").as("seq"))
+      best.select(lit(k).as("merge_rank"), col("a").as("pa"),
+        col("b").as("pb"), concat(col("a"), col("b")).as("merged"), col("n"))
+    }
+    bests.reduce(_.union(_)).orderBy("merge_rank")
+  }
+
+  /** Identical recurrence, rounds unrolled as CTEs; `b$k` is the 1-row
+    * argmax each round and the rewrite uses it via scalar subqueries.
+    * Every vocab CTE is MATERIALIZED: each is referenced twice (pair
+    * counting + rewrite), and DuckDB's default inlining would expand
+    * the chain into 2^rounds scans of the parquet.
+    */
+  private def bpeTrainOracle: String = {
+    val rounds = (1 to BPE_MERGES).map { k =>
+      val vPrev = if (k == 1) "v0" else s"v${k - 1}"
+      val rewrite =
+        if (k == BPE_MERGES) "" // the last vocab is never read
+        else s""",
+           |v$k AS MATERIALIZED (
+           |  SELECT word, freq, substring(r2, 2, length(r2) - 2) AS seq FROM (
+           |    SELECT word, freq,
+           |      replace(r1, (SELECT ' '||a||' '||b||' ' FROM b$k),
+           |                  (SELECT ' '||a||b||' ' FROM b$k)) AS r2
+           |    FROM (SELECT word, freq,
+           |        replace(' '||seq||' ',
+           |          (SELECT ' '||a||' '||b||' ' FROM b$k),
+           |          (SELECT ' '||a||b||' ' FROM b$k)) AS r1
+           |      FROM $vPrev)))""".stripMargin
+      s"""p$k AS (
+         |  SELECT t[i] AS a, t[i+1] AS b, freq
+         |  FROM (SELECT string_split(seq, ' ') AS t, freq FROM $vPrev),
+         |       unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         |b$k AS MATERIALIZED (
+         |  SELECT a, b, sum(freq) AS n FROM p$k
+         |  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)$rewrite""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BPE_MERGES).map { k =>
+      s"""SELECT $k AS merge_rank, a AS pa, b AS pb, a||b AS merged,
+         |  CAST(n AS BIGINT) AS n FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $wordsCte,
+       |v0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq,
+       |    rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
+       |  FROM (SELECT unnest(words) AS word FROM docs) GROUP BY word),
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -544,6 +651,7 @@ object TextAnalysis extends QueryModule {
     "text_pipeline_dedup" -> pipelineDedup _,
     "text_clean_pipeline" -> cleanPipeline _,
     "text_heavy_hitters"  -> heavyHitters _,
+    "text_bpe_train"      -> bpeTrain _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +672,6 @@ object TextAnalysis extends QueryModule {
     "text_pipeline_dedup" -> pipelineDedupOracle,
     "text_clean_pipeline" -> cleanPipelineOracle,
     "text_heavy_hitters"  -> heavyHittersOracle,
+    "text_bpe_train"      -> bpeTrainOracle,
   )
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning, proven through the production query on a planted
+  * corpus with a hand-computed merge sequence, plus the classic
+  * monotonicity invariant on the fixture corpus.
+  */
+class BpeMergeSpec extends SparkSpec {
+
+  private def corpusOf(docs: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_")
+    import spark.implicits._
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synthetic").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  private def merges(dir: String): Seq[(Int, String, String, String, Long)] =
+    operators.TextAnalysis.queries("text_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+
+  test("planted chain 'aaaa': the adjacent-run merge sequence is exactly " +
+      "the hand-computed one, and learning stops when the vocab is a " +
+      "single token") {
+    // seed 'a a a a </w>': (a,a) wins with 3 positional occurrences and
+    // the two-pass boundary replace merges the chain to 'aa aa </w>';
+    // then (aa,</w>) beats (aa,aa) on the lexicographic tie; then one
+    // pair remains. Rounds 4..10 have nothing to merge and emit no row.
+    val got = merges(corpusOf(Seq("aaaa")))
+    val want = Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "aa", "</w>", "aa</w>", 1L),
+      (3, "aa", "aa</w>", "aaaa</w>", 1L))
+    assert(got == want, s"merge table diverged:\n got=$got\n want=$want")
+  }
+
+  test("planted two-word corpus: frequency-weighted argmax picks the " +
+      "high-frequency word's pair across all its occurrences first") {
+    // 'xyxy' seeds 'x y x y </w>' (freq 5): pair (x,y) occurs at TWO
+    // positions -> n = 10 beats everything from 'zq' (freq 3).
+    val got = merges(corpusOf(Seq.fill(5)("xyxy") ++ Seq.fill(3)("zq")))
+    assert(got.head == ((1, "x", "y", "xy", 10L)), s"first merge: $got")
+    // round 2: ties at n=5 between (xy,xy) and (xy,</w>) resolve
+    // lexicographically on b ('<' sorts before 'x')
+    assert(got(1) == ((2, "xy", "</w>", "xy</w>", 5L)), s"tie-break: $got")
+  }
+
+  test("fixture corpus: ten merges, argmax count is non-increasing " +
+      "(merging the max pair can only create rarer pairs), merged " +
+      "symbol is the concatenation") {
+    val got = merges(sfDir)
+    assert(got.map(_._1) == (1 to 10), s"ranks: $got")
+    got.foreach { case (_, a, b, m, _) => assert(m == a + b) }
+    got.sliding(2).foreach { case Seq(p, q) =>
+      assert(p._5 >= q._5, s"argmax count increased: $p -> $q")
+    }
+  }
+}

@@ -332,13 +332,17 @@ object Dedup extends QueryModule {
     * as r1..r8 CTEs (aggregation inside a recursive CTE term is not
     * portable SQL; a fixed unroll is). `//` floor division equals
     * Spark's truncating `div` because every operand is non-negative.
+    * `vp`/`ewd` and every rank round are MATERIALIZED: `ewd` is read by
+    * all eight rounds, and DuckDB's default inlining re-expands the
+    * whole LSH self-join under each of them — at the 100× decade that
+    * re-expansion OOMs a 128 GiB host before round 3.
     */
   private def pagerankOracle: String = {
     val matches = (0 until K)
       .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
       .mkString(" + ")
     val iters = (1 to PR_ITERS).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT n.doc_id,
          |    150000 + (COALESCE(SUM(r.rank // w.deg), 0) * 85) // 100 AS rank
          |  FROM nodes n
@@ -348,7 +352,7 @@ object Dedup extends QueryModule {
     }.mkString(",\n")
     s"""WITH $shinglesCte,
        |$candidatePairsCte,
-       |vp AS (
+       |vp AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM pairs
        |  JOIN sig sa ON doc_a = sa.doc_id
        |  JOIN sig sb ON doc_b = sb.doc_id
@@ -357,8 +361,9 @@ object Dedup extends QueryModule {
        |  SELECT doc_a AS src, doc_b AS dst FROM vp
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vp),
        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |ewd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
-       |nodes AS (SELECT doc_id FROM documents),
+       |ewd AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+       |nodes AS MATERIALIZED (SELECT doc_id FROM documents),
        |r0 AS (SELECT doc_id, CAST($PR_UNIT AS BIGINT) AS rank FROM nodes),
        |$iters
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank

@@ -557,7 +557,8 @@ object TextAnalysis extends QueryModule {
     * to build word counts. Each round is checkpointed (CC discipline)
     * so the optimizer unit stays constant-size across rounds.
     */
-  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  private def bpeRounds(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
     val seed = withWords(documents(s, d))
       .select(explode(col("words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -578,19 +579,46 @@ object TextAnalysis extends QueryModule {
         .groupBy("a", "b").agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1)
-      vocab = vc.crossJoin(broadcast(best))
+      // LEFT join + coalesce keep the recurrence TOTAL: once the vocab
+      // is fully merged, `best` is empty and the rewrite must pass the
+      // sequences through unchanged — a cross join would erase the
+      // vocab (and the oracle's NULL scalar subqueries would NULL it),
+      // silently diverging the engines on a degenerate corpus
+      vocab = vc.join(broadcast(best), lit(true), "left")
         .withColumn("pat",
           concat(lit(" "), col("a"), lit(" "), col("b"), lit(" ")))
         .withColumn("rep", concat(lit(" "), col("a"), col("b"), lit(" ")))
         .withColumn("r1", expr("replace(concat(' ', seq, ' '), pat, rep)"))
         .withColumn("r2", expr("replace(r1, pat, rep)"))
         .select(col("word"), col("freq"),
-          expr("substring(r2, 2, length(r2) - 2)").as("seq"))
+          coalesce(expr("substring(r2, 2, length(r2) - 2)"), col("seq"))
+            .as("seq"))
       best.select(lit(k).as("merge_rank"), col("a").as("pa"),
         col("b").as("pb"), concat(col("a"), col("b")).as("merged"), col("n"))
     }
-    bests.reduce(_.union(_)).orderBy("merge_rank")
+    (bests, vocab)
   }
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeRounds(s, d)._1.reduce(_.union(_)).orderBy("merge_rank")
+
+  /** The tokenizer's APPLY path: after the ten learned merges, every
+    * word's symbol sequence IS its encoding — this aggregates the
+    * corpus-wide compression those merges buy, bucketed by word
+    * initial so the oracle checks the rewrite across a partition of
+    * the vocabulary rather than one global sum. tok_before counts the
+    * seed symbols (chars + the `</w>` marker) weighted by corpus
+    * frequency; tok_after counts the merged symbols the same way.
+    */
+  private def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeRounds(s, d)._2
+      .groupBy(substring(col("word"), 1, 1).as("initial"))
+      .agg(count(lit(1)).as("n_words"),
+        sum((length(col("word")) + 1).cast("long") * col("freq"))
+          .as("tok_before"),
+        sum(size(split(col("seq"), " ")).cast("long") * col("freq"))
+          .as("tok_after"))
+      .orderBy("initial")
 
   /** Identical recurrence, rounds unrolled as CTEs; `b$k` is the 1-row
     * argmax each round and the rewrite uses it via scalar subqueries.
@@ -598,18 +626,19 @@ object TextAnalysis extends QueryModule {
     * counting + rewrite), and DuckDB's default inlining would expand
     * the chain into 2^rounds scans of the parquet.
     */
-  private def bpeTrainOracle: String = {
-    val rounds = (1 to BPE_MERGES).map { k =>
+  private def bpeRoundsCte(emitLast: Boolean): String =
+    (1 to BPE_MERGES).map { k =>
       val vPrev = if (k == 1) "v0" else s"v${k - 1}"
       val rewrite =
-        if (k == BPE_MERGES) "" // the last vocab is never read
+        if (k == BPE_MERGES && !emitLast) "" // train never reads it
         else s""",
            |v$k AS MATERIALIZED (
-           |  SELECT word, freq, substring(r2, 2, length(r2) - 2) AS seq FROM (
-           |    SELECT word, freq,
+           |  SELECT word, freq,
+           |    coalesce(substring(r2, 2, length(r2) - 2), seq) AS seq FROM (
+           |    SELECT word, freq, seq,
            |      replace(r1, (SELECT ' '||a||' '||b||' ' FROM b$k),
            |                  (SELECT ' '||a||b||' ' FROM b$k)) AS r2
-           |    FROM (SELECT word, freq,
+           |    FROM (SELECT word, freq, seq,
            |        replace(' '||seq||' ',
            |          (SELECT ' '||a||' '||b||' ' FROM b$k),
            |          (SELECT ' '||a||b||' ' FROM b$k)) AS r1
@@ -622,20 +651,33 @@ object TextAnalysis extends QueryModule {
          |  SELECT a, b, sum(freq) AS n FROM p$k
          |  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)$rewrite""".stripMargin
     }.mkString(",\n")
+
+  private def bpeSeedCte: String =
+    s"""$wordsCte,
+       |v0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq,
+       |    rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
+       |  FROM (SELECT unnest(words) AS word FROM docs) GROUP BY word)""".stripMargin
+
+  private def bpeTrainOracle: String = {
     val out = (1 to BPE_MERGES).map { k =>
       s"""SELECT $k AS merge_rank, a AS pa, b AS pb, a||b AS merged,
          |  CAST(n AS BIGINT) AS n FROM b$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH $wordsCte,
-       |v0 AS MATERIALIZED (
-       |  SELECT word, count(*) AS freq,
-       |    rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
-       |  FROM (SELECT unnest(words) AS word FROM docs) GROUP BY word),
-       |$rounds
+    s"""WITH $bpeSeedCte,
+       |${bpeRoundsCte(emitLast = false)}
        |SELECT * FROM (
        |$out
        |) ORDER BY merge_rank""".stripMargin
   }
+
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeSeedCte,
+       |${bpeRoundsCte(emitLast = true)}
+       |SELECT substring(word, 1, 1) AS initial, count(*) AS n_words,
+       |  CAST(sum((length(word) + 1) * freq) AS BIGINT) AS tok_before,
+       |  CAST(sum(len(string_split(seq, ' ')) * freq) AS BIGINT) AS tok_after
+       |FROM v$BPE_MERGES GROUP BY initial ORDER BY initial""".stripMargin
 
   // ---- registry -------------------------------------------------------
 
@@ -652,6 +694,7 @@ object TextAnalysis extends QueryModule {
     "text_clean_pipeline" -> cleanPipeline _,
     "text_heavy_hitters"  -> heavyHitters _,
     "text_bpe_train"      -> bpeTrain _,
+    "text_bpe_encode"     -> bpeEncode _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -673,5 +716,6 @@ object TextAnalysis extends QueryModule {
     "text_clean_pipeline" -> cleanPipelineOracle,
     "text_heavy_hitters"  -> heavyHittersOracle,
     "text_bpe_train"      -> bpeTrainOracle,
+    "text_bpe_encode"     -> bpeEncodeOracle,
   )
 }

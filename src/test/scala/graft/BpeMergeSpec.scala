@@ -54,6 +54,32 @@ class BpeMergeSpec extends SparkSpec {
     assert(got(1) == ((2, "xy", "</w>", "xy</w>", 5L)), s"tie-break: $got")
   }
 
+  test("encode after exhaustion: the recurrence is total — the planted " +
+      "chain word ends as ONE token and the vocab survives the empty " +
+      "rounds unchanged") {
+    val rows = operators.TextAnalysis.queries("text_bpe_encode")(
+      spark, corpusOf(Seq("aaaa"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // merges exhaust after round 3 ('aaaa</w>' is a single symbol);
+    // rounds 4..10 must pass the vocab through, not erase it
+    assert(rows.toSeq == Seq(("a", 1L, 5L, 1L)),
+      s"encode diverged: ${rows.toSeq}")
+  }
+
+  test("fixture corpus: encode conserves words and only ever shrinks " +
+      "token counts") {
+    val rows = operators.TextAnalysis.queries("text_bpe_encode")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ini, _, before, after) =>
+      assert(after <= before && after >= 1,
+        s"initial '$ini': merging cannot grow the encoding: $before -> $after")
+    }
+    assert(rows.exists { case (_, _, b, a) => a < b },
+      "ten merges compressed nothing on the fixture corpus")
+  }
+
   test("fixture corpus: ten merges, argmax count is non-increasing " +
       "(merging the max pair can only create rarer pairs), merged " +
       "symbol is the concatenation") {

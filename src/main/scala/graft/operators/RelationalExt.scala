@@ -335,6 +335,72 @@ object RelationalExt extends QueryModule {
       |  min(l_quantity) AS qmin, max(l_quantity) AS qmax
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- SCD type-2 dimension build --------------------------------------
+
+  /** Slowly-changing-dimension type-2 rebuild: collapse each customer's
+    * order-priority history into validity intervals — one row per run of
+    * equal priority, `[valid_from, valid_to)` half-open, `valid_to` NULL
+    * on the current version. The gaps-and-islands shape every dimension
+    * backfill compiles to: lag → change flag → running-sum version id →
+    * per-run fold → lead for the closing date.
+    *
+    * Scale: ONE hash exchange on `o_custkey` serves the whole plan. The
+    * version window partitions on the key; the per-run aggregate groups
+    * on (key, version) and the closing-date window partitions on the
+    * key again — both clusterings are satisfied by the first exchange
+    * (partition-by-key colocates every (key, version) group), so
+    * Catalyst inserts sorts but no further shuffles. Per-key history is
+    * bounded (orders per customer), so no window partition can outgrow
+    * a task even when the fact table is 100 TB.
+    */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    val versioned = orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
+      .withColumn("prev", lag("o_orderpriority", 1).over(wo))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("o_orderpriority"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum("chg").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wv = Window.partitionBy("o_custkey").orderBy("version")
+    versioned
+      .groupBy(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"))
+      .agg(min(col("day")).as("valid_from"), count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead("valid_from", 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("o_custkey", "version", "priority", "valid_from", "valid_to",
+        "n_orders", "is_current")
+      .orderBy("o_custkey", "version")
+  }
+
+  private val scd2Oracle =
+    """WITH h AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day,
+      |    o_orderpriority,
+      |    lag(o_orderpriority) OVER
+      |      (PARTITION BY o_custkey
+      |       ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+      |  FROM orders),
+      |v AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+      |                     THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+      |          ROWS UNBOUNDED PRECEDING)::BIGINT AS version
+      |  FROM h),
+      |runs AS (
+      |  SELECT o_custkey, version, o_orderpriority AS priority,
+      |    min(day) AS valid_from, count(*)::BIGINT AS n_orders
+      |  FROM v GROUP BY 1, 2, 3)
+      |SELECT o_custkey, version, priority, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+      |  n_orders,
+      |  (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+      |    IS NULL) AS is_current
+      |FROM runs ORDER BY o_custkey, version""".stripMargin
+
   // ---- as-of join ------------------------------------------------------
 
   /** For every event, the most recent per-day order rollup of the same
@@ -708,6 +774,7 @@ object RelationalExt extends QueryModule {
     "rel_percentile"    -> percentiles _,
     "rel_approx_percentile" -> approxPercentiles _,
     "rel_merge_upsert"  -> mergeUpsert _,
+    "rel_scd2"          -> scd2 _,
     "rel_asof_join"     -> asofJoin _,
     "rel_salted_agg"    -> saltedAgg _,
     "rel_bucketed_join" -> bucketedJoin _,
@@ -730,6 +797,7 @@ object RelationalExt extends QueryModule {
     "rel_percentile"    -> percentilesOracle,
     "rel_approx_percentile" -> approxPercentilesOracle,
     "rel_merge_upsert"  -> mergeUpsertOracle,
+    "rel_scd2"          -> scd2Oracle,
     "rel_asof_join"     -> asofOracle,
     "rel_salted_agg"    -> saltedAggOracle,
     "rel_bucketed_join" -> bucketedJoinOracle,

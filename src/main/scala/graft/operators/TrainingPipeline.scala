@@ -476,6 +476,106 @@ object TrainingPipeline extends QueryModule {
        |SELECT vec_id, keeper, sim FROM scored
        |WHERE sim >= $SEM_TAU ORDER BY vec_id""".stripMargin
 
+  // ---- deterministic train/val/test split --------------------------------
+
+  private val SPLIT_SALT = 53L
+  /** Hash-range boundaries in millionths: [0, 800k) train,
+    * [800k, 900k) val, rest test — the conventional 80/10/10.
+    */
+  private val SPLIT_VAL = 800000L
+  private val SPLIT_TEST = 900000L
+
+  private def splitCaseSql(h: String): String =
+    s"CASE WHEN ($h) < $SPLIT_VAL THEN 'train' " +
+      s"WHEN ($h) < $SPLIT_TEST THEN 'val' ELSE 'test' END"
+
+  /** Deterministic train/val/test assignment: each document lands in
+    * exactly one split by hash range — no RNG seed, no shuffle of the
+    * assignment itself, stable under re-runs and corpus growth (a doc's
+    * split never changes when neighbors are added or removed, which is
+    * what keeps eval sets honest across corpus versions). Emits the
+    * audit a split publishes: per (split, lang) doc/char counts plus
+    * each cell's share of its language in ppm, so disjointness and
+    * coverage are checked cell-by-cell against the language totals
+    * (`lang_total` is a window sum over the same tiny aggregate).
+    *
+    * Scale: the decision is row-local (column-pruned scan of
+    * doc_id/lang/n_chars); the only exchange is the O(splits × langs)
+    * final aggregation. The window runs over ≤ 3×|langs| rows.
+    */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val h = hashExpr(SPLIT_SALT)
+    val cell = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr(splitCaseSql(h)).as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_sum"))
+    val wl = Window.partitionBy("lang")
+    cell
+      .withColumn("lang_total", sum("n_docs").over(wl))
+      .withColumn("share_ppm", expr(s"(n_docs * $HASH_MOD) div lang_total"))
+      .select("split", "lang", "n_docs", "n_chars_sum", "lang_total",
+        "share_ppm")
+      .orderBy("split", "lang")
+  }
+
+  private def splitAssignOracle: String = {
+    val h = hashExpr(SPLIT_SALT)
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, n_chars, ${splitCaseSql(h)} AS split
+       |  FROM documents),
+       |cell AS (
+       |  SELECT split, lang, count(*)::BIGINT AS n_docs,
+       |    sum(n_chars)::BIGINT AS n_chars_sum
+       |  FROM base GROUP BY split, lang)
+       |SELECT split, lang, n_docs, n_chars_sum,
+       |  sum(n_docs) OVER (PARTITION BY lang)::BIGINT AS lang_total,
+       |  (n_docs * $HASH_MOD // sum(n_docs) OVER (PARTITION BY lang))::BIGINT
+       |    AS share_ppm
+       |FROM cell ORDER BY split, lang""".stripMargin
+  }
+
+  // ---- per-source cap (domain rate limiting) ------------------------------
+
+  /** Per-source keep quota. 60 binds at sf0.1 (250 docs/source) and
+    * saturates at sf0.01 (25/source) — the contract exercises both the
+    * binding and the keep-everything arm across gate scales.
+    */
+  private val CAP_PER_SOURCE = 60
+
+  /** Per-domain rate cap: keep at most [[CAP_PER_SOURCE]] documents per
+    * source, preferring longer documents (`n_chars` DESC, doc_id as the
+    * deterministic tiebreak) — the C4/RefinedWeb-style guard that stops
+    * a single boilerplate-heavy domain from flooding the corpus.
+    *
+    * Scale: rank-per-group with `row_number() <= k` is exactly the
+    * shape Spark's InferWindowGroupLimit rewrites into a per-PARTITION
+    * group limit on BOTH sides of the exchange (WindowGroupLimit
+    * Partial before the shuffle, Final after): every map task forwards
+    * at most k rows per source, so the exchange carries
+    * O(partitions × k × |sources|), never the corpus. The text column
+    * is pruned from the scan — only (doc_id, source, n_chars) move.
+    */
+  private def domainCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= CAP_PER_SOURCE)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+
+  private def domainCapOracle: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER
+       |      (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, rk, doc_id, n_chars FROM ranked
+       |WHERE rk <= $CAP_PER_SOURCE ORDER BY source, rk""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -485,6 +585,8 @@ object TrainingPipeline extends QueryModule {
     "pipe_mix_weighted"   -> mixWeighted _,
     "pipe_repetition"     -> repetitionStats _,
     "pipe_semantic_dedup" -> semanticDedup _,
+    "pipe_split"          -> splitAssign _,
+    "pipe_domain_cap"     -> domainCap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -494,5 +596,7 @@ object TrainingPipeline extends QueryModule {
     "pipe_mix_weighted"   -> mixWeightedOracle,
     "pipe_repetition"     -> repetitionStatsOracle,
     "pipe_semantic_dedup" -> semanticDedupOracle,
+    "pipe_split"          -> splitAssignOracle,
+    "pipe_domain_cap"     -> domainCapOracle,
   )
 }

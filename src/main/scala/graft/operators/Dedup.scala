@@ -1158,7 +1158,7 @@ object Dedup extends QueryModule {
     * the caches held strong SparkSession references forever).
     */
   def clearCaches(): Unit = {
-    Seq(sigCache, shCache, ccCache).foreach { c =>
+    Seq(sigCache, shCache, ccCache, subCache).foreach { c =>
       c.values.forEach(df => { df.unpersist(false); () })
       c.clear()
     }
@@ -1199,6 +1199,173 @@ object Dedup extends QueryModule {
        |SELECT doc_id, min(lbl)::BIGINT AS cluster_id
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- exact repeated-substring spans ----------------------------------
+
+  /** Sliding-window width (in words) for substring-level dedup. Published
+    * pipelines cut at ~50 BPE tokens; the fixture docs are 20-60 words,
+    * so 8 keeps the "long enough to be non-accidental" property at
+    * fixture length (same reasoning as TrainingPipeline.DECON_GRAM).
+    */
+  private val SUB_GRAM = 8
+
+  /** Positional window table (doc_id, pos, gh): one row per [[SUB_GRAM]]-
+    * word sliding window of each document with at least SUB_GRAM words,
+    * gh = 16-char md5 prefix of the window text. Memoized + persisted:
+    * both consumers in [[substringSpans]] (the duplicate-window counts
+    * and the hit join) would otherwise re-run the whole gram pass — and
+    * the gram ARRAY is materialized before the explode so the codegen'd
+    * WordNGrams runs once per document, never once per emitted window
+    * (the module-wide explode barrier discipline).
+    */
+  private val subCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def subGramTable(s: SparkSession, d: String): DataFrame =
+    subCache.computeIfAbsent((s, d), _ => {
+      val grams = tracked(documents(s, d)
+        .withColumn("grams",
+          when(expr("size(filter(split(text, '[^a-z]+'), x -> x <> ''))")
+              >= SUB_GRAM,
+            org.apache.spark.sql.graft.TextColumns.wordNGrams(
+              col("text"), SUB_GRAM))
+            .otherwise(array().cast("array<string>")))
+        .select("doc_id", "grams")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      grams
+        .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          substring(md5(col("gram")), 1, 16).as("gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Exact repeated-substring spans — the substring-level dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): for every document, each MAXIMAL run of sliding
+    * [[SUB_GRAM]]-word windows whose text occurs at least twice anywhere
+    * in the corpus (other documents or elsewhere in the same one).
+    * Adjacent duplicated windows merge gaps-and-islands style
+    * (island = pos − row_number over pos), so a long verbatim repeat
+    * reports as ONE span with its word extent, not n overlapping
+    * windows. Emits (doc_id, span_start, span_words, n_windows) — the
+    * cut list a substring-dedup pass applies to the corpus.
+    *
+    * Differs from the doc-level MinHash family above (whole-document
+    * similarity) and from pipe_decontaminate (cross-corpus containment):
+    * this finds the repeated REGIONS inside otherwise-distinct docs —
+    * boilerplate headers, license blocks, quoted passages.
+    *
+    * Scale: windows shuffle as (doc_id, pos, 16-char digest) — text
+    * never leaves the scan stage. The duplicate-window table is
+    * corpus-derived, so it joins by SHUFFLE hash join on the digest
+    * (broadcast would be wrong: it grows with the corpus), with
+    * partial-aggregated counts on the build side. The island window
+    * sorts each document's hits only — bounded by document length,
+    * never corpus size. At fixed window width the whole pipeline is
+    * linear in corpus words.
+    */
+  /** Maximal duplicated spans as (doc_id, span_start, span_end
+    * exclusive, n_windows) — the shared core of the report
+    * ([[substringSpans]]) and the apply path ([[substringCut]]).
+    */
+  private def spanFrame(s: SparkSession, d: String): DataFrame = {
+    val pos = subGramTable(s, d)
+    val dup = pos.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    pos.join(dup, "gh")
+      .withColumn("island", col("pos") - row_number().over(w).cast(LongType))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(SUB_GRAM.toLong)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  private def substringSpans(s: SparkSession, d: String): DataFrame =
+    spanFrame(s, d)
+      .select(col("doc_id"), col("span_start"),
+        (col("span_end") - col("span_start")).as("span_words"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
+
+  /** Shared oracle CTE chain ending in `spans` (doc_id, st, en, nw). */
+  private def spanOracleCtes: String = {
+    val gram = (1 to SUB_GRAM).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+    s"""docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS words
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CASE WHEN len(words) >= $SUB_GRAM
+       |    THEN list_transform(range(len(words)-${SUB_GRAM - 1}), i -> $gram)
+       |    ELSE [] END AS grams
+       |  FROM docs),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(len(grams))) AS pos,
+       |    unnest(list_transform(grams, x -> substr(md5(x), 1, 16))) AS gh
+       |  FROM g),
+       |dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+       |hit AS (SELECT pos.doc_id, pos.pos FROM pos JOIN dup USING (gh)),
+       |isl AS (SELECT doc_id, pos,
+       |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM hit),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS st, max(pos) + $SUB_GRAM AS en,
+       |    count(*) AS nw
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+  }
+
+  private def substringSpansOracle: String =
+    s"""WITH $spanOracleCtes
+       |SELECT doc_id, st::BIGINT AS span_start,
+       |  (en - st)::BIGINT AS span_words, nw::BIGINT AS n_windows
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** The apply path of [[substringSpans]]: cut every word covered by a
+    * duplicated span out of each document and publish the surgery
+    * manifest — word counts before/after and an md5 of the cleaned text
+    * (space-joined kept words), so the oracle proves the exact cut, not
+    * just the sizes.
+    *
+    * Scale: spans collect per document (bounded by document length, and
+    * only for documents that HAVE spans), then the cut itself is
+    * row-local — one pass over the words array against the doc's own
+    * span list. The only new exchanges are the span collect and the
+    * left join back to the corpus, both keyed on doc_id.
+    */
+  private def substringCut(s: SparkSession, d: String): DataFrame = {
+    val sp = spanFrame(s, d).groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("st"),
+        col("span_end").as("en"))).as("spans"))
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, '[^a-z]+'), x -> x <> '')").as("words"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("words"))
+          .otherwise(expr(
+            "filter(words, (x, i) -> NOT exists(spans, s -> i >= s.st AND i < s.en))")))
+      .select(col("doc_id"),
+        size(col("words")).cast(LongType).as("n_words"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  private def substringCutOracle: String =
+    s"""WITH $spanOracleCtes,
+       |sp AS (
+       |  SELECT doc_id, list({'st': st, 'en': en}) AS sps
+       |  FROM spans GROUP BY doc_id),
+       |cut AS (
+       |  SELECT d.doc_id, d.words,
+       |    CASE WHEN sp.sps IS NULL THEN d.words
+       |    ELSE list_filter(d.words, (x, i) ->
+       |      len(list_filter(sp.sps, s -> i - 1 >= s.st AND i - 1 < s.en)) = 0)
+       |    END AS kept
+       |  FROM docs d LEFT JOIN sp ON d.doc_id = sp.doc_id)
+       |SELECT doc_id, len(words)::BIGINT AS n_words, len(kept)::BIGINT AS n_kept,
+       |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+       |FROM cut ORDER BY doc_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1211,6 +1378,8 @@ object Dedup extends QueryModule {
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_cc"            -> ccClusters _,
     "dedup_incremental"   -> incrementalDedup _,
+    "dedup_substring"     -> substringSpans _,
+    "dedup_substring_cut" -> substringCut _,
     "graph_pagerank"      -> pagerank _,
   )
 
@@ -1231,6 +1400,8 @@ object Dedup extends QueryModule {
     "dedup_jaccard_pairs" -> jaccardOracle,
     "dedup_cc"            -> ccClustersOracle,
     "dedup_incremental"   -> incrementalDedupOracle,
+    "dedup_substring"     -> substringSpansOracle,
+    "dedup_substring_cut" -> substringCutOracle,
     "graph_pagerank"      -> pagerankOracle,
   )
 }

@@ -99,6 +99,34 @@ object Relational extends QueryModule {
           col("n_parts") <= 0.10).as("within_10pct"))
       .orderBy("l_returnflag")
 
+  /** Mergeable-sketch rollup (Apache DataSketches HLL via Spark's
+    * hll_sketch_agg / hll_union_agg): per-(flag, status) sketches of
+    * distinct parts are built FIRST, then merged up to per-flag
+    * estimates — without re-touching the raw rows. This is the
+    * production incremental-distinct pattern at 100 TB: persist a
+    * kilobyte sketch per partition/day, answer any distinct-count
+    * rollup later by unioning sketches instead of rescanning the fact
+    * table. The estimate is nondeterministic-ish across engines, so —
+    * like rel_approx_distinct — the contract row carries the EXACT
+    * count plus a 10%-relative-error bound check on the merged
+    * estimate; the sketch math itself is what the bound proves live.
+    */
+  private def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val sketches = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = sketches.groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .join(merged, "l_returnflag")
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("est") - col("n_parts")).cast("double") /
+          col("n_parts") <= 0.10).as("merged_within_10pct"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- joins ----------------------------------------------------------
 
   /** Shuffle hash/sort-merge equi-join on the fact tables (both large at
@@ -248,6 +276,7 @@ object Relational extends QueryModule {
     "rel_distinct"       -> distinctSeg _,
     "rel_count_distinct" -> countDistinctParts _,
     "rel_approx_distinct" -> approxDistinct _,
+    "rel_hll_merge" -> hllMerge _,
     "rel_join_inner"     -> joinInner _,
     "rel_join_multi"     -> joinMulti _,
     "rel_join_left"      -> joinLeft _,
@@ -304,6 +333,10 @@ object Relational extends QueryModule {
     "rel_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  TRUE AS within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_hll_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS merged_within_10pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_join_inner" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,

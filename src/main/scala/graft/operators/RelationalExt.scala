@@ -762,6 +762,54 @@ object RelationalExt extends QueryModule {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---- runtime Bloom-filter join pruning --------------------------------
+
+  /** Shuffle join with Catalyst's runtime Bloom-filter pruning
+    * (InjectRuntimeFilter): the selective filter on the orders side
+    * builds a Bloom filter over the surviving join keys (a scalar
+    * subquery of BloomFilterAggregate), and `might_contain` is injected
+    * into the LINEITEM scan — so fact rows that cannot join are dropped
+    * at the scan, before the shuffle. At 100 TB this is the single
+    * biggest lever on selective fact⋈fact joins: the exchange carries
+    * ~1/5 of lineitem (the filter's selectivity) instead of all of it,
+    * for one extra pass over the small side. Results are exact — the
+    * Bloom filter only PRE-prunes; the join predicate still applies.
+    *
+    * The instance runs on a child session because the injection
+    * thresholds are sized for clusters (app-side scan ≥ 10 GB), not
+    * fixtures: the child lowers the app-side threshold to 0 and disables
+    * broadcast so the plan is the shuffle join the rule targets — the
+    * parent session's optimizer conf (and every other query's pinned
+    * plan) stays untouched. BloomJoinSpec pins the `might_contain`
+    * injection structurally.
+    */
+  private def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val urgent = orders(s2, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    lineitem(s2, d)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private def bloomJoinOracle: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n,
+      |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -784,6 +832,7 @@ object RelationalExt extends QueryModule {
     "rel_range_join"    -> rangeJoin _,
     "rel_exists_corr"   -> existsCorr _,
     "rel_profile"       -> profile _,
+    "rel_bloom_join"    -> bloomJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -806,5 +855,6 @@ object RelationalExt extends QueryModule {
     "rel_range_join"    -> rangeJoinOracle,
     "rel_exists_corr"   -> existsCorrOracle,
     "rel_profile"       -> profileOracle,
+    "rel_bloom_join"    -> bloomJoinOracle,
   )
 }

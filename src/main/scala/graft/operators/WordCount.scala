@@ -93,6 +93,78 @@ object WordCount extends QueryModule {
       .orderBy("c_custkey", "o_orderkey")
   }
 
+  /** Modulus for the order-sensitive checksum below: products stay well
+    * inside Long (h < 2^30, h*31 + k < 2^36).
+    */
+  private val SS_P = 1000000007L
+
+  /** MR secondary sort — the within-key value-ordering guarantee the
+    * MapReduce paper (§4.2 "Ordering Guarantees") layers on the reduce
+    * contract; the reference groups values but leaves them UNORDERED
+    * (`src/worker.cc:208,227` accumulates arrival order). Implemented
+    * the way Hadoop does it — and the way it scales: partition by the
+    * primary key, sort within partitions by (key, value order), then a
+    * streaming fold that detects key boundaries. The reducer holds O(1)
+    * state and NO group ever materializes as a list (the reference
+    * buffers whole groups in RAM, `src/worker.cc:210-229`; this shape is
+    * how the contract survives a key with a billion values).
+    *
+    * The fold emits an order-SENSITIVE polynomial checksum over each
+    * customer's orders in (o_orderdate, o_orderkey) order — seeded with
+    * the first element, h ← (h·31 + key) mod [[SS_P]] — plus
+    * first/last/count. Any other value order changes the checksum, so
+    * the oracle comparison proves the ordering guarantee itself, not
+    * just group membership.
+    *
+    * Scale: one hash exchange on o_custkey carrying three longs per row,
+    * one partition-local sort — the same cost envelope as any shuffled
+    * aggregation; the sort is Spark's spillable external sort, so a
+    * skewed key spills to disk instead of OOMing the reducer.
+    */
+  def mrSecondarySort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_custkey"), expr("unix_micros(o_orderdate)").as("ts"),
+        col("o_orderkey"))
+      .as[(Long, Long, Long)]
+      .repartition(col("o_custkey"))
+      .sortWithinPartitions("o_custkey", "ts", "o_orderkey")
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long, Long)] {
+          private var row: (Long, Long, Long) = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = row != null
+          def next(): (Long, Long, Long, Long, Long) = {
+            val key = row._1
+            val first = row._3
+            var n = 0L
+            var last = 0L
+            var h = 0L
+            var seeded = false
+            while (row != null && row._1 == key) {
+              val k = row._3 % SS_P
+              h = if (seeded) (h * 31 + k) % SS_P else { seeded = true; k }
+              last = row._3
+              n += 1
+              row = if (it.hasNext) it.next() else null
+            }
+            (key, n, first, last, h)
+          }
+        }
+      }
+      .toDF("o_custkey", "n_orders", "first_key", "last_key", "ord_hash")
+      .orderBy("o_custkey")
+  }
+
+  private val mrSecondarySortOracle =
+    s"""WITH seq AS (
+       |  SELECT o_custkey, list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS ks
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT o_custkey, len(ks)::BIGINT AS n_orders,
+       |  ks[1] AS first_key, ks[len(ks)] AS last_key,
+       |  list_reduce(list_transform(ks, x -> x % $SS_P),
+       |    (a, x) -> (a * 31 + x) % $SS_P) AS ord_hash
+       |FROM seq ORDER BY o_custkey""".stripMargin
+
   private val mrJoinOracle =
     """SELECT c_custkey, c_mktsegment, o_orderkey
       |FROM customer JOIN orders ON o_custkey = c_custkey
@@ -115,6 +187,7 @@ object WordCount extends QueryModule {
     "mr_wordcount" -> mrWordCount _,
     "mr_grep"      -> mrGrep _,
     "mr_join"      -> mrJoin _,
+    "mr_secondary_sort" -> mrSecondarySort _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +195,6 @@ object WordCount extends QueryModule {
     "mr_wordcount" -> wcOracle,
     "mr_grep"      -> mrGrepOracle,
     "mr_join"      -> mrJoinOracle,
+    "mr_secondary_sort" -> mrSecondarySortOracle,
   )
 }

@@ -71,10 +71,14 @@ object PlanDigest {
   }
 
   def digest(s: SparkSession, df: DataFrame): Seq[String] = {
-    // executedPlan is lazy and reads the session conf when first
-    // forced, which happens inside this scope (nesting under all()'s
-    // scope is idempotent)
-    val plan = withAqeOff(s)(df.queryExecution.executedPlan)
+    // executedPlan is lazy and reads the conf of the frame's OWN session
+    // when first forced — which is not always `s`: rel_bloom_join builds
+    // on a child session (its injection thresholds must not leak into
+    // the caller), so scope AQE-off on df.sparkSession too or its digest
+    // collapses to a single opaque AdaptiveSparkPlan node (nesting under
+    // all()'s scope is idempotent when the sessions coincide)
+    val plan = withAqeOff(s)(
+      withAqeOff(df.sparkSession)(df.queryExecution.executedPlan))
     val out = Seq.newBuilder[String]
     def walk(p: SparkPlan, depth: Int): Unit = {
       out += ("  " * depth) + clean(summary(p))

@@ -70,4 +70,22 @@ class MapReduceSpec extends SparkSpec {
     ).collect().toMap
     assert(out == Map("a" -> 2L, "b" -> 2L))
   }
+
+  test("secondary sort: the streaming fold sees each key's values in " +
+      "(date, orderkey) order — checksum matches a driver-side recompute") {
+    val got = operators.WordCount.queries("mr_secondary_sort")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val P = 1000000007L
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "unix_micros(o_orderdate) AS ts", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = raw.groupBy(_._1).map { case (k, rows) =>
+      val ks = rows.sortBy(t => (t._2, t._3)).map(_._3).toSeq
+      val h = ks.map(_ % P).reduceLeft((a, x) => (a * 31 + x) % P)
+      k -> ((ks.length.toLong, ks.head, ks.last, h))
+    }
+    assert(got == expected)
+  }
 }

@@ -61,4 +61,21 @@ class RuntimeFilterSpec extends SparkSpec {
         "bloom-filtered plan changed the result")
     }
   }
+
+  test("rel_bloom_join contract query carries the injected bloom filter " +
+      "on its own child session, parent conf untouched") {
+    val before = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val df = operators.RelationalExt.queries("rel_bloom_join")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") &&
+      optimized.contains("bloom_filter_agg"),
+      s"contract query lost the bloom runtime filter:\n$optimized")
+    assert(df.count() > 0)
+    // the contract query must not leak its fixture-scale thresholds into
+    // the caller's session (it runs on newSession precisely for this)
+    assert(spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      == before, "rel_bloom_join leaked conf into the parent session")
+  }
 }

@@ -1158,7 +1158,7 @@ object Dedup extends QueryModule {
     * the caches held strong SparkSession references forever).
     */
   def clearCaches(): Unit = {
-    Seq(sigCache, shCache, ccCache, subCache).foreach { c =>
+    Seq(sigCache, shCache, ccCache).foreach { c =>
       c.values.forEach(df => { df.unpersist(false); () })
       c.clear()
     }
@@ -1210,32 +1210,33 @@ object Dedup extends QueryModule {
 
   /** Positional window table (doc_id, pos, gh): one row per [[SUB_GRAM]]-
     * word sliding window of each document with at least SUB_GRAM words,
-    * gh = 16-char md5 prefix of the window text. Memoized + persisted:
-    * both consumers in [[substringSpans]] (the duplicate-window counts
-    * and the hit join) would otherwise re-run the whole gram pass — and
-    * the gram ARRAY is materialized before the explode so the codegen'd
-    * WordNGrams runs once per document, never once per emitted window
-    * (the module-wide explode barrier discipline).
+    * gh = 16-char md5 prefix of the window text.
+    *
+    * Computed FRESH per consumer — deliberately uncached, unlike the
+    * module's shingle/signature tables. The whole pass is one codegen'd
+    * projection over the scan plus the explode ([[WordNGrams]] is a
+    * Catalyst expression the Generate evaluates once per DOCUMENT, so
+    * there is no per-output-element re-evaluation to barrier away —
+    * measured 23.6M windows in ~11 s at the 500k-doc decade), while
+    * caching it costs far more than it saves: materializing the
+    * columnar cache of 500k string-arrays plus 23.6M exploded rows took
+    * 60 s + 136 s at the same decade, against ~11 s per recompute. Two
+    * consumers (duplicate counts, hit join) → two scan passes — the
+    * same two-pass structure the published substring-dedup pipelines
+    * use, and the shape that still works when the corpus is 100 TB and
+    * no corpus-sized cache exists.
     */
-  private val subCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def subGramTable(s: SparkSession, d: String): DataFrame =
-    subCache.computeIfAbsent((s, d), _ => {
-      val grams = tracked(documents(s, d)
-        .withColumn("grams",
-          when(expr("size(filter(split(text, '[^a-z]+'), x -> x <> ''))")
-              >= SUB_GRAM,
-            org.apache.spark.sql.graft.TextColumns.wordNGrams(
-              col("text"), SUB_GRAM))
-            .otherwise(array().cast("array<string>")))
-        .select("doc_id", "grams")
-        .persist(StorageLevel.MEMORY_AND_DISK))
-      grams
-        .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
-        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-          substring(md5(col("gram")), 1, 16).as("gh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    documents(s, d)
+      .withColumn("grams",
+        when(expr("size(filter(split(text, '[^a-z]+'), x -> x <> ''))")
+            >= SUB_GRAM,
+          org.apache.spark.sql.graft.TextColumns.wordNGrams(
+            col("text"), SUB_GRAM))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        substring(md5(col("gram")), 1, 16).as("gh"))
 
   /** Exact repeated-substring spans — the substring-level dedup of Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models

@@ -371,6 +371,66 @@ object ScalarFns extends QueryModule {
       |  floor(epoch(purchase_ts))::BIGINT AS purchase_s
       |FROM p ORDER BY user_id""".stripMargin
 
+  // ---- per-user statistical anomaly detection ---------------------------
+
+  /** Rounded-z cut: the comparison runs on the ROUNDED z in both
+    * engines, so a value sitting exactly on the threshold cannot be
+    * admitted by one engine's last-ulp and rejected by the other's.
+    */
+  private val Z_CUT = 3.0
+  private val Z_MIN_N = 5
+
+  /** Per-user z-score outliers over the event stream: each user's mean
+    * and sample stddev of `value` derive from EXACT decimal power sums
+    * (the rel_agg_stats discipline — order-independent, so the doubles
+    * they produce are bit-identical across engines and partitionings),
+    * then every event at least [[Z_CUT]] standard deviations from its
+    * user's mean is flagged. The fraud/telemetry outlier pass.
+    *
+    * Scale: one partial-aggregated pass builds (n, Σv, Σv²) per user —
+    * three numbers regardless of event count — and the join back is
+    * per-user rows against the full stream on user_id (AQE broadcasts
+    * the stats side when it is small; the shuffle join is the honest
+    * shape when users number billions). The z computation and cut are
+    * row-local. Users with fewer than [[Z_MIN_N]] events or zero
+    * variance are excluded — a sample stddev over one point is
+    * undefined, not an anomaly.
+    */
+  private def eventAnomaly(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    val nD = col("n").cast("double")
+    val stats = events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("sx"),
+        sum(v * v).cast("double").as("sxx"))
+      .filter(col("n") >= Z_MIN_N)
+      .select(col("user_id"), (col("sx") / nD).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - 1)).as("sd"))
+      .filter(col("sd") > 0)
+    events(s, d).join(stats, "user_id")
+      .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+      .filter(abs(col("z")) >= Z_CUT)
+      .select(col("event_id"), col("user_id"),
+        round(col("mean"), 6).as("mean"), col("z"))
+      .orderBy("event_id")
+  }
+
+  private val eventAnomalyOracle =
+    s"""WITH sums AS (
+       |  SELECT user_id, count(*) AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+       |  FROM events GROUP BY user_id HAVING count(*) >= $Z_MIN_N),
+       |st AS (
+       |  SELECT user_id, sx / CAST(n AS DOUBLE) AS mean,
+       |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS sd
+       |  FROM sums)
+       |SELECT e.event_id, e.user_id, round(st.mean, 6) AS mean,
+       |  round((e.value - st.mean) / st.sd, 6) AS z
+       |FROM events e JOIN st ON e.user_id = st.user_id
+       |WHERE st.sd > 0 AND abs(round((e.value - st.mean) / st.sd, 6)) >= $Z_CUT
+       |ORDER BY event_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,6 +452,7 @@ object ScalarFns extends QueryModule {
     "event_funnel"     -> eventFunnel _,
     "fn_bitwise"       -> bitwiseFns _,
     "event_retention"  -> eventRetention _,
+    "event_anomaly"    -> eventAnomaly _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -483,6 +544,7 @@ object ScalarFns extends QueryModule {
     "event_funnel"  -> eventFunnelOracle,
     "fn_bitwise"    -> bitwiseOracle,
     "event_retention" -> eventRetentionOracle,
+    "event_anomaly" -> eventAnomalyOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

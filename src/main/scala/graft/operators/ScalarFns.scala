@@ -396,10 +396,14 @@ object ScalarFns extends QueryModule {
     * variance are excluded — a sample stddev over one point is
     * undefined, not an anomaly.
     */
-  private def eventAnomaly(s: SparkSession, d: String): DataFrame = {
+  /** The per-user (mean, sd) reference table — shared by the batch
+    * query and the streaming scorer (Sources.streamAnomaly), ONE
+    * definition so the two paths cannot drift.
+    */
+  private[operators] def anomalyStats(s: SparkSession, d: String): DataFrame = {
     val v = col("value").cast("decimal(18,6)")
     val nD = col("n").cast("double")
-    val stats = events(s, d).groupBy("user_id")
+    events(s, d).groupBy("user_id")
       .agg(count(lit(1)).as("n"),
         sum(v).cast("double").as("sx"),
         sum(v * v).cast("double").as("sxx"))
@@ -407,15 +411,22 @@ object ScalarFns extends QueryModule {
       .select(col("user_id"), (col("sx") / nD).as("mean"),
         sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - 1)).as("sd"))
       .filter(col("sd") > 0)
-    events(s, d).join(stats, "user_id")
+  }
+
+  /** Row-local scoring policy over any events frame (batch or
+    * micro-batch): join the stats, flag |rounded z| >= [[Z_CUT]].
+    */
+  private[operators] def anomalyScore(ev: DataFrame, stats: DataFrame): DataFrame =
+    ev.join(stats, "user_id")
       .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
       .filter(abs(col("z")) >= Z_CUT)
       .select(col("event_id"), col("user_id"),
         round(col("mean"), 6).as("mean"), col("z"))
-      .orderBy("event_id")
-  }
 
-  private val eventAnomalyOracle =
+  private def eventAnomaly(s: SparkSession, d: String): DataFrame =
+    anomalyScore(events(s, d), anomalyStats(s, d)).orderBy("event_id")
+
+  private[operators] val eventAnomalyOracle =
     s"""WITH sums AS (
        |  SELECT user_id, count(*) AS n,
        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,

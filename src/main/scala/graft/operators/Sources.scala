@@ -740,6 +740,29 @@ object Sources extends QueryModule {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming anomaly scoring — the live arm of `event_anomaly`: the
+    * event stream is scored row-locally against the BATCH-computed
+    * per-user (mean, sd) reference table through the exact policy
+    * function the batch query uses (ScalarFns.anomalyScore — one
+    * definition, so the paths cannot drift), and flagged outliers
+    * append straight to the sink. This is the production fraud/
+    * telemetry split: a periodic batch job refreshes the stats table,
+    * the stream scores against it with NO state store at all — a
+    * stream-static join re-planned per micro-batch plus a row-local
+    * z — so the scorer's memory is O(stats side), independent of
+    * stream length. Oracle: the batch query's own SQL (same rows).
+    */
+  private def streamAnomaly(s: SparkSession, d: String): DataFrame =
+    withStreamFanout(s, skipNoDataBatch = true) {
+      val name = "graft_stream_anomaly_" + streamSeq.incrementAndGet()
+      val q = ScalarFns.anomalyScore(streamEvents(s, d),
+          ScalarFns.anomalyStats(s, d))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("event_id")
+    }
+
   /** documents schema per dataset dir, same memo rationale as
     * [[eventsSchema]].
     */
@@ -934,6 +957,7 @@ object Sources extends QueryModule {
     "stream_session"     -> streamSession _,
     "stream_session_append" -> streamSessionAppend _,
     "stream_enrich"      -> streamEnrich _,
+    "stream_anomaly"     -> streamAnomaly _,
     "stream_corpus_gate" -> streamCorpusGate _,
   )
 
@@ -951,6 +975,7 @@ object Sources extends QueryModule {
     "stream_join"        -> streamJoinOracle,
     "stream_session_append" -> streamSessionAppendOracle,
     "stream_enrich"      -> streamEnrichOracle,
+    "stream_anomaly"     -> ScalarFns.eventAnomalyOracle,
     "stream_corpus_gate" -> streamCorpusGateOracle,
     "stream_session"     ->
       """WITH marked AS (

@@ -1258,7 +1258,10 @@ object Dedup extends QueryModule {
     * never leaves the scan stage. The duplicate-window table is
     * corpus-derived, so it joins by SHUFFLE hash join on the digest
     * (broadcast would be wrong: it grows with the corpus), with
-    * partial-aggregated counts on the build side. The island window
+    * partial-aggregated counts on the build side — pinned with an
+    * explicit shuffle_hash hint, because at fixture scale size-based
+    * planning would broadcast the tiny aggregated table and the
+    * committed plan digest would record the wrong shape for 100 TB. The island window
     * sorts each document's hits only — bounded by document length,
     * never corpus size. At fixed window width the whole pipeline is
     * linear in corpus words.
@@ -1272,7 +1275,13 @@ object Dedup extends QueryModule {
     val dup = pos.groupBy("gh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("gh")
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    pos.join(dup, "gh")
+    // the duplicate-window table is corpus-DERIVED — it grows with the
+    // corpus, so the scale shape is a shuffled hash join on the digest,
+    // never a broadcast. Fixture-scale stats would broadcast it (the
+    // aggregated dup table is tiny at sf0.01), so the hint pins the
+    // join the 100 TB plan needs — the same plan at every scale, and
+    // the plan the digest snapshot records
+    pos.join(dup.hint("shuffle_hash"), "gh")
       .withColumn("island", col("pos") - row_number().over(w).cast(LongType))
       .groupBy("doc_id", "island")
       .agg(min("pos").as("span_start"),

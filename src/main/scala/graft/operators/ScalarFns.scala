@@ -408,8 +408,16 @@ object ScalarFns extends QueryModule {
         sum(v).cast("double").as("sx"),
         sum(v * v).cast("double").as("sxx"))
       .filter(col("n") >= Z_MIN_N)
+      // the variance numerator is clamped at 0 before the sqrt: for a
+      // zero-variance user the double arithmetic can round the
+      // difference a few ulps NEGATIVE, and the two engines disagree on
+      // what sqrt(negative) does — Spark yields NaN (silently dropped
+      // by sd > 0), DuckDB THROWS and takes the whole oracle run with
+      // it. greatest(·, 0) in BOTH engines turns that row into sd = 0,
+      // so the sd > 0 filter excludes zero-variance users identically
       .select(col("user_id"), (col("sx") / nD).as("mean"),
-        sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - 1)).as("sd"))
+        sqrt(greatest(col("sxx") - col("sx") * col("sx") / nD, lit(0d))
+          / (nD - 1)).as("sd"))
       .filter(col("sd") > 0)
   }
 
@@ -434,7 +442,7 @@ object ScalarFns extends QueryModule {
        |  FROM events GROUP BY user_id HAVING count(*) >= $Z_MIN_N),
        |st AS (
        |  SELECT user_id, sx / CAST(n AS DOUBLE) AS mean,
-       |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS sd
+       |    sqrt(greatest(sxx - sx * sx / CAST(n AS DOUBLE), 0) / (CAST(n AS DOUBLE) - 1)) AS sd
        |  FROM sums)
        |SELECT e.event_id, e.user_id, round(st.mean, 6) AS mean,
        |  round((e.value - st.mean) / st.sd, 6) AS z

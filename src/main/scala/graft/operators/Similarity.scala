@@ -184,9 +184,14 @@ object Similarity extends QueryModule {
     * iterator, so its cost is verify CPU (scales out with cores), not
     * disk. The distinct-candidates-first alternative shuffles
     * O(candidates) rows and filled 80 GB of spill at the 200k-vector
-    * rehearsal decade before this restructure; survivors' sim values
-    * collapse in the distinct because the same codegen'd expression on
-    * the same operands is deterministic per pair across bands.
+    * rehearsal decade before this restructure. Cross-band duplicates
+    * collapse on the PAIR KEY alone (dropDuplicates on (va, vb), not
+    * distinct over (va, vb, sim)): one row per pair holds by
+    * construction, instead of leaning on the sim expression staying
+    * bit-deterministic across bands — the invariant AnnRecallSpec
+    * additionally asserts. The carried sim is well-defined because the
+    * same codegen'd expression on the same operands yields the same
+    * value on every surviving copy.
     */
   private def cosinePairs(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d))
@@ -201,7 +206,7 @@ object Similarity extends QueryModule {
       .filter(col("sim") >= PAIR_MIN_SIM)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.label").as("label"), col("sim"))
-      .distinct()
+      .dropDuplicates("va", "vb")
       .orderBy("va", "vb")
   }
 
@@ -671,7 +676,7 @@ object Similarity extends QueryModule {
       .withColumn("sim", simCol("a.embedding", "b.embedding", "a.nrm", "b.nrm"))
       .filter(col("sim") >= minSim)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("sim"))
-      .distinct()
+      .dropDuplicates("va", "vb")
   }
 
   // ---- scale-safe derived-knob pairs ----------------------------------
@@ -761,39 +766,43 @@ object Similarity extends QueryModule {
       .withColumn("sim", simCol("a.embedding", "b.embedding", "a.nrm", "b.nrm"))
       .filter(col("sim") >= minSim)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("sim"))
-      .distinct()
+      .dropDuplicates("va", "vb")
   }
 
   // ---- driver-gated instance of the parameterized pairs API ----------
 
-  /** [[nearDupPairs]] at the sim_cos_pairs settings (8 bands × 6 bits,
-    * minSim 0.3), driver-gated: the parameterized LIBRARY API runs
-    * through the same DuckDB hash gate as the fixed queries, closing the
-    * round-9 gap between "library API" and "contract-checked operator".
-    * Deliberately label-BLIND — the parameterized form serves arbitrary
-    * corpora with no label column — so it is a distinct result from
-    * sim_cos_pairs (a superset: cross-label pairs clearing minSim
-    * appear), with its own oracle.
+  /** [[nearDupPairs]] — the explicit-knob LIBRARY API — driver-gated at
+    * knobs the CALLER derives from the corpus size through the same
+    * integer ladder the in-plan form uses ([[scaledBits]] /
+    * [[scaledBands]]: ONE definition, shared with the specs and the
+    * oracle), keeping the round-9 purpose of this entry ("the
+    * parameterized API runs through the same DuckDB hash gate as the
+    * fixed queries") without the scale-killer it used to carry: through
+    * round 11 this instance pinned the sf0.1-era 8×6 knobs at EVERY
+    * scale — measured at 230 s / 144× its sf0.1 wall at the sf10
+    * rehearsal (candidates ~N²/2⁶ past ~10⁵ vectors, SCALE.md). The
+    * fixed-knob form stays available to callers and is still exercised
+    * at fixture scale (AnnRecallSpec's recall/false-pair curves,
+    * PairScaleBench's occupancy pricing); no CONTRACT query binds it
+    * any more. The derivation here is one driver-side count — the
+    * 1-row-aggregate touchpoint — and lands on the identical operating
+    * point [[nearDupPairsScaled]] derives IN the plan, so the two
+    * binding modes (caller-bound explicit knobs vs in-plan derivation)
+    * must agree row-for-row at every scale; the shared derived-knob
+    * oracle hash-gates both, and Round12Spec asserts the cross-check.
     */
-  private def nearDupParam(s: SparkSession, d: String): DataFrame =
-    nearDupPairs(embeddings(s, d), PAIR_BANDS, PAIR_BITS, PAIR_MIN_SIM)
+  private def nearDupParam(s: SparkSession, d: String): DataFrame = {
+    val corpus = embeddings(s, d)
+    val bits = scaledBits(corpus.count())
+    nearDupPairs(corpus, scaledBands(EMB_DIM, bits), bits, PAIR_MIN_SIM)
       .orderBy("va", "vb")
-
-  private def nearDupParamOracle: String = {
-    val bandSelects = (0 until PAIR_BANDS)
-      .map(b => s"SELECT vec_id, embedding, nrm, $b AS band, " +
-        s"${bandCodeSql(b)} AS code FROM e")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH $normCte,
-       |bands AS (
-       |  $bandSelects)
-       |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
-       |  ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
-       |WHERE ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $PAIR_MIN_SIM
-       |ORDER BY va, vb""".stripMargin
   }
+
+  /** Same derivation ladder, same knobs, same result set as
+    * [[nearDupScaledOracle]] — the oracle text IS shared, so a drift
+    * between the caller-bound and in-plan binding modes fails the gate.
+    */
+  private def nearDupParamOracle: String = nearDupScaledOracle
 
   /** [[nearDupPairsScaled]] on the fixture embeddings — the
     * contract-checked instance at the SCALE-SAFE operating point, i.e.

@@ -41,6 +41,81 @@ object TextAnalysis extends QueryModule {
       length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy("doc_id")
 
+  // ---- Unicode-aware tokenization -------------------------------------
+
+  /** The four planted non-ASCII documents (negative doc_ids, so they can
+    * never collide with fixture rows), written with \\u escapes so the
+    * build never depends on source-file encoding. One Seq feeds BOTH the
+    * Spark union and the oracle's VALUES list — the engines tokenize the
+    * same bytes by construction. Fixture text is pure ASCII (verified:
+    * zero non-ASCII rows at every driver SF), so without the plant this
+    * query could go green while structurally ASCII-bound.
+    */
+  private[operators] val UNICODE_DOCS: Seq[(Long, String)] = Seq(
+    // German: umlauts + capitals — 5 letter-runs under \p{L}, but the
+    // family's [a-z] splitter shreds it into 7 fragments
+    -1L -> "\u00dcberraschung sch\u00f6ne Gr\u00fcsse aus M\u00fcnchen",
+    // CJK (Lo letters): 3 tokens under \p{L}, ZERO under [a-z]
+    -2L -> "\u673a\u5668\u5b66\u4e60 \u6539\u53d8 \u4e16\u754c",
+    // Greek: 3 tokens under \p{L}, zero under [a-z]
+    -3L -> "\u03b3\u03b5\u03b9\u03b1 \u03c3\u03bf\u03c5 \u03ba\u03cc\u03c3\u03bc\u03b5",
+    // ASCII control row: the two splitters must agree exactly
+    -4L -> "plain ascii text stays identical under both splitters")
+
+  /** Unicode-aware tokenization — the multilingual arm of the text
+    * family: letter-run tokens under the Unicode class `[^\p{L}]+`
+    * (Java and RE2 both read \p{L} as the Unicode Letter category, so
+    * the engines agree char-for-char), side by side with the family's
+    * deliberate ASCII `[^a-z]+` splitter so the divergence is VISIBLE
+    * per document: a CJK doc counts 0 ASCII tokens but its true letter
+    * runs under \p{L}; the ASCII control doc counts identically under
+    * both. No case mapping anywhere — lower() on non-ASCII is where
+    * engines genuinely disagree (ICU vs JVM vs DuckDB), and a
+    * tokenizer must not depend on it.
+    *
+    * Which queries intentionally KEEP `[a-z]`: the reference-parity
+    * word count (mr/word_count.h:22-26 is hard-ASCII `isalpha`) and
+    * every oracle-shared dedup/pipe tokenizer where both engines'
+    * regex classes were chosen together — see SCALE.md §Text.
+    *
+    * Scale: row-local split + aggregate sizes, one scan, no shuffle
+    * before the terminal sort; the planted union is a 4-row
+    * LocalRelation unioned under the scan — free at any corpus size.
+    */
+  private def tokensUnicode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = UNICODE_DOCS.toDF("doc_id", "text")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(
+        col("doc_id"),
+        expr("size(filter(split(text, '[^\\\\p{L}]+'), x -> x <> ''))")
+          .cast("long").as("n_tok_unicode"),
+        expr("size(filter(split(text, '[^a-z]+'), x -> x <> ''))")
+          .cast("long").as("n_tok_ascii"),
+        expr("size(array_distinct(filter(split(text, '[^\\\\p{L}]+'), x -> x <> '')))")
+          .cast("long").as("n_uniq_unicode"))
+      .orderBy("doc_id")
+  }
+
+  private def tokensUnicodeOracle: String = {
+    val values = UNICODE_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '') AS tu,
+       |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS ta
+       |  FROM corpus)
+       |SELECT doc_id, len(tu)::BIGINT AS n_tok_unicode,
+       |  len(ta)::BIGINT AS n_tok_ascii,
+       |  len(list_distinct(tu))::BIGINT AS n_uniq_unicode
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
   // ---- quality scoring ------------------------------------------------
 
   private def quality(s: SparkSession, d: String): DataFrame = {
@@ -683,6 +758,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens"      -> tokens _,
+    "text_tokens_unicode" -> tokensUnicode _,
     "text_quality"     -> quality _,
     "text_langid"      -> langid _,
     "text_fingerprint" -> fingerprint _,
@@ -705,6 +781,7 @@ object TextAnalysis extends QueryModule {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens,
         |  length(text)::BIGINT AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens_unicode" -> tokensUnicodeOracle,
     "text_quality"     -> qualityOracle,
     "text_langid"      -> langidOracle,
     "text_fingerprint" -> fingerprintOracle,

@@ -54,6 +54,21 @@ object Typed extends QueryModule {
     * split) in BOTH engines; until one is planned, the exact-integer
     * contract stays as is.
     */
+  /** The exact-integer micros emission and its documented bound,
+    * factored out so TypedBoundSpec can pin the failure mode: per-group
+    * revenue above [[REVENUE_MICROS_MAX]] (= Long.MaxValue / 10^6,
+    * ≈ 9.2e12 — an sf100–sf300 per-flag revenue decade) must throw
+    * ArithmeticException LOUDLY, never wrap. The oracle's
+    * `CAST … AS BIGINT` errors at the same magnitude in DuckDB, so the
+    * two engines fail the same decade together.
+    */
+  private[graft] val REVENUE_MICROS_MAX: java.math.BigDecimal =
+    new java.math.BigDecimal(Long.MaxValue).movePointLeft(6)
+      .setScale(6, java.math.RoundingMode.FLOOR)
+
+  private[graft] def revenueMicros(rev: java.math.BigDecimal): Long =
+    rev.movePointRight(6).longValueExact()
+
   private def typedPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     lineitem(s, d)
@@ -71,7 +86,7 @@ object Typed extends QueryModule {
         var qty = 0.0
         var rev = java.math.BigDecimal.ZERO
         rows.foreach { case (_, q, r) => n += 1; qty += q; rev = rev.add(r) }
-        (flag, n, qty, rev.movePointRight(6).longValueExact())
+        (flag, n, qty, revenueMicros(rev))
       }
       .toDF("l_returnflag", "n_items", "total_qty", "total_revenue_micros")
       .orderBy("l_returnflag")

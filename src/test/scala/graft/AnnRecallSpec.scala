@@ -79,12 +79,11 @@ class AnnRecallSpec extends SparkSpec {
       val (rec8, false8) = RecallCurve.pairStats(truth, found8)
       info(f"pair recall at 8x8: $rec8%.3f")
       assert(rec8 >= 0.9, s"pair recall regressed: $rec8 < 0.9")
-      // exactly ONE row per (va, vb): the terminal distinct keys on
-      // (va, vb, sim), which collapses cross-band duplicates only while
-      // simCol stays deterministic with identical operand order per pair
-      // — enforce that invariant here so a future sim change (operand
-      // reorder, non-deterministic expr) fails a spec instead of
-      // silently emitting duplicate pair rows
+      // exactly ONE row per (va, vb): the terminal dropDuplicates keys
+      // on the pair alone, so this holds by construction — keep the
+      // assertion anyway as the contract's own statement, so a future
+      // restructure (e.g. back to a full-row distinct) fails here
+      // instead of silently emitting duplicate pair rows
       import org.apache.spark.sql.functions.{col, count, lit}
       val dupRows = found8.groupBy("va", "vb").agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).count()

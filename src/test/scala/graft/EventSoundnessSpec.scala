@@ -127,4 +127,28 @@ class EventSoundnessSpec extends SparkSpec {
     assert(got == Map(
       1L -> ((t0s, t0s + 2 * 60, t0s + 3 * 60))), s"got $got")
   }
+
+  test("event_anomaly excludes zero-variance users (clamped variance, " +
+      "never NaN) and flags the planted outlier") {
+    // user 1: 20 events at 10.0 + one at 20.0 — mean 10.476,
+    // sd ≈ 2.18, so only the 20.0 event clears |z| >= 3 (z ≈ 4.37);
+    // user 7: 6 events all EXACTLY 0.1 — zero variance. Its double
+    // power-sum numerator sxx − sx²/n can round a few ulps negative;
+    // the clamped sqrt(greatest(·, 0)) must turn that into sd = 0 and
+    // the sd > 0 filter must drop the user — in BOTH engines (the
+    // unclamped DuckDB oracle THREW on sqrt(negative) instead)
+    val rows = (1 to 20).map(i => (i.toLong, at(i), 1L, "view", 10.0)) ++
+      Seq((21L, at(21), 1L, "view", 20.0)) ++
+      (1 to 6).map(i => (100L + i, at(i), 7L, "view", 0.1))
+    val dir = writeEvents(rows)
+    val got = operators.ScalarFns.queries("event_anomaly")(spark, dir)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(21L),
+      s"expected exactly the planted outlier event flagged, got " +
+        got.map(_.getLong(0)).mkString(","))
+    assert(got.forall(r => !r.getDouble(3).isNaN && !r.getDouble(2).isNaN),
+      "anomaly output must never carry NaN")
+    assert(got.forall(_.getLong(1) != 7L),
+      "the zero-variance user must be excluded")
+  }
 }

@@ -44,6 +44,38 @@ object Tuning {
     try f finally s.conf.set(key, old)
   }
 
+  /** Spark's disk-backed state-store provider (the default is the
+    * in-heap HDFSBackedStateStoreProvider). */
+  val ROCKSDB_PROVIDER: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `f` with the streaming state store switched to RocksDB,
+    * restoring the session's previous provider after.
+    *
+    * This is a POLICY, not a tuning flag (STREAM_STATE_sf100.json, the
+    * measured decision it encodes): at 100M events the default heap
+    * provider held 44.3 GB of session-window state on a 96 GB heap —
+    * one decade from OOM — while RocksDB held 0.25 GB heap + 3.3 GB
+    * SST at +28% wall. Queries whose state grows with the KEY SPACE
+    * (session windows per user, exact dedup per key, stream-stream
+    * join buffers) therefore default to RocksDB in their builders:
+    * the +28% wall is insurance priced against an executor OOM that
+    * kills the query outright one decade up. Bounded-state
+    * aggregations (tumbling/sliding windows, complete-mode group-bys
+    * whose key count is a dimension, not the stream) stay on heap —
+    * their state is KB and the RocksDB commit cycle would be pure
+    * overhead. The decision table lives in SCALE.md §Streaming.
+    */
+  def withRocksDbStateStore[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, ROCKSDB_PROVIDER)
+    try f finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Run `f` with constraint propagation disabled, restoring after.
     *
     * Iterative driver loops gain nothing from inferred constraints (each

@@ -469,13 +469,23 @@ object Sources extends QueryModule {
     * about to discard, so skipping it is pure fixture-floor savings.
     */
   private def withStreamFanout[T](s: SparkSession,
-      skipNoDataBatch: Boolean = false)(f: => T): T =
+      skipNoDataBatch: Boolean = false,
+      unboundedState: Boolean = false)(f: => T): T =
     graft.Tuning.withShufflePartitions(s, STREAM_FANOUT) {
       val key = "spark.sql.streaming.checkpointLocation"
       val old = s.conf.getOption(key)
       s.conf.set(key, streamCkptBase)
-      def body: T =
-        if (skipNoDataBatch) graft.Tuning.withoutNoDataMicroBatch(s)(f) else f
+      def body: T = {
+        // unboundedState = the query's state grows with the key space
+        // (sessions per user, dedup keys, join buffers) → RocksDB by
+        // POLICY (Tuning.withRocksDbStateStore has the measured
+        // decision); bounded-state aggregations stay on the heap
+        // provider
+        def inner: T =
+          if (skipNoDataBatch) graft.Tuning.withoutNoDataMicroBatch(s)(f) else f
+        if (unboundedState) graft.Tuning.withRocksDbStateStore(s)(inner)
+        else inner
+      }
       try body finally old match {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
@@ -556,8 +566,9 @@ object Sources extends QueryModule {
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
     // first occurrences pass through IN the data batch; the trailing
-    // batch would only evict state the bounded replay discards anyway
-    withStreamFanout(s, skipNoDataBatch = true) {
+    // batch would only evict state the bounded replay discards anyway.
+    // State is O(distinct keys) BY CONTRACT → RocksDB by policy
+    withStreamFanout(s, skipNoDataBatch = true, unboundedState = true) {
       val name = "graft_stream_dedup_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -581,8 +592,9 @@ object Sources extends QueryModule {
     */
   private def streamSession(s: SparkSession, d: String): DataFrame =
     // complete mode: merged sessions re-emit fully every data batch
-    // (append mode would need the no-data batch to finalize them)
-    withStreamFanout(s, skipNoDataBatch = true) {
+    // (append mode would need the no-data batch to finalize them).
+    // Session state grows with the user space → RocksDB by policy
+    withStreamFanout(s, skipNoDataBatch = true, unboundedState = true) {
       val name = "graft_stream_session_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
@@ -617,7 +629,8 @@ object Sources extends QueryModule {
       s"_${graft.Fs.pathTag(d)}" +
       s"_${streamSeq.incrementAndGet()}"
     graft.Fs.rmTree(new java.io.File(base))
-    withStreamFanout(s) {
+    // session state grows with the user space -> RocksDB by policy
+    withStreamFanout(s, unboundedState = true) {
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -673,7 +686,8 @@ object Sources extends QueryModule {
     // INNER join: matches emit in the data batch where both sides are
     // present; the trailing no-data batch only evicts state (an OUTER
     // join would need it to emit its null-padded rows on the watermark)
-    withStreamFanout(s, skipNoDataBatch = true) {
+    // both sides buffer join state keyed by user -> RocksDB by policy
+    withStreamFanout(s, skipNoDataBatch = true, unboundedState = true) {
       val name = "graft_stream_join_" + streamSeq.incrementAndGet()
       // ONE source pass, watermarked once, branched per side — round 3
       // built two independent streamEvents scans (the whole events file

@@ -1,16 +1,73 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Pins the progress→query attribution rule of the state-store
-  * measurement harness. Both cases were live bugs during round 11:
-  * a null progress.name (the file-sink fixture starts its stream
-  * without a queryName) threw in the listener and silently dropped
-  * that query's metrics, and prefix matching without longest-wins
-  * would file every `graft_stream_tumbling_append_N` progress under
-  * `stream_tumbling`.
+  * measurement harness, and the state-store PROVIDER POLICY the
+  * sf100 measurement decided (STREAM_STATE_sf100.json → SCALE.md
+  * §Streaming): unbounded-state queries run on RocksDB inside their
+  * own builders, bounded-state aggregations stay on heap.
+  *
+  * The attribution cases were live bugs during round 11: a null
+  * progress.name (the file-sink fixture starts its stream without a
+  * queryName) threw in the listener and silently dropped that query's
+  * metrics, and prefix matching without longest-wins would file every
+  * `graft_stream_tumbling_append_N` progress under `stream_tumbling`.
   */
-class StreamStateBenchSpec extends AnyFunSuite {
+class StreamStateBenchSpec extends SparkSpec {
+
+  test("unbounded-state queries engage RocksDB inside their builders; " +
+      "bounded-state aggregations stay on the heap provider") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    import scala.jdk.CollectionConverters._
+    val seen =
+      new java.util.concurrent.ConcurrentHashMap[String, Set[String]]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val keys = e.progress.stateOperators
+          .flatMap(_.customMetrics.keySet.asScala).toSet
+        val name = Option(e.progress.name).getOrElse("")
+        if (name.nonEmpty && keys.nonEmpty)
+          seen.merge(name, keys, _ ++ _)
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      // the policy split: dedup + session = key-space state → RocksDB;
+      // tumbling = bounded window state → heap
+      SparkEntry.queries("stream_dedup")(spark, sfDir).collect()
+      SparkEntry.queries("stream_session")(spark, sfDir).collect()
+      SparkEntry.queries("stream_tumbling")(spark, sfDir).collect()
+      // the listener bus is async — wait for all three to land
+      def byPrefix(p: String): Option[Set[String]] =
+        seen.asScala.collectFirst { case (n, k) if n.startsWith(p) => k }
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+          (byPrefix("graft_stream_dedup_").isEmpty ||
+           byPrefix("graft_stream_session_").isEmpty ||
+           byPrefix("graft_stream_tumbling_").isEmpty))
+        Thread.sleep(100)
+      val dedup = byPrefix("graft_stream_dedup_")
+      val session = byPrefix("graft_stream_session_")
+      val tumbling = byPrefix("graft_stream_tumbling_")
+      assert(dedup.exists(_.exists(_.startsWith("rocksdb"))),
+        s"stream_dedup must run on RocksDB by policy; state metrics: $dedup")
+      assert(session.exists(_.exists(_.startsWith("rocksdb"))),
+        s"stream_session must run on RocksDB by policy; state metrics: $session")
+      assert(tumbling.exists(k =>
+          k.nonEmpty && !k.exists(_.startsWith("rocksdb"))),
+        s"stream_tumbling must stay on the heap provider; state " +
+          s"metrics: $tumbling")
+      // and the policy scope is transient: the builders restore the
+      // session provider, so the next query is back on the default
+      assert(spark.conf
+        .getOption("spark.sql.streaming.stateStore.providerClass")
+        .forall(!_.contains("RocksDB")),
+        "the RocksDB policy leaked into the shared session conf")
+    } finally spark.streams.removeListener(listener)
+  }
   private val contract = Seq(
     "stream_dedup", "stream_join", "stream_session", "stream_sliding",
     "stream_tumbling", "stream_tumbling_append")

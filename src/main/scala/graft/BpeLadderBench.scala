@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Merge-ladder scaling of the BPE trainer — the ROUND-COUNT dimension
+  * (SCALE.md): corpus-size scaling was already handled (the corpus is
+  * scanned once to build word frequencies; every round iterates over
+  * the VOCABULARY only), but a real tokenizer runs 32k merges, not the
+  * contract query's 10, and each merge round is one checkpointed
+  * vocab rewrite plus a 1-row argmax — a fixed per-round driver/job
+  * cost that no data-parallelism amortizes. This main measures that
+  * cost directly: run [[operators.TextAnalysis.bpeRounds]] at each
+  * ladder point, force the FINAL vocabulary (the train path's bests
+  * stay lazy — their cost is the rounds themselves), and report wall
+  * per round so SCALE.md can state where the round dimension binds
+  * and what a 32k-merge training run would actually pay.
+  *
+  * Usage: runMain graft.BpeLadderBench [sfDir] [m1,m2,...]
+  * Prints one JSON line: per-point merges, wall, sec/round, vocab
+  * rows, and total symbols of the final vocab (a fixed-point witness:
+  * once the vocab is fully merged, extra rounds pass through
+  * unchanged and the measurement isolates pure round overhead —
+  * exactly the constant that binds at 32k merges).
+  */
+object BpeLadderBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ladder: Seq[Int] =
+      if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toInt)
+      else Seq(10, 100, 1000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // retain mode (3rd arg "retain") keeps every round's checkpoint
+    // blocks alive, the train path's shape — the contrast that showed
+    // the 3x per-round bookkeeping slowdown by round 1000
+    val release = args.length <= 2 || args(2) != "retain"
+    val points = ladder.map { m =>
+      val t0 = System.nanoTime()
+      val vocab = operators.TextAnalysis
+        .bpeRounds(spark, sfDir, m, releaseRounds = release)._2
+      val Array(row) = vocab
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(split(col("seq"), " ")).cast("long")).as("n_symbols"))
+        .collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // release this ladder point's checkpoint blocks before the next
+      // (1000 rounds of tiny-vocab RDDs are cheap individually, but a
+      // long-lived process must not accumulate them across points).
+      // NOT Cleanup.releaseAll — that is the end-of-run sequence and
+      // stops the session
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.err.println(f"[bpe-ladder] merges=$m wall=$secs%.1fs " +
+        f"per-round=${secs / m}%.3fs vocab=${row.getLong(0)} " +
+        f"symbols=${row.getLong(1)}")
+      (m, secs, row.getLong(0), row.getLong(1))
+    }
+    val json = points.map { case (m, secs, nw, ns) =>
+      f"""{"merges":$m,"wall_sec":$secs%.2f,"sec_per_round":${secs / m}%.4f,""" +
+        s""""vocab_rows":$nw,"final_symbols":$ns}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"bpe_merge_ladder","sf_dir":"$sfDir","points":$json}""")
+    spark.stop()
+  }
+}

@@ -632,8 +632,21 @@ object TextAnalysis extends QueryModule {
     * to build word counts. Each round is checkpointed (CC discipline)
     * so the optimizer unit stays constant-size across rounds.
     */
-  private def bpeRounds(s: SparkSession, d: String)
-      : (Seq[DataFrame], DataFrame) = {
+  /** `releaseRounds = true` frees each round's checkpoint blocks as
+    * soon as the NEXT round has materialized from them — for consumers
+    * that read only the FINAL vocabulary (`_2`: the encode path, the
+    * merge-ladder bench). The per-round `bests` frames (`_1`) reference
+    * the freed rounds and must not be executed in this mode; the train
+    * path keeps the default. The flag exists because the round
+    * dimension, not the corpus, is what binds a long merge ladder
+    * (SCALE.md §BPE): retained checkpoint RDDs accumulate
+    * block-manager and scheduler bookkeeping linear in round count,
+    * which BpeLadderBench measured as a 3× per-round slowdown by round
+    * 1000 without release.
+    */
+  private[graft] def bpeRounds(s: SparkSession, d: String,
+      merges: Int = BPE_MERGES,
+      releaseRounds: Boolean = false): (Seq[DataFrame], DataFrame) = {
     val seed = withWords(documents(s, d))
       .select(explode(col("words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -648,8 +661,16 @@ object TextAnalysis extends QueryModule {
             |    'b', element_at(split(seq, ' '), i + 1)))""".stripMargin)).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
     var vocab = seed
-    val bests = (1 to BPE_MERGES).map { k =>
+    var prevVc: Option[DataFrame] = None
+    val bests = (1 to merges).map { k =>
       val vc = ConnectedComponents.ckptRound(vocab)
+      // vc is materialized eagerly, so the prior round's blocks are now
+      // unreachable from the final-vocab lineage — release them when
+      // the caller reads only _2
+      if (releaseRounds) {
+        prevVc.foreach(ConnectedComponents.freeCheckpoint)
+        prevVc = Some(vc)
+      }
       val best = pairsOf(vc)
         .groupBy("a", "b").agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
@@ -686,7 +707,7 @@ object TextAnalysis extends QueryModule {
     * frequency; tok_after counts the merged symbols the same way.
     */
   private def bpeEncode(s: SparkSession, d: String): DataFrame =
-    bpeRounds(s, d)._2
+    bpeRounds(s, d, releaseRounds = true)._2
       .groupBy(substring(col("word"), 1, 1).as("initial"))
       .agg(count(lit(1)).as("n_words"),
         sum((length(col("word")) + 1).cast("long") * col("freq"))

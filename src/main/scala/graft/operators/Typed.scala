@@ -100,6 +100,48 @@ object Typed extends QueryModule {
       |FROM lineitem WHERE l_quantity >= 10
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** [[typedPipeline]] with the WIDE revenue emission — the exact
+    * DECIMAL rendered as a canonical scale-6 string, the representation
+    * that survives the sf100–sf300 decade where the micros Long
+    * saturates ([[REVENUE_MICROS_MAX]]; Round12Spec pins that failure
+    * mode loudly). String, not DOUBLE, because the 60M-row rehearsal
+    * showed DuckDB's DECIMAL→DOUBLE cast one ulp off at 8e11 magnitude
+    * (the [[typedPipeline]] Scaladoc); and not a DECIMAL column,
+    * because the engines' natural sum types differ (DuckDB DECIMAL
+    * (38,6) vs the encoder's (38,18)) and the driver compares schemas
+    * before values. BigDecimal scale-6 `toPlainString` and DuckDB's
+    * `DECIMAL(38,6)::VARCHAR` render identically by construction —
+    * fixed 6 fractional digits, no exponent, no sign for positives —
+    * at ANY magnitude a 38-digit decimal can hold: the headroom is
+    * ~10^31 dollars, which no corpus reaches.
+    */
+  private def typedPipelineWide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag")
+      .as[Li]
+      .filter(li => li.l_quantity >= 10.0)
+      .map(li => (li.l_returnflag,
+        java.math.BigDecimal.valueOf(li.l_extendedprice * (1 - li.l_discount))
+          .setScale(6, java.math.RoundingMode.HALF_UP)))
+      .groupByKey(_._1)
+      .mapGroups { (flag, rows) =>
+        var rev = java.math.BigDecimal.ZERO
+        rows.foreach { case (_, r) => rev = rev.add(r) }
+        (flag, rev.setScale(6).toPlainString)
+      }
+      .toDF("l_returnflag", "total_revenue")
+      .orderBy("l_returnflag")
+  }
+
+  private val typedPipelineWideOracle =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR)
+      |    AS total_revenue
+      |FROM lineitem WHERE l_quantity >= 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Typed join: `joinWith` yields a Dataset of pairs (no column-name
     * flattening), folded per market segment. Count and max are
     * order-insensitive, so no decimal detour is needed.
@@ -131,11 +173,13 @@ object Typed extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_typed_pipeline" -> typedPipeline _,
+    "ds_typed_pipeline_wide" -> typedPipelineWide _,
     "ds_typed_join"     -> typedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
     "ds_typed_pipeline" -> typedPipelineOracle,
+    "ds_typed_pipeline_wide" -> typedPipelineWideOracle,
     "ds_typed_join"     -> typedJoinOracle,
   )
 }

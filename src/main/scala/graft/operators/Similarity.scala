@@ -670,7 +670,13 @@ object Similarity extends QueryModule {
       minSim: Double): DataFrame = {
     requireKnobs("nearDupPairs", bands, bits)
     val codes = bandCodesCarrying(corpus, "nearDupPairs", bands, bits)
-    codes.as("a").join(codes.as("b"),
+    // the band table is corpus-sized, so the bucket self-join is pinned
+    // SHUFFLED (same rule as dedup_substring's dup table): fixture-scale
+    // stats would broadcast one side — measured 3x SLOWER here even at
+    // sf0.1 (the per-probe build-list walk beats nothing), and the wrong
+    // shape at any real corpus. AnnRecallSpec pins verify-inline on this
+    // same join; PairScaleBench priced the shuffled shape.
+    codes.as("a").join(codes.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", simCol("a.embedding", "b.embedding", "a.nrm", "b.nrm"))
@@ -760,7 +766,11 @@ object Similarity extends QueryModule {
     val codes = withNorm(corpus).crossJoin(broadcast(knobs))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(expr(codesArr)).as(Seq("band", "code")))
-    codes.as("a").join(codes.as("b"),
+    // pinned shuffled for the same reason as [[nearDupPairs]] — here the
+    // in-plan knob derivation already hides stats (the planner falls to
+    // SMJ), but the hint makes the scale shape deliberate and picks the
+    // cheaper hash join over sort-merge
+    codes.as("a").join(codes.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", simCol("a.embedding", "b.embedding", "a.nrm", "b.nrm"))

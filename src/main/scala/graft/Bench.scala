@@ -122,8 +122,12 @@ object Bench {
     // sf10 with everything else identical. The driver never sets it;
     // StreamingSpec proves both providers produce identical results.
     sys.env.get("SPARK_GRAFT_STATE_PROVIDER").filter(_.nonEmpty)
-      .foreach(p =>
-        builder.config("spark.sql.streaming.stateStore.providerClass", p))
+      .foreach { p =>
+        builder.config("spark.sql.streaming.stateStore.providerClass", p)
+        // an explicit measurement provider must actually govern: suppress
+        // the per-query RocksDB policy for this run (see Tuning)
+        System.setProperty(Tuning.STATE_STORE_FORCED_PROP, p)
+      }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._

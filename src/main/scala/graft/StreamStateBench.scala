@@ -87,6 +87,10 @@ object StreamStateBench {
       .config("spark.driver.maxResultSize", "0")
     providerClass.foreach(p =>
       builder.config("spark.sql.streaming.stateStore.providerClass", p))
+    // suppress the per-query RocksDB policy (Tuning.withRocksDbStateStore)
+    // for this measurement run: the whole point of the heap arm is to
+    // record what the policy queries WOULD cost on the heap provider
+    System.setProperty(Tuning.STATE_STORE_FORCED_PROP, providerArg)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

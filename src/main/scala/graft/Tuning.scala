@@ -66,15 +66,28 @@ object Tuning {
     * their state is KB and the RocksDB commit cycle would be pure
     * overhead. The decision table lives in SCALE.md §Streaming.
     */
-  def withRocksDbStateStore[T](s: SparkSession)(f: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val old = s.conf.getOption(key)
-    s.conf.set(key, ROCKSDB_PROVIDER)
-    try f finally old match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+  /** Measurement escape hatch: when set (system property), the policy
+    * wrapper becomes a no-op and the session-level provider governs.
+    * Exists ONLY for `StreamStateBench`, which prices heap-vs-RocksDB
+    * on the SAME contract queries — without the hatch its heap arm
+    * would silently measure RocksDB for exactly the unbounded-state
+    * queries whose heap cost it exists to record. Never set in
+    * production; StreamStateBenchSpec asserts the policy engages when
+    * the property is absent.
+    */
+  val STATE_STORE_FORCED_PROP = "graft.stateStore.forced"
+
+  def withRocksDbStateStore[T](s: SparkSession)(f: => T): T =
+    if (sys.props.contains(STATE_STORE_FORCED_PROP)) f
+    else {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, ROCKSDB_PROVIDER)
+      try f finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
-  }
 
   /** Run `f` with constraint propagation disabled, restoring after.
     *

@@ -72,6 +72,45 @@ class StreamStateBenchSpec extends SparkSpec {
     "stream_dedup", "stream_join", "stream_session", "stream_sliding",
     "stream_tumbling", "stream_tumbling_append")
 
+  test("the forced-provider hatch suppresses the policy: a heap-arm " +
+      "measurement run actually measures heap for the policy queries") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    import scala.jdk.CollectionConverters._
+    val seen =
+      new java.util.concurrent.ConcurrentHashMap[String, Set[String]]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val keys = e.progress.stateOperators
+          .flatMap(_.customMetrics.keySet.asScala).toSet
+        val name = Option(e.progress.name).getOrElse("")
+        if (name.nonEmpty && keys.nonEmpty) seen.merge(name, keys, _ ++ _)
+      }
+    }
+    spark.streams.addListener(listener)
+    System.setProperty(Tuning.STATE_STORE_FORCED_PROP, "heap")
+    try {
+      SparkEntry.queries("stream_dedup")(spark, sfDir).collect()
+      def dedupKeys: Option[Set[String]] =
+        seen.asScala.collectFirst {
+          case (n, k) if n.startsWith("graft_stream_dedup_") => k
+        }
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && dedupKeys.isEmpty)
+        Thread.sleep(100)
+      assert(dedupKeys.exists(k =>
+          k.nonEmpty && !k.exists(_.startsWith("rocksdb"))),
+        s"with the forced-provider hatch set, stream_dedup must run on " +
+          s"the session provider (heap here); state metrics: $dedupKeys")
+    } finally {
+      System.clearProperty(Tuning.STATE_STORE_FORCED_PROP)
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("queryName maps to its contract query") {
     assert(StreamStateBench.benchNameFor("graft_stream_dedup_3", contract)
       .contains("stream_dedup"))

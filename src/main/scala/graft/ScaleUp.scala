@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   *    flip sign) — near-dup pair counts scale linearly and the copy-0
   *    query vectors (vec_id < 8) keep their original neighborhoods.
   *
-  * Usage: runMain graft.ScaleUp <inDir> <outDir> [factor] [filesPerTable] [tables]
+  * Usage: runMain graft.ScaleUp <inDir> <outDir> [factor] [filesPerTable] [tables] [clusterBy]
   *
   * `filesPerTable` > 1 switches the output to the Spark-native
   * DIRECTORY layout (`<t>.parquet/part-*.parquet`, that many files):
@@ -54,6 +54,9 @@ object ScaleUp {
     val filesPerTable = args.lift(3).map(_.toInt).getOrElse(1)
     val tables = args.lift(4)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // optional arg 6: cluster multi-file tables by this column (range
+    // partition + in-file sort) — the ingest-order layout for event data
+    val clusterBy = args.lift(5).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,7 +67,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, in, out, factor, filesPerTable, tables)
+    run(spark, in, out, factor, filesPerTable, tables, clusterBy)
     println(s"[scaleup] wrote ${factor}x of $in to $out")
     spark.stop()
   }
@@ -73,7 +76,8 @@ object ScaleUp {
     * the structural invariants the sf1 rehearsal's claims rest on).
     */
   def run(spark: SparkSession, in: String, out: String, factor: Int,
-      filesPerTable: Int = 1, tables: Option[Set[String]] = None): Unit = {
+      filesPerTable: Int = 1, tables: Option[Set[String]] = None,
+      clusterBy: Option[String] = None): Unit = {
     // the per-copy vocabulary rename appends letters within [a-z] — the
     // dedup shingler splits on [^a-z], and a suffix outside that class
     // would be stripped, silently collapsing copies back onto copy 0's
@@ -98,8 +102,23 @@ object ScaleUp {
     // dataset is many files (see SCALE.md, Scans & layout).
     def write(df: DataFrame, t: String): Unit = {
       if (filesPerTable > 1) {
-        df.repartition(filesPerTable).write.mode("overwrite")
-          .parquet(s"$out/$t.parquet")
+        // clusterBy writes the INGEST-CLUSTERED layout (range-partitioned
+        // + sorted files on the named column, where present) instead of
+        // the round-robin shuffle, whose RANDOM row order is a layout no
+        // real event lake has — ingestion appends in arrival order, so
+        // event time is file-local. The difference is not cosmetic:
+        // session-window aggregation over the random layout measured
+        // ~14x the clustered layout's wall at 10M events (SCALE.md,
+        // round 12).
+        clusterBy.filter(df.columns.contains) match {
+          case Some(c) =>
+            df.repartitionByRange(filesPerTable, col(c))
+              .sortWithinPartitions(c)
+              .write.mode("overwrite").parquet(s"$out/$t.parquet")
+          case None =>
+            df.repartition(filesPerTable).write.mode("overwrite")
+              .parquet(s"$out/$t.parquet")
+        }
         return
       }
       val tmp = s"$out/_tmp_$t"

@@ -159,7 +159,19 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        // release the stream fixtures' memory-sink rows OUTSIDE the
+        // timed window: retained sinks (one temp view per stream query
+        // per sweep) pin their results driver-side and GC-tax every
+        // later sample — StreamStateBench measured 3-20x inflation at
+        // sf10 from exactly this accumulation
+        if (name.startsWith("stream_")) {
+          spark.catalog.listTables().collect()
+            .map(_.name).filter(_.startsWith("graft_stream_"))
+            .foreach(spark.catalog.dropTempView)
+          spark.streams.resetTerminated()
+        }
+        w
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         Double.NaN

@@ -148,6 +148,18 @@ object StreamStateBench {
       // query's peaks and keeps the `current` fallback unambiguous
       Thread.sleep(1000)
       current = null
+      // free this query's memory-sink rows before the next measurement:
+      // the replay fixtures register their sinks as graft_stream_* temp
+      // views, and a retained sink pins its whole result driver-side
+      // (9.5M rows for the sf10 session query) — without the drop,
+      // every LATER query is measured under the accumulated heap of the
+      // earlier ones' sinks. Round 12 caught exactly that: adding
+      // stream_anomaly (runs first alphabetically) inflated every
+      // subsequent wall 3-20x at sf10 until the sinks were released.
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_stream_"))
+        .foreach(spark.catalog.dropTempView)
+      spark.streams.resetTerminated()
       System.err.println(f"[statebench] $name $w%.2fs")
       name -> w
     }

@@ -121,13 +121,19 @@ object Bench {
     // Spark default) so heap-vs-RocksDB wall time can be compared at
     // sf10 with everything else identical. The driver never sets it;
     // StreamingSpec proves both providers produce identical results.
-    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").filter(_.nonEmpty)
-      .foreach { p =>
-        builder.config("spark.sql.streaming.stateStore.providerClass", p)
-        // an explicit measurement provider must actually govern: suppress
-        // the per-query RocksDB policy for this run (see Tuning)
-        System.setProperty(Tuning.STATE_STORE_FORCED_PROP, p)
-      }
+    val forcedProvider =
+      sys.env.get("SPARK_GRAFT_STATE_PROVIDER").filter(_.nonEmpty)
+    forcedProvider.foreach { p =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", p)
+      // an explicit measurement provider must actually govern: suppress
+      // the per-query RocksDB policy for this run (see Tuning). Set here
+      // and CLEARED in the finally at the bottom of main — a standalone
+      // run exits anyway, but an in-process invocation (test, REPL,
+      // driver harness) must not leave the policy disabled for every
+      // later streaming query in the JVM.
+      System.setProperty(Tuning.STATE_STORE_FORCED_PROP, p)
+    }
+    try {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
@@ -157,25 +163,28 @@ object Bench {
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try {
+      val w = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val w = (System.nanoTime() - t0) / 1e9
-        // release the stream fixtures' memory-sink rows OUTSIDE the
-        // timed window: retained sinks (one temp view per stream query
-        // per sweep) pin their results driver-side and GC-tax every
-        // later sample — StreamStateBench measured 3-20x inflation at
-        // sf10 from exactly this accumulation
-        if (name.startsWith("stream_")) {
-          spark.catalog.listTables().collect()
-            .map(_.name).filter(_.startsWith("graft_stream_"))
-            .foreach(spark.catalog.dropTempView)
-          spark.streams.resetTerminated()
-        }
-        w
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         Double.NaN
       }
+      // release the stream fixtures' memory-sink rows OUTSIDE the timed
+      // window AND outside the timed try: retained sinks (one temp view
+      // per stream query per sweep) pin their results driver-side and
+      // GC-tax every later sample — StreamStateBench measured 3-20x
+      // inflation at sf10 from exactly this accumulation. Own guard so
+      // a cleanup failure can never discard an already-measured sample.
+      if (name.startsWith("stream_")) try {
+        spark.catalog.listTables().collect()
+          .map(_.name).filter(_.startsWith("graft_stream_"))
+          .foreach(spark.catalog.dropTempView)
+        spark.streams.resetTerminated()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name sink release failed (ignored): ${e.getMessage}")
+      }
+      w
     }
     // Shared-host CPU steal produces 10-40x outliers on single shots AND
     // sustained multi-second steal windows (round 10's total read 84.1s
@@ -280,5 +289,7 @@ object Bench {
     // ONE compact line, well under the driver's output-tail window.
     println(s"""{"metric":"total","value":${r3(total)},"stat":"p50_of_$SWEEPS","min_total":${r3(minTotal)},"unit":"sec","n_queries":${med.size},"failed":${failedNames.size},"slowest":$slowest,"env":$env,"detail":$detailRef,"sf":"$sfDir"}""")
     System.out.flush()
+    } finally forcedProvider.foreach(_ =>
+      System.clearProperty(Tuning.STATE_STORE_FORCED_PROP))
   }
 }

@@ -10,11 +10,18 @@ import org.apache.spark.sql.functions._
   * contract query's 10, and each merge round is one checkpointed
   * vocab rewrite plus a 1-row argmax — a fixed per-round driver/job
   * cost that no data-parallelism amortizes. This main measures that
-  * cost directly: run [[operators.TextAnalysis.bpeRounds]] at each
-  * ladder point, force the FINAL vocabulary (the train path's bests
-  * stay lazy — their cost is the rounds themselves), and report wall
-  * per round so SCALE.md can state where the round dimension binds
-  * and what a 32k-merge training run would actually pay.
+  * cost directly: run [[operators.TextAnalysis.bpeRounds]] — the ONE
+  * train path, which since round 13 sinks each round's argmax winner
+  * eagerly and releases every round's checkpoint blocks — at each
+  * ladder point, force the FINAL vocabulary, and report wall per round
+  * so SCALE.md can state what a 32k-merge training run would pay.
+  *
+  * The r12 artifact carried a second "retain" arm (the then-train-path
+  * shape that kept every round's checkpoint blocks alive) and measured
+  * its per-round constant growing 3× by round 1000; that shape no
+  * longer exists in the code — the eager sink made the train path
+  * release-mode by construction — so the ladder now has one arm and
+  * its job is to witness the per-round constant staying FLAT.
   *
   * Usage: runMain graft.BpeLadderBench [sfDir] [m1,m2,...]
   * Prints one JSON line: per-point merges, wall, sec/round, vocab
@@ -42,24 +49,23 @@ object BpeLadderBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // retain mode (3rd arg "retain") keeps every round's checkpoint
-    // blocks alive, the train path's shape — the contrast that showed
-    // the 3x per-round bookkeeping slowdown by round 1000
-    val release = args.length <= 2 || args(2) != "retain"
+    // locale-safe JSON numbers: the f interpolator is locale-sensitive
+    // (a comma decimal separator under e.g. de_DE voids the artifact
+    // line); stderr progress keeps f-interp, the JSON goes through this
+    def rn(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val points = ladder.map { m =>
       val t0 = System.nanoTime()
-      val vocab = operators.TextAnalysis
-        .bpeRounds(spark, sfDir, m, releaseRounds = release)._2
+      val vocab = operators.TextAnalysis.bpeRounds(spark, sfDir, m)._2
       val Array(row) = vocab
         .agg(count(lit(1)).as("n_words"),
           sum(size(split(col("seq"), " ")).cast("long")).as("n_symbols"))
         .collect()
       val secs = (System.nanoTime() - t0) / 1e9
       // release this ladder point's checkpoint blocks before the next
-      // (1000 rounds of tiny-vocab RDDs are cheap individually, but a
-      // long-lived process must not accumulate them across points).
-      // NOT Cleanup.releaseAll — that is the end-of-run sequence and
-      // stops the session
+      // (the train path frees all but the final round itself; the
+      // final round's blocks die here). NOT Cleanup.releaseAll — that
+      // is the end-of-run sequence and stops the session
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.err.println(f"[bpe-ladder] merges=$m wall=$secs%.1fs " +
         f"per-round=${secs / m}%.3fs vocab=${row.getLong(0)} " +
@@ -67,7 +73,8 @@ object BpeLadderBench {
       (m, secs, row.getLong(0), row.getLong(1))
     }
     val json = points.map { case (m, secs, nw, ns) =>
-      f"""{"merges":$m,"wall_sec":$secs%.2f,"sec_per_round":${secs / m}%.4f,""" +
+      s"""{"merges":$m,"wall_sec":${rn(secs, 2)},""" +
+        s""""sec_per_round":${rn(secs / m, 4)},""" +
         s""""vocab_rows":$nw,"final_symbols":$ns}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"bpe_merge_ladder","sf_dir":"$sfDir","points":$json}""")

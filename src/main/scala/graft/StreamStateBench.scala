@@ -89,8 +89,14 @@ object StreamStateBench {
       builder.config("spark.sql.streaming.stateStore.providerClass", p))
     // suppress the per-query RocksDB policy (Tuning.withRocksDbStateStore)
     // for this measurement run: the whole point of the heap arm is to
-    // record what the policy queries WOULD cost on the heap provider
+    // record what the policy queries WOULD cost on the heap provider.
+    // Set inside try / cleared in the finally at the end of main: a
+    // standalone run exits anyway, but an in-process invocation (test,
+    // REPL, driver harness) must not leave the policy disabled for
+    // every later streaming query in the JVM — the same discipline
+    // StreamStateBenchSpec already applies.
     System.setProperty(Tuning.STATE_STORE_FORCED_PROP, providerArg)
+    try {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -186,5 +192,6 @@ object StreamStateBench {
       s""","total_sec":${r3(walls.map(_._2).sum)},"queries":$qs""" +
       s""","cpus":$cpus,"heap_gb":${r3(heapGb)},"sf":"$sfDir"}""")
     System.out.flush()
+    } finally System.clearProperty(Tuning.STATE_STORE_FORCED_PROP)
   }
 }

@@ -77,6 +77,17 @@ object Tuning {
     */
   val STATE_STORE_FORCED_PROP = "graft.stateStore.forced"
 
+  /** SINGLE-THREADED per session, like every set/run/restore helper in
+    * this object: two streaming queries launched concurrently on the
+    * same session would race on the shared session conf — a
+    * bounded-state query started inside an unbounded one's window
+    * would silently capture the RocksDB provider, and the nested
+    * restore can clobber the outer one. Every current call site runs
+    * queries strictly sequentially (Verify, Bench, the spec suites); a
+    * future parallel sweep must either serialize these scopes or give
+    * each thread its own `SparkSession.newSession()` (session confs
+    * are per-session, so cloned sessions don't race).
+    */
   def withRocksDbStateStore[T](s: SparkSession)(f: => T): T =
     if (sys.props.contains(STATE_STORE_FORCED_PROP)) f
     else {

@@ -585,29 +585,69 @@ object Sources extends QueryModule {
       |ORDER BY user_id, event_type""".stripMargin
 
   /** Streaming session windows per user (30-minute gap) over the
-    * replayed events — the streaming form of `event_session`, checked
-    * against the same gaps-and-islands batch oracle. Complete mode +
-    * memory sink mirrors the other replay harnesses; production would
-    * watermark + append so merged sessions finalize past the watermark.
+    * replayed events, rolled up to a PER-USER session profile — the
+    * streaming form of `event_session`'s session detection, surfaced
+    * through the scale-safe shape at every step. Through round 12 this
+    * query ran the complete+memory harness (full session table
+    * re-emitted into a driver-side memory sink each batch); at sf10
+    * its wall was jstack-attributed to the single-threaded driver
+    * read-back of the 9.5M-row sink, not to anything the query
+    * computes (STREAM_STATE_sf10_r12.json) — a harness bottleneck
+    * wearing a contract query's name. Now the sessions are
+    * watermark-FINALIZED and appended to a parquet file sink (the
+    * production emission discipline, identical to the
+    * `stream_session_append` twin), read back DISTRIBUTED, and rolled
+    * up per user — so the result is O(users), every stage is
+    * executor-side, and the oracle comparison still certifies the
+    * session-window semantics end to end: the per-session counts,
+    * sums, and watermark cutoff all feed the rollup, so a divergence
+    * in any of them still breaks the hash. Session value sums travel
+    * as DECIMAL so the per-user re-aggregation is exact in both
+    * engines (a double round-trip would make the rollup
+    * order-sensitive); the single cast to double happens after the
+    * final sum, like every decimal contract query.
     */
-  private def streamSession(s: SparkSession, d: String): DataFrame =
-    // complete mode: merged sessions re-emit fully every data batch
-    // (append mode would need the no-data batch to finalize them).
-    // Session state grows with the user space → RocksDB by policy
-    withStreamFanout(s, skipNoDataBatch = true, unboundedState = true) {
+  private def streamSession(s: SparkSession, d: String): DataFrame = {
+    val base = streamScratchRoot +
+      s"/graft_stream_append_${ProcessHandle.current().pid()}" +
+      s"_${graft.Fs.pathTag(d)}" +
+      s"_${streamSeq.incrementAndGet()}"
+    graft.Fs.rmTree(new java.io.File(base))
+    // session state grows with the user space -> RocksDB by policy;
+    // the trailing no-data batch is REQUIRED (it advances the final
+    // watermark so closed sessions flush to the sink)
+    withStreamFanout(s, unboundedState = true) {
+      // queryName so StreamStateBenchSpec / StreamStateBench can
+      // attribute this query's state metrics by prefix (a file-sink
+      // stream is nameless by default)
       val name = "graft_stream_session_" + streamSeq.incrementAndGet()
       val q = streamEvents(s, d)
         .withWatermark("ts", "2 hours")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+          sum(col("value").cast("decimal(18,6)")).as("v_dec"))
         .select(col("user_id"), col("w.start").cast("long").as("session_start"),
-          col("n_events"), col("value_sum"))
-        .writeStream.outputMode("complete").format("memory").queryName(name)
+          col("n_events"), col("v_dec").cast("decimal(28,6)").as("v_dec"))
+        .writeStream.outputMode("append").format("parquet")
+        .queryName(name)
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name).orderBy("user_id", "session_start")
     }
+    // explicit schema: a replay where no session closes before the
+    // final watermark commits zero files
+    s.read
+      .schema("user_id BIGINT, session_start BIGINT, n_events BIGINT, v_dec DECIMAL(28,6)")
+      .parquet(s"$base/out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        sum("v_dec").cast("double").as("value_sum"),
+        min("session_start").as("first_session_start"),
+        max("session_start").as("last_session_start"))
+      .orderBy("user_id")
+  }
 
   /** The PRODUCTION session shape: watermark-FINALIZED session windows
     * appended to a parquet file sink — what `stream_session`'s
@@ -928,6 +968,67 @@ object Sources extends QueryModule {
     readTumblingAppend(s, base).orderBy("bucket", "event_type")
   }
 
+  /** Sliding windows (1 hour every 30 minutes) FINALIZED past the
+    * watermark, appended to a parquet file sink and read back — the
+    * production-shape twin the sliding family lacked (tumbling and
+    * session each had one; `stream_sliding`'s complete+memory harness
+    * is a fixture-scale shape that materializes full state
+    * driver-side). A window is emitted exactly once, when the final
+    * watermark (max event time − 2 h, advanced by the REQUIRED
+    * trailing no-data batch) passes its end; each event feeds two
+    * overlapping windows, so the state is 2× tumbling's but still
+    * bounded by the watermark horizon — O(active windows), never
+    * O(stream) — which is why this stays on the HEAP provider per the
+    * SCALE.md policy table. The oracle applies the same end≤watermark
+    * cutoff in exact integer microseconds over the same two-bucket
+    * union as `stream_sliding`'s.
+    */
+  private def streamSlidingAppend(s: SparkSession, d: String): DataFrame = {
+    val base = streamScratchRoot +
+      s"/graft_stream_append_${ProcessHandle.current().pid()}" +
+      s"_${graft.Fs.pathTag(d)}" +
+      s"_${streamSeq.incrementAndGet()}"
+    graft.Fs.rmTree(new java.io.File(base))
+    withStreamFanout(s) {
+      // queryName for state-metric attribution, as in streamSession
+      val name = "graft_stream_sliding_append_" + streamSeq.incrementAndGet()
+      val q = streamEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .select(col("w.start").cast("long").as("bucket"), col("n"),
+          col("value_sum"))
+        .writeStream.outputMode("append").format("parquet")
+        .queryName(name)
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // explicit schema: a replay where no window end crosses the final
+    // watermark commits zero files
+    s.read
+      .schema("bucket BIGINT, n BIGINT, value_sum DOUBLE")
+      .parquet(s"$base/out")
+      .orderBy("bucket")
+  }
+
+  private val streamSlidingAppendOracle =
+    """WITH agg AS (
+      |  SELECT epoch(bucket)::BIGINT AS bucket, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM (
+      |    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, value FROM events
+      |    UNION ALL
+      |    SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS bucket, value
+      |    FROM events)
+      |  GROUP BY bucket)
+      |SELECT bucket, n, value_sum FROM agg
+      |WHERE bucket * 1000000 + 3600000000 <=
+      |  (SELECT epoch_us(max(ts)) - 7200000000 FROM events)
+      |ORDER BY bucket""".stripMargin
+
   private val streamTumblingAppendOracle =
     """WITH agg AS (
       |  SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket,
@@ -966,6 +1067,7 @@ object Sources extends QueryModule {
     "stream_tumbling"    -> streamTumbling _,
     "stream_tumbling_append" -> streamTumblingAppend _,
     "stream_sliding"     -> streamSliding _,
+    "stream_sliding_append" -> streamSlidingAppend _,
     "stream_dedup"       -> streamDedup _,
     "stream_join"        -> streamJoin _,
     "stream_session"     -> streamSession _,
@@ -985,6 +1087,7 @@ object Sources extends QueryModule {
     "stream_tumbling"    -> streamTumblingOracle,
     "stream_tumbling_append" -> streamTumblingAppendOracle,
     "stream_sliding"     -> streamSlidingOracle,
+    "stream_sliding_append" -> streamSlidingAppendOracle,
     "stream_dedup"       -> streamDedupOracle,
     "stream_join"        -> streamJoinOracle,
     "stream_session_append" -> streamSessionAppendOracle,
@@ -1001,10 +1104,23 @@ object Sources extends QueryModule {
         |  SELECT user_id, ts, value,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked)
-        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
-        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+        |    count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS v_dec
+        |  FROM sess GROUP BY user_id, sid),
+        |fin AS (
+        |  SELECT user_id, floor(epoch(s_start))::BIGINT AS session_start,
+        |    n_events, v_dec
+        |  FROM agg
+        |  WHERE epoch_us(s_end) + 1800000000 <=
+        |    (SELECT epoch_us(max(ts)) - 7200000000 FROM events))
+        |SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |  sum(n_events)::BIGINT AS n_events,
+        |  CAST(sum(v_dec) AS DOUBLE) AS value_sum,
+        |  min(session_start) AS first_session_start,
+        |  max(session_start) AS last_session_start
+        |FROM fin GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -611,14 +611,15 @@ object TextAnalysis extends QueryModule {
 
   /** Byte-pair-encoding merge learning over the corpus vocabulary — the
     * tokenizer-training stage of an LLM data pipeline, run as [[BPE_MERGES]]
-    * fully declarative rounds: count adjacent symbol pairs weighted by
-    * word frequency (one partial→final aggregation over the vocab
-    * table), take the argmax pair (count desc, then lexicographic — a
-    * 1-row TakeOrderedAndProject, broadcast into the next round), and
-    * apply the merge with two passes of boundary-delimited string
-    * `replace` over space-joined symbol sequences. No driver collect
-    * anywhere: the learned pair feeds the rewrite as a broadcast join,
-    * and the output is the union of the ten 1-row argmax frames.
+    * rounds: count adjacent symbol pairs weighted by word frequency
+    * (one partial→final aggregation over the vocab table), take the
+    * argmax pair (count desc, then lexicographic — a 1-row
+    * TakeOrderedAndProject collected to the driver, the CC-loop 1-row
+    * discipline), and apply the merge with two passes of
+    * boundary-delimited LITERAL string `replace` over space-joined
+    * symbol sequences. The output is a local relation of the learned
+    * merge rows — see the eager-sink note on [[bpeRounds]] for why the
+    * winner is sunk per round instead of composed lazily.
     *
     * The merge rewrite is exact and engine-portable by construction:
     * sequences are padded with one space each side, the pattern
@@ -632,21 +633,26 @@ object TextAnalysis extends QueryModule {
     * to build word counts. Each round is checkpointed (CC discipline)
     * so the optimizer unit stays constant-size across rounds.
     */
-  /** `releaseRounds = true` frees each round's checkpoint blocks as
-    * soon as the NEXT round has materialized from them — for consumers
-    * that read only the FINAL vocabulary (`_2`: the encode path, the
-    * merge-ladder bench). The per-round `bests` frames (`_1`) reference
-    * the freed rounds and must not be executed in this mode; the train
-    * path keeps the default. The flag exists because the round
-    * dimension, not the corpus, is what binds a long merge ladder
-    * (SCALE.md §BPE): retained checkpoint RDDs accumulate
-    * block-manager and scheduler bookkeeping linear in round count,
-    * which BpeLadderBench measured as a 3× per-round slowdown by round
-    * 1000 without release.
+  /** Each round's 1-row argmax is SUNK EAGERLY to the driver (the
+    * iterative-loop discipline the CC fixpoint already uses: collecting
+    * a 1-row frame per round is O(rounds) driver traffic, not a
+    * distributed-operator smell), which is what makes a realistic
+    * merge count feasible: the collected winner rewrites the vocab
+    * through LITERAL patterns — no broadcast join, no lineage from the
+    * winner back into the round's blocks — so EVERY round's checkpoint
+    * blocks are released as soon as the next round has materialized
+    * from them, train path included. Rounds 1–12 retained the train
+    * path's blocks by contract (the per-round `bests` frames referenced
+    * them lazily) and BpeLadderBench measured the cost: retained-RDD
+    * block-manager/scheduler bookkeeping grew the per-round constant 3×
+    * by round 1000 (0.84 s/round, BPE_LADDER.json r12 arm) — a 32k-merge
+    * production train was ~7.5 h of pure bookkeeping. With the eager
+    * sink the per-round constant is flat (see the replaced
+    * BPE_LADDER.json), because live state per round is exactly one
+    * checkpointed vocab plus one 1-row local result.
     */
   private[graft] def bpeRounds(s: SparkSession, d: String,
-      merges: Int = BPE_MERGES,
-      releaseRounds: Boolean = false): (Seq[DataFrame], DataFrame) = {
+      merges: Int = BPE_MERGES): (DataFrame, DataFrame) = {
     val seed = withWords(documents(s, d))
       .select(explode(col("words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -662,41 +668,59 @@ object TextAnalysis extends QueryModule {
         .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
     var vocab = seed
     var prevVc: Option[DataFrame] = None
-    val bests = (1 to merges).map { k =>
+    val won = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for (k <- 1 to merges) {
       val vc = ConnectedComponents.ckptRound(vocab)
-      // vc is materialized eagerly, so the prior round's blocks are now
-      // unreachable from the final-vocab lineage — release them when
-      // the caller reads only _2
-      if (releaseRounds) {
-        prevVc.foreach(ConnectedComponents.freeCheckpoint)
-        prevVc = Some(vc)
-      }
-      val best = pairsOf(vc)
+      // vc is materialized eagerly and the previous round's winner is
+      // already a local row, so the prior round's blocks are now
+      // unreachable from ANY live lineage — release them
+      prevVc.foreach(ConnectedComponents.freeCheckpoint)
+      prevVc = Some(vc)
+      pairsOf(vc)
         .groupBy("a", "b").agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
-      // LEFT join + coalesce keep the recurrence TOTAL: once the vocab
-      // is fully merged, `best` is empty and the rewrite must pass the
-      // sequences through unchanged — a cross join would erase the
-      // vocab (and the oracle's NULL scalar subqueries would NULL it),
-      // silently diverging the engines on a degenerate corpus
-      vocab = vc.join(broadcast(best), lit(true), "left")
-        .withColumn("pat",
-          concat(lit(" "), col("a"), lit(" "), col("b"), lit(" ")))
-        .withColumn("rep", concat(lit(" "), col("a"), col("b"), lit(" ")))
-        .withColumn("r1", expr("replace(concat(' ', seq, ' '), pat, rep)"))
-        .withColumn("r2", expr("replace(r1, pat, rep)"))
-        .select(col("word"), col("freq"),
-          coalesce(expr("substring(r2, 2, length(r2) - 2)"), col("seq"))
-            .as("seq"))
-      best.select(lit(k).as("merge_rank"), col("a").as("pa"),
-        col("b").as("pb"), concat(col("a"), col("b")).as("merged"), col("n"))
+        .limit(1).collect().headOption match {
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          won += org.apache.spark.sql.Row(k, a, b, a + b, r.getLong(2))
+          // boundary-delimited literal rewrite: ' a b ' can only match
+          // at token boundaries, and two leftmost-non-overlapping
+          // passes merge adjacent chains ('a b a b') like the canonical
+          // greedy pass — identical to the oracle's replace chain
+          val pat = lit(s" $a $b ")
+          val rep = lit(s" $a$b ")
+          vocab = vc
+            .withColumn("r1",
+              org.apache.spark.sql.functions.replace(
+                concat(lit(" "), col("seq"), lit(" ")), pat, rep))
+            .withColumn("r2",
+              org.apache.spark.sql.functions.replace(col("r1"), pat, rep))
+            .select(col("word"), col("freq"),
+              expr("substring(r2, 2, length(r2) - 2)").as("seq"))
+        case None =>
+          // fully merged: the recurrence stays TOTAL — remaining rounds
+          // pass the vocab through unchanged and emit no merge row,
+          // exactly the oracle's NULL-subquery pass-through behavior
+          vocab = vc
+      }
     }
-    (bests, vocab)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("merge_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("pa",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("pb",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("merged",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    (s.createDataFrame(won.toSeq.asJava, schema), vocab)
   }
 
   private def bpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeRounds(s, d)._1.reduce(_.union(_)).orderBy("merge_rank")
+    bpeRounds(s, d)._1.orderBy("merge_rank")
 
   /** The tokenizer's APPLY path: after the ten learned merges, every
     * word's symbol sequence IS its encoding — this aggregates the
@@ -707,7 +731,7 @@ object TextAnalysis extends QueryModule {
     * frequency; tok_after counts the merged symbols the same way.
     */
   private def bpeEncode(s: SparkSession, d: String): DataFrame =
-    bpeRounds(s, d, releaseRounds = true)._2
+    bpeRounds(s, d)._2
       .groupBy(substring(col("word"), 1, 1).as("initial"))
       .agg(count(lit(1)).as("n_words"),
         sum((length(col("word")) + 1).cast("long") * col("freq"))

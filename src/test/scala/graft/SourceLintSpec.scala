@@ -32,10 +32,24 @@ class SourceLintSpec extends AnyFunSuite {
     }
 
   test("operator and streaming modules never collect() to the driver") {
-    val hits = offenders(".collect()", "graft/operators") ++
+    // TextAnalysis: the BPE trainer's per-round `limit(1).collect()` is
+    // a 1-row argmax — the same iterative-loop driver touchpoint class
+    // as the CC fixpoint aggregate (exempted in the head() test below).
+    // Sinking the winner eagerly is what lets every round's checkpoint
+    // blocks be released (BPE_LADDER.json: flat 0.075 s/round at round
+    // 1000 vs 0.84 and growing when the rounds stayed lazy); O(rounds)
+    // single-row fetches, never O(data).
+    val hits = offenders(".collect()", "graft/operators",
+      exempt = Set("graft/operators/TextAnalysis.scala")) ++
       offenders(".collect()", "graft/streaming") ++
       offenders(".toLocalIterator", "graft")
     assert(hits.isEmpty, s"driver-side materialization in: $hits")
+    // the exemption must never widen silently: TextAnalysis carries
+    // exactly one collect call site, the BPE argmax
+    val taText = new String(java.nio.file.Files.readAllBytes(
+      mainRoot.resolve("graft/operators/TextAnalysis.scala")))
+    assert(taText.sliding(".collect()".length).count(_ == ".collect()") == 1,
+      "TextAnalysis gained a collect() beyond the BPE 1-row argmax")
   }
 
   test("coalesce(1) appears only in the fixture harness mains") {

@@ -36,22 +36,28 @@ class StreamStateBenchSpec extends SparkSpec {
     spark.streams.addListener(listener)
     try {
       // the policy split: dedup + session = key-space state → RocksDB;
-      // tumbling = bounded window state → heap
+      // tumbling + sliding-append = bounded window state → heap.
+      // stream_session runs the file-sink append shape since round 13
+      // but still names its stream graft_stream_session_<seq>, so the
+      // same prefix attribution covers it.
       SparkEntry.queries("stream_dedup")(spark, sfDir).collect()
       SparkEntry.queries("stream_session")(spark, sfDir).collect()
       SparkEntry.queries("stream_tumbling")(spark, sfDir).collect()
-      // the listener bus is async — wait for all three to land
+      SparkEntry.queries("stream_sliding_append")(spark, sfDir).collect()
+      // the listener bus is async — wait for all four to land
       def byPrefix(p: String): Option[Set[String]] =
         seen.asScala.collectFirst { case (n, k) if n.startsWith(p) => k }
       val deadline = System.currentTimeMillis() + 30000
       while (System.currentTimeMillis() < deadline &&
           (byPrefix("graft_stream_dedup_").isEmpty ||
            byPrefix("graft_stream_session_").isEmpty ||
-           byPrefix("graft_stream_tumbling_").isEmpty))
+           byPrefix("graft_stream_tumbling_").isEmpty ||
+           byPrefix("graft_stream_sliding_append_").isEmpty))
         Thread.sleep(100)
       val dedup = byPrefix("graft_stream_dedup_")
       val session = byPrefix("graft_stream_session_")
       val tumbling = byPrefix("graft_stream_tumbling_")
+      val slidingAppend = byPrefix("graft_stream_sliding_append_")
       assert(dedup.exists(_.exists(_.startsWith("rocksdb"))),
         s"stream_dedup must run on RocksDB by policy; state metrics: $dedup")
       assert(session.exists(_.exists(_.startsWith("rocksdb"))),
@@ -60,6 +66,10 @@ class StreamStateBenchSpec extends SparkSpec {
           k.nonEmpty && !k.exists(_.startsWith("rocksdb"))),
         s"stream_tumbling must stay on the heap provider; state " +
           s"metrics: $tumbling")
+      assert(slidingAppend.exists(k =>
+          k.nonEmpty && !k.exists(_.startsWith("rocksdb"))),
+        s"stream_sliding_append holds bounded window state and must stay " +
+          s"on the heap provider; state metrics: $slidingAppend")
       // and the policy scope is transient: the builders restore the
       // session provider, so the next query is back on the default
       assert(spark.conf
@@ -70,7 +80,7 @@ class StreamStateBenchSpec extends SparkSpec {
   }
   private val contract = Seq(
     "stream_dedup", "stream_join", "stream_session", "stream_sliding",
-    "stream_tumbling", "stream_tumbling_append")
+    "stream_sliding_append", "stream_tumbling", "stream_tumbling_append")
 
   test("the forced-provider hatch suppresses the policy: a heap-arm " +
       "measurement run actually measures heap for the policy queries") {
@@ -123,6 +133,9 @@ class StreamStateBenchSpec extends SparkSpec {
     assert(StreamStateBench.benchNameFor(
         "graft_stream_tumbling_7", contract)
       .contains("stream_tumbling"))
+    assert(StreamStateBench.benchNameFor(
+        "graft_stream_sliding_append_2", contract)
+      .contains("stream_sliding_append"))
   }
 
   test("null and foreign names attribute to nothing") {

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Case-folding / normalization divergence on non-ASCII text, pinned as
+  * EXECUTABLE FACT instead of avoided. `text_tokens_unicode` (round 12)
+  * deliberately keeps `lower()` off non-ASCII input because the engines
+  * genuinely diverge there; this spec characterizes exactly WHERE, by
+  * pushing planted multilingual documents through a case-folded dedup
+  * key (`lower(text)` --- the key a real multilingual near-dup pipeline
+  * would reach for first) and asserting this engine's grouping
+  * verbatim, with the other engine's measured outputs written down
+  * beside it. All non-ASCII is spelled in \u escapes so the pinned
+  * bytes cannot be silently re-normalized by an editor.
+  *
+  * Per-engine ground truth on the planted strings (Spark side asserted
+  * below under the session's configured `icu.caseMappings.enabled=false`
+  * --- JVM `String.toLowerCase(Locale.ROOT)`, i.e. full Unicode case
+  * mapping with SpecialCasing context rules; DuckDB side measured on
+  * DuckDB 1.0.0, whose `lower()` is utf8proc SIMPLE per-codepoint
+  * mapping):
+  *
+  *  | input                   | Spark/JVM lower()           | DuckDB lower()       |
+  *  |-------------------------|-----------------------------|----------------------|
+  *  | STRASSE                 | strasse                     | strasse (agree)      |
+  *  | Stra{U+00DF}e           | stra{U+00DF}e (sharp-s kept)| stra{U+00DF}e (agree)|
+  *  | {U+0130}stanbul         | i{U+0307}stanbul            | istanbul (plain i)   |
+  *  | {Greek ODOS, capital}   | ...{U+03C2} (final sigma)   | ...{U+03C3} (medial) |
+  *  | caf{U+00E9} (NFC)       | caf{U+00E9}                 | caf{U+00E9} (agree)  |
+  *  | cafe{U+0301} (NFD)      | cafe{U+0301}                | cafe{U+0301} (agree) |
+  *
+  * Consequences for a case-folded dedup key, which the tests below pin:
+  *  - sharp s: BOTH engines keep Stra{U+00DF}e != STRASSE (simple
+  *    lowercase is not full case folding; folding {U+00DF}->ss needs an
+  *    explicit rule) --- an agreement, but a trap vs. what
+  *    "case-insensitive" promises.
+  *  - {U+0130} (LATIN CAPITAL LETTER I WITH DOT ABOVE): the engines
+  *    produce DIFFERENT keys (i{U+0307}stanbul vs plain istanbul), so a
+  *    Spark-side dedup and a DuckDB-side dedup of the same Turkish
+  *    corpus disagree on which docs collide --- this is why no contract
+  *    query case-folds non-ASCII text: the oracle comparison would be
+  *    comparing case mapping tables, not the operator under test.
+  *  - Final sigma: Spark's context rule maps the capital Greek spelling
+  *    onto the SAME key as the lowercase spelling with final {U+03C2};
+  *    DuckDB's simple mapping yields medial {U+03C3} --- the two
+  *    engines return different group counts on the same Greek corpus.
+  *  - NFC: both engines agree in KEEPING the precomposed and decomposed
+  *    caf{U+00E9} apart --- lower() never normalizes --- so a
+  *    multilingual dedup key needs an explicit NFC pass BEFORE folding.
+  *    Spark has no built-in NFC function; the production step is a
+  *    normalization pass at ingest (java.text.Normalizer semantics,
+  *    asserted below as the expected key-merge).
+  *
+  * SCALE.md (Tokenizer classes) records the same table.
+  */
+class UnicodeFoldSpec extends SparkSpec {
+
+  private val strasseUpper = "STRASSE"
+  private val strasseSharp = "Stra\u00dfe"
+  private val istanbulCap  = "\u0130stanbul"
+  private val odosUpper    = "\u039f\u0394\u039f\u03a3"
+  private val odosLower    = "\u03bf\u03b4\u03bf\u03c2" // final sigma U+03C2
+  private val cafeNfc      = "caf\u00e9"
+  private val cafeNfd      = "cafe\u0301" // e + combining acute
+
+  // expected Spark/JVM folded keys
+  private val strasseFolded  = "stra\u00dfe"
+  private val istanbulFolded = "i\u0307stanbul" // i + combining dot
+  private val odosFolded     = "\u03bf\u03b4\u03bf\u03c2" // final sigma
+  private val odosDuck       = "\u03bf\u03b4\u03bf\u03c3" // DuckDB: medial sigma
+
+  // (doc_id, planted text). Negative ids, the text_tokens_unicode
+  // planting discipline.
+  private val planted = Seq(
+    (-1L, strasseUpper), (-2L, strasseSharp), (-3L, istanbulCap),
+    (-4L, odosUpper), (-5L, odosLower), (-6L, cafeNfc), (-7L, cafeNfd))
+
+  test("lower() under icu.caseMappings=false is JVM full case mapping: " +
+      "the exact per-string outputs, codepoint for codepoint") {
+    import spark.implicits._
+    val k = planted.toDF("doc_id", "text")
+      .select(col("doc_id"), lower(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k(-1L) == "strasse")
+    // sharp s is preserved --- simple/full lowercase both keep it; only
+    // full case FOLDING (a different operation neither engine's lower()
+    // performs) maps it to ss
+    assert(k(-2L) == strasseFolded)
+    // U+0130 -> i + COMBINING DOT ABOVE (SpecialCasing.txt full
+    // mapping). DuckDB 1.0.0: plain "istanbul" --- the divergence.
+    assert(k(-3L) == istanbulFolded)
+    // final-position capital sigma -> U+03C2 (JVM context rule).
+    // DuckDB: U+03C3 always.
+    assert(k(-4L) == odosFolded)
+    assert(k(-5L) == odosFolded)
+    // lower() never normalizes: NFC and NFD cafe keep distinct keys
+    assert(k(-6L) == cafeNfc)
+    assert(k(-7L) == cafeNfd)
+  }
+
+  test("case-folded dedup key: the groups THIS engine produces " +
+      "(DuckDB's differ on the dotted-I and final-sigma inputs)") {
+    import spark.implicits._
+    val groups = planted.toDF("doc_id", "text")
+      .groupBy(lower(col("text")).as("k"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    // Spark merges the capital and lowercase Greek spellings (the
+    // final-sigma context rule makes the keys byte-identical)...
+    assert(groups(odosFolded) == List(-5L, -4L), s"greek group: $groups")
+    // ...DuckDB would NOT (its capital-spelling key is the
+    // medial-sigma string): same corpus, different duplicate count ---
+    // the executable form of the divergence.
+    assert(!groups.contains(odosDuck))
+    // sharp-s / STRASSE stay separate in BOTH engines
+    assert(groups(strasseFolded) == List(-2L))
+    assert(groups("strasse") == List(-1L))
+    // the dotted I folds to the combining-dot key here, the plain-i
+    // key in DuckDB --- either way a singleton on this corpus, but the
+    // KEY BYTES differ, so a cross-engine bucket join would never meet
+    assert(groups(istanbulFolded) == List(-3L))
+    assert(!groups.contains("istanbul"))
+    // the NFC/NFD pair never merges without explicit normalization
+    assert(groups(cafeNfc) == List(-6L))
+    assert(groups(cafeNfd) == List(-7L))
+  }
+
+  test("NFC normalization BEFORE folding is the production fix for the " +
+      "composed/decomposed split --- and it must run at ingest because " +
+      "no built-in exists downstream") {
+    // Spark SQL has no built-in NFC function, so the normalization
+    // pass belongs at ingest. Its semantics, as the JVM ships them:
+    import java.text.Normalizer
+    val nfc = (s: String) => Normalizer.normalize(s, Normalizer.Form.NFC)
+    assert(nfc(cafeNfd) == cafeNfc, "NFC composes e+U+0301 into U+00E9")
+    assert(nfc(cafeNfc) == cafeNfc)
+    // normalized-then-folded, the pair collides --- the key a
+    // multilingual dedup actually wants
+    assert(nfc(cafeNfd).toLowerCase(java.util.Locale.ROOT) ==
+      nfc(cafeNfc).toLowerCase(java.util.Locale.ROOT))
+    // and NFC alone never case-folds: the divergent dotted-I row stays
+    // divergent --- normalization is orthogonal to the mapping-table gap
+    assert(nfc(istanbulCap) == istanbulCap)
+  }
+}

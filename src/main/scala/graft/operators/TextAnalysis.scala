@@ -799,11 +799,77 @@ object TextAnalysis extends QueryModule {
        |  CAST(sum(len(string_split(seq, ' ')) * freq) AS BIGINT) AS tok_after
        |FROM v$BPE_MERGES GROUP BY initial ORDER BY initial""".stripMargin
 
+  // ---- case-folded dedup key (NFC + lower) ----------------------------
+
+  /** Planted Latin-script docs for the case-folded key: NFC/NFD and
+    * case variants of the same logical strings, chosen INSIDE the
+    * script class where the engines' case-mapping tables agree
+    * (Latin-1 letters: simple and full mappings coincide), so the
+    * oracle certifies the fold pipeline rather than comparing Unicode
+    * tables. The divergent classes (Turkish dotted I, Greek final
+    * sigma) are deliberately absent here — UnicodeFoldSpec pins those
+    * per engine. Spelled in \\u escapes: the byte sequences ARE the
+    * test.
+    */
+  private[graft] val LATIN_FOLD_DOCS: Seq[(Long, String)] = Seq(
+    // four spellings of one logical key "caf\u00e9 cr\u00e8me":
+    // NFC mixed case, NFD mixed case, NFC upper, NFC lower
+    -11L -> "Caf\u00e9 Cr\u00e8me",
+    -12L -> "Cafe\u0301 Cre\u0300me",
+    -13L -> "CAF\u00c9 CR\u00c8ME",
+    -14L -> "caf\u00e9 cr\u00e8me",
+    // two spellings (NFC / NFD umlauts) of "\u00fcber m\u00fcller"
+    -15L -> "\u00dcber M\u00fcller",
+    -16L -> "U\u0308ber Mu\u0308ller",
+    // the sharp-s trap: lower() is NOT case folding in either engine,
+    // so these two stay SEPARATE keys — the agreement worth pinning
+    -17L -> "Stra\u00dfe",
+    -18L -> "STRASSE",
+    // ASCII control: the fold is the identity
+    -19L -> "plain ascii control")
+
+  /** The multilingual dedup key, end to end: NFC normalization (the
+    * custom `nfc` expression - java.text.Normalizer semantics, identity
+    * without allocation on ASCII rows) then `lower()`, over the corpus
+    * plus [[LATIN_FOLD_DOCS]], grouped into collision sets. This is the
+    * ingest-order lesson UnicodeFoldSpec teaches made into an operator:
+    * normalize FIRST (no built-in exists downstream), fold second, and
+    * keep the fold inside script classes where the engines agree. The
+    * corpus rows are pure ASCII (Round12Spec), so at 100 TB the key is
+    * a row-local byte scan for the overwhelming majority of rows and a
+    * single normalize for the rest - no shuffle beyond the final
+    * aggregation.
+    */
+  private def casefoldKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = LATIN_FOLD_DOCS.toDF("doc_id", "text")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(col("doc_id"), expr("lower(nfc(text))").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("first_doc")
+  }
+
+  private def casefoldKeyOracle: String = {
+    val values = LATIN_FOLD_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |keyed AS (
+       |  SELECT doc_id, lower(nfc_normalize(text)) AS k FROM corpus)
+       |SELECT k, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM keyed GROUP BY k ORDER BY first_doc""".stripMargin
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens"      -> tokens _,
     "text_tokens_unicode" -> tokensUnicode _,
+    "text_casefold_key" -> casefoldKey _,
     "text_quality"     -> quality _,
     "text_langid"      -> langid _,
     "text_fingerprint" -> fingerprint _,
@@ -839,5 +905,6 @@ object TextAnalysis extends QueryModule {
     "text_heavy_hitters"  -> heavyHittersOracle,
     "text_bpe_train"      -> bpeTrainOracle,
     "text_bpe_encode"     -> bpeEncodeOracle,
+    "text_casefold_key"   -> casefoldKeyOracle,
   )
 }

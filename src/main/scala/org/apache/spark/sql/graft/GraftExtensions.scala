@@ -58,5 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .nonFoldableArgumentError("word_ngrams", "n",
             org.apache.spark.sql.types.IntegerType)
       })
+    register(ext, "nfc", classOf[NfcNormalize].getName, 1,
+      "nfc(s) - Unicode NFC normalization (UAX#15 canonical " +
+        "composition), java.text.Normalizer semantics; the identity on " +
+        "ASCII input (returned without allocation). The ingest-side pass " +
+        "a multilingual dedup key applies BEFORE case folding. Returns " +
+        "NULL on NULL input.")(
+      c => NfcNormalize(c.head))
   }
 }

@@ -224,3 +224,64 @@ object TextColumns {
   def wordNGrams(c: Column, n: Int): Column =
     ExpressionUtils.column(WordNGrams(ExpressionUtils.expression(c), n))
 }
+
+/** Unicode NFC normalization (UAX#15 canonical composition) as a
+  * codegen'd scalar — the ingest-side normalization pass a multilingual
+  * dedup key needs BEFORE case folding, which Spark SQL has no built-in
+  * for (UnicodeFoldSpec pins the gap: `lower()` never normalizes, so
+  * precomposed and decomposed spellings of the same word survive any
+  * case-folded key as distinct bytes in every engine).
+  *
+  * Semantics are `java.text.Normalizer.normalize(s, NFC)` exactly; the
+  * DuckDB oracle twin is `nfc_normalize(s)` (utf8proc) — both implement
+  * UAX#15, and the cross-engine agreement on the contract query's input
+  * class (Latin scripts) is what the oracle certifies. The engines'
+  * CASE MAPPING tables still differ on İ/final-sigma (see
+  * UnicodeFoldSpec); normalization is orthogonal to that gap, so
+  * contract queries fold only script classes where the mappings agree.
+  *
+  * Scale shape: row-local, one pass; the dominant corpus case (pure
+  * ASCII, where NFC is the identity) returns the INPUT UTF8String
+  * untouched after a byte scan — no String materialization, no
+  * allocation — so the normalization tax is paid only by rows that can
+  * actually need it (any byte >= 0x80).
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.NfcNormalize.normalize($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Shared by interpreted eval and generated code. ASCII fast path:
+    * NFC is the identity on ASCII (no combining sequences, no
+    * compositions), and UTF-8 marks every non-ASCII byte with the high
+    * bit, so one sign scan decides reuse-vs-normalize.
+    */
+  def normalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+  }
+}

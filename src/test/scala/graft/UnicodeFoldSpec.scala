@@ -143,4 +143,35 @@ class UnicodeFoldSpec extends SparkSpec {
     // divergent --- normalization is orthogonal to the mapping-table gap
     assert(nfc(istanbulCap) == istanbulCap)
   }
+
+  test("the nfc() expression ships the ingest pass: NFD composes to NFC, " +
+      "ASCII is the identity, and lower(nfc(s)) is the engine-agreeing " +
+      "fold key on the Latin subset") {
+    import spark.implicits._
+    val rows = Seq(
+      ("nfd", cafeNfd), ("nfc", cafeNfc), ("ascii", "plain ascii"),
+      ("null", null: String)).toDF("tag", "s")
+      .selectExpr("tag", "nfc(s) AS n", "lower(nfc(s)) AS k")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(rows("nfd") == ((Some(cafeNfc), Some(cafeNfc))),
+      "NFC must compose e+U+0301 into U+00E9 before folding")
+    assert(rows("nfc") == ((Some(cafeNfc), Some(cafeNfc))))
+    assert(rows("ascii") == ((Some("plain ascii"), Some("plain ascii"))))
+    assert(rows("null") == ((None, None)), "nfc(NULL) must be NULL")
+    // the contract query's collision structure, on the planted set the
+    // oracle also sees (text_casefold_key): four spellings of one
+    // logical key collapse, the sharp-s pair deliberately does not
+    val groups = operators.TextAnalysis.LATIN_FOLD_DOCS
+      .toDF("doc_id", "text")
+      .groupBy(expr("lower(nfc(text))").as("k"))
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list("doc_id")).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(groups(("caf" + '\u00e9' + " cr" + '\u00e8' + "me")) ==
+      List(-14L, -13L, -12L, -11L))
+    assert(groups(("\u00fc" + "ber m" + '\u00fc' + "ller")) == List(-16L, -15L))
+    assert(groups(("stra" + '\u00df' + "e")) == List(-17L))
+    assert(groups("strasse") == List(-18L))
+  }
 }

@@ -838,7 +838,12 @@ object TextAnalysis extends QueryModule {
     * corpus rows are pure ASCII (Round12Spec), so at 100 TB the key is
     * a row-local byte scan for the overwhelming majority of rows and a
     * single normalize for the rest - no shuffle beyond the final
-    * aggregation.
+    * aggregation. The contract query groups by the folded TEXT so the
+    * oracle compares the actual key bytes; a production pipeline
+    * hashes after folding - md5(lower(nfc(text))) dropped into
+    * [[Dedup]]'s exact-dedup path - so the shuffle carries 16-byte
+    * digests, never document bodies (the same digest-not-content rule
+    * every dedup shuffle in this repo follows).
     */
   private def casefoldKey(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -223,6 +223,10 @@ object TextColumns {
   /** Space-joined word n-grams of a string column, as array<string>. */
   def wordNGrams(c: Column, n: Int): Column =
     ExpressionUtils.column(WordNGrams(ExpressionUtils.expression(c), n))
+
+  /** Unicode NFC normalization of a string column (identity on ASCII). */
+  def nfc(c: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
 }
 
 /** Unicode NFC normalization (UAX#15 canonical composition) as a

@@ -105,4 +105,47 @@ object TextExpressionProps extends Properties("MinGramHash") {
       got == want
     })
   }
+
+  // ---- NfcNormalize ----------------------------------------------------
+
+  /** Mixed generator biased toward the interesting classes: ASCII (the
+    * identity fast path), precomposed Latin-1, combining marks (NFD
+    * material that must compose), and arbitrary BMP letters.
+    */
+  private val unicodeText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf(Gen.alphaLowerChar, Gen.numChar, Gen.const(' ')),
+      2 -> Gen.oneOf('\u00e0', '\u00e9', '\u00fc', '\u00df', '\u0130'),
+      2 -> Gen.oneOf('\u0300', '\u0301', '\u0308'),
+      1 -> Gen.oneOf('\u03b1', '\u4e16', '\u00c9')))
+      .map(_.mkString)
+
+  private def nfcRef(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  property("NfcNormalize codegen'd batch result equals " +
+      "java.text.Normalizer on mixed ASCII/Latin/combining input") =
+    Prop.forAll(Gen.listOfN(12, unicodeText)) { texts =>
+      import spark.implicits._
+      val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.graft.TextColumns.nfc(
+            org.apache.spark.sql.functions.col("s")).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      texts.zipWithIndex.forall { case (t, i) => got(i) == nfcRef(t) }
+    }
+
+  property("NfcNormalize interpreted eval equals java.text.Normalizer, " +
+      "and the ASCII fast path returns the INPUT object unchanged") =
+    Prop.forAll(unicodeText) { t =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val in = UTF8String.fromString(t)
+      val out = org.apache.spark.sql.graft.NfcNormalize.normalize(in)
+      val valueOk = out.toString == nfcRef(t)
+      // identity (not just equality) on pure-ASCII input: the fast
+      // path must not allocate
+      val asciiOk = !t.forall(_ < 128) || (out eq in)
+      valueOk && asciiOk
+    }
 }

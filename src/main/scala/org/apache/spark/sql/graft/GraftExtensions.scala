@@ -65,5 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "a multilingual dedup key applies BEFORE case folding. Returns " +
         "NULL on NULL input.")(
       c => NfcNormalize(c.head))
+    register(ext, "casefold", classOf[CaseFold].getName, 1,
+      "casefold(s) - Unicode FULL case folding (ICU default C+F: " +
+        "sharp-s folds to ss, all sigma forms to medial sigma, " +
+        "position-independent) - the operation lower() is not. Fold " +
+        "AFTER nfc(): folding never normalizes. ASCII rows fold in a " +
+        "byte scan. Returns NULL on NULL input.")(
+      c => CaseFold(c.head))
   }
 }

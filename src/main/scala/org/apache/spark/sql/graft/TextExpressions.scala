@@ -227,6 +227,10 @@ object TextColumns {
   /** Unicode NFC normalization of a string column (identity on ASCII). */
   def nfc(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
+  /** Unicode FULL case folding of a string column (ICU default C+F). */
+  def casefold(c: Column): Column =
+    ExpressionUtils.column(CaseFold(ExpressionUtils.expression(c)))
 }
 
 /** Unicode NFC normalization (UAX#15 canonical composition) as a
@@ -287,5 +291,81 @@ object NfcNormalize {
       else UTF8String.fromString(
         java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
     }
+  }
+}
+
+/** Unicode FULL case folding (UAX "C + F" default folding, ICU
+  * `UCharacter.foldCase`) as a codegen'd scalar — the operation
+  * "case-insensitive" actually promises and `lower()` is not
+  * (UnicodeFoldSpec pins the gap on both engines): folding maps
+  * sharp-s to "ss" and BOTH sigma forms to the single medial sigma,
+  * position-independently, so every case/position spelling of a word
+  * lands on one key. Combined with [[NfcNormalize]] (fold does NOT
+  * normalize — composed/decomposed inputs stay distinct), the
+  * multilingual dedup key is `casefold(nfc(text))`.
+  *
+  * Deliberately NOT a contract query's key: DuckDB has no case-folding
+  * function, so no cross-engine oracle exists — which is itself the
+  * measured state of the ecosystem the fold/lower() distinction lives
+  * in. The semantics are pinned spec-side instead (UnicodeFoldSpec
+  * exact outputs; TextExpressionProps codegen/interpreted/ICU-reference
+  * agreement). ICU4J is Spark 4's own bundled collation dependency —
+  * no new library.
+  *
+  * Scale shape: row-local; pure-ASCII rows (the dominant corpus case)
+  * fold in a byte scan — identity reuse when already lowercase, a
+  * single byte-mapped copy otherwise — and only rows with a byte >=
+  * 0x80 pay the ICU path.
+  */
+case class CaseFold(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "casefold"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CaseFold.fold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.CaseFold.fold($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): CaseFold =
+    copy(child = newChild)
+}
+
+object CaseFold {
+  /** Shared by interpreted eval and generated code. ASCII folding is
+    * exactly ASCII lowercasing (CaseFolding.txt maps A-Z to a-z and
+    * nothing else below 0x80), so the scan classifies each row once:
+    * already-folded ASCII returns the input object, upper-bearing
+    * ASCII folds in one byte-mapped copy, anything non-ASCII goes
+    * through ICU's full default (C+F) folding.
+    */
+  def fold(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    var upper = false
+    while (ascii && i < n) {
+      val b = s.getByte(i)
+      if (b < 0) ascii = false
+      else if (b >= 'A' && b <= 'Z') upper = true
+      i += 1
+    }
+    if (ascii && !upper) s
+    else if (ascii) {
+      val out = new Array[Byte](n)
+      var j = 0
+      while (j < n) {
+        val b = s.getByte(j)
+        out(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    } else UTF8String.fromString(com.ibm.icu.lang.UCharacter.foldCase(
+      s.toString, com.ibm.icu.lang.UCharacter.FOLD_CASE_DEFAULT))
   }
 }

@@ -148,4 +148,43 @@ object TextExpressionProps extends Properties("MinGramHash") {
       val asciiOk = !t.forall(_ < 128) || (out eq in)
       valueOk && asciiOk
     }
+
+  // ---- CaseFold --------------------------------------------------------
+
+  private def foldRef(s: String): String =
+    com.ibm.icu.lang.UCharacter.foldCase(
+      s, com.ibm.icu.lang.UCharacter.FOLD_CASE_DEFAULT)
+
+  private val mixedCaseText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf(Gen.alphaChar, Gen.numChar, Gen.const(' ')),
+      2 -> Gen.oneOf('\u00df', '\u0130', '\u03a3', '\u03c2', '\u00c9'),
+      1 -> Gen.oneOf('\u0301', '\u4e16')))
+      .map(_.mkString)
+
+  property("CaseFold codegen'd batch result equals the ICU reference " +
+      "on mixed-case ASCII/Latin/Greek input") =
+    Prop.forAll(Gen.listOfN(12, mixedCaseText)) { texts =>
+      import spark.implicits._
+      val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.graft.TextColumns.casefold(
+            org.apache.spark.sql.functions.col("s")).as("f"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      texts.zipWithIndex.forall { case (t, i) => got(i) == foldRef(t) }
+    }
+
+  property("CaseFold interpreted eval equals the ICU reference; the " +
+      "ASCII paths fold by byte scan (identity object when already " +
+      "folded)") =
+    Prop.forAll(mixedCaseText) { t =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val in = UTF8String.fromString(t)
+      val out = org.apache.spark.sql.graft.CaseFold.fold(in)
+      val valueOk = out.toString == foldRef(t)
+      val lowerAscii = t.forall(c => c < 128 && !(c >= 'A' && c <= 'Z'))
+      val identityOk = !lowerAscii || (out eq in)
+      valueOk && identityOk
+    }
 }

@@ -174,4 +174,40 @@ class UnicodeFoldSpec extends SparkSpec {
     assert(groups(("stra" + '\u00df' + "e")) == List(-17L))
     assert(groups("strasse") == List(-18L))
   }
+
+  test("casefold() is the operation lower() is not: sharp-s folds to " +
+      "ss, every sigma form folds to ONE medial-sigma key, and folding " +
+      "never normalizes - nfc stays a separate, prior step") {
+    import spark.implicits._
+    val odosMixed = "\u039f\u0394\u039f\u03c2" // capital spelling, final sigma
+    val rows = Seq(
+      ("sharp", strasseSharp), ("upper", strasseUpper),
+      ("greekU", odosUpper), ("greekL", odosLower), ("greekM", odosMixed),
+      ("nfd", cafeNfd), ("nfc", cafeNfc),
+      ("turk", istanbulCap), ("null", null: String))
+      .toDF("tag", "s")
+      .selectExpr("tag", "casefold(s) AS f", "casefold(nfc(s)) AS key")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    // the fold lower() cannot do: Strasse spellings COLLIDE
+    assert(rows("sharp")._1 == Some("strasse"))
+    assert(rows("upper")._1 == Some("strasse"))
+    // position-independent sigma: capital, lowercase-final, and mixed
+    // spellings all land on the single medial-sigma key (lower() gave
+    // this engine final-sigma keys and DuckDB medial - folding is the
+    // spelling-stable form)
+    assert(rows("greekU")._1 == Some(odosDuck))
+    assert(rows("greekL")._1 == Some(odosDuck))
+    assert(rows("greekM")._1 == Some(odosDuck))
+    // folding does NOT normalize: NFD input keeps its combining mark
+    // until nfc() runs first - the composed key only falls out of the
+    // full casefold(nfc(s)) pipeline
+    assert(rows("nfd")._1 != rows("nfc")._1)
+    assert(rows("nfd")._2 == rows("nfc")._2)
+    assert(rows("nfd")._2 == Some(cafeNfc))
+    // dotted capital I folds with the combining dot (ICU default mode,
+    // matching this engine's lower() rather than DuckDB's simple map)
+    assert(rows("turk")._1 == Some(istanbulFolded))
+    assert(rows("null") == ((None, None)))
+  }
 }

@@ -123,14 +123,17 @@ object Bench {
     // StreamingSpec proves both providers produce identical results.
     val forcedProvider =
       sys.env.get("SPARK_GRAFT_STATE_PROVIDER").filter(_.nonEmpty)
+    // An in-process caller (test, REPL, driver harness) may have set the
+    // forced-provider property itself; this run must RESTORE that value
+    // on exit, not clear it — set/restore, never set/clear.
+    val priorForced = sys.props.get(Tuning.STATE_STORE_FORCED_PROP)
     forcedProvider.foreach { p =>
       builder.config("spark.sql.streaming.stateStore.providerClass", p)
       // an explicit measurement provider must actually govern: suppress
       // the per-query RocksDB policy for this run (see Tuning). Set here
-      // and CLEARED in the finally at the bottom of main — a standalone
-      // run exits anyway, but an in-process invocation (test, REPL,
-      // driver harness) must not leave the policy disabled for every
-      // later streaming query in the JVM.
+      // and RESTORED in the finally at the bottom of main — a standalone
+      // run exits anyway, but an in-process invocation must not have its
+      // own setting stomped for every later streaming query in the JVM.
       System.setProperty(Tuning.STATE_STORE_FORCED_PROP, p)
     }
     try {
@@ -289,7 +292,9 @@ object Bench {
     // ONE compact line, well under the driver's output-tail window.
     println(s"""{"metric":"total","value":${r3(total)},"stat":"p50_of_$SWEEPS","min_total":${r3(minTotal)},"unit":"sec","n_queries":${med.size},"failed":${failedNames.size},"slowest":$slowest,"env":$env,"detail":$detailRef,"sf":"$sfDir"}""")
     System.out.flush()
-    } finally forcedProvider.foreach(_ =>
-      System.clearProperty(Tuning.STATE_STORE_FORCED_PROP))
+    } finally forcedProvider.foreach(_ => priorForced match {
+      case Some(v) => System.setProperty(Tuning.STATE_STORE_FORCED_PROP, v)
+      case None    => System.clearProperty(Tuning.STATE_STORE_FORCED_PROP)
+    })
   }
 }

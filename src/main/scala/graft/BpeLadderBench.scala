@@ -62,6 +62,12 @@ object BpeLadderBench {
           sum(size(split(col("seq"), " ")).cast("long")).as("n_symbols"))
         .collect()
       val secs = (System.nanoTime() - t0) / 1e9
+      // the O(1)-retention witness at THIS merge count (Round13Spec pins
+      // it at 5/25 merges; the ladder re-proves it wherever it runs,
+      // incl. the 32k production point): after m rounds only the final
+      // round's checkpoint survives — a census that grew with m would
+      // be the r12 defect back
+      val census = spark.sparkContext.getPersistentRDDs.size
       // release this ladder point's checkpoint blocks before the next
       // (the train path frees all but the final round itself; the
       // final round's blocks die here). NOT Cleanup.releaseAll — that
@@ -69,13 +75,14 @@ object BpeLadderBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.err.println(f"[bpe-ladder] merges=$m wall=$secs%.1fs " +
         f"per-round=${secs / m}%.3fs vocab=${row.getLong(0)} " +
-        f"symbols=${row.getLong(1)}")
-      (m, secs, row.getLong(0), row.getLong(1))
+        f"symbols=${row.getLong(1)} census=$census")
+      (m, secs, row.getLong(0), row.getLong(1), census)
     }
-    val json = points.map { case (m, secs, nw, ns) =>
+    val json = points.map { case (m, secs, nw, ns, census) =>
       s"""{"merges":$m,"wall_sec":${rn(secs, 2)},""" +
         s""""sec_per_round":${rn(secs / m, 4)},""" +
-        s""""vocab_rows":$nw,"final_symbols":$ns}"""
+        s""""vocab_rows":$nw,"final_symbols":$ns,""" +
+        s""""persisted_rdds_after":$census}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"bpe_merge_ladder","sf_dir":"$sfDir","points":$json}""")
     spark.stop()

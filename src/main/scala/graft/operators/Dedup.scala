@@ -87,6 +87,107 @@ object Dedup extends QueryModule {
         col("keep.n_chars").as("n_chars"))
       .orderBy("doc_id")
 
+  // ---- exact dedup, multilingual normalized key ------------------------
+
+  /** Exact dedup on the NORMALIZED multilingual key
+    * `md5(lower(nfc(text)))` — the production form of what
+    * `text_casefold_key` certifies as a key pipeline. Raw `md5(text)`
+    * ([[exactGroups]]) is byte-identity: a corpus holding the NFC and
+    * NFD spellings of the same title, or case variants of the same
+    * boilerplate, keeps every variant. Normalize FIRST (Spark has no
+    * built-in downstream NFC), fold second, hash third — so the shuffle
+    * still carries 16-byte digests, never document bodies, exactly like
+    * the raw-key path. At 100 TB the overwhelmingly-ASCII corpus pays
+    * one byte scan per row for `nfc` (identity fast path) and the JVM
+    * lower; only rows with a byte >= 0x80 pay Normalizer.
+    *
+    * The contract instance unions the planted
+    * [[TextAnalysis.LATIN_FOLD_DOCS]] (NFC/NFD + case variants inside
+    * the Latin class where the engines' case tables agree) so the green
+    * oracle row certifies actual collisions, not just ASCII identity.
+    * `lower()` is deliberately NOT full case folding: ß/STRASSE stay
+    * distinct keys in BOTH engines (the agreement worth keeping on the
+    * contract); the full-fold twin below is the spec-gated variant for
+    * the scripts where `lower()` is the wrong fold.
+    */
+  private def exactGroupsFold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = TextAnalysis.LATIN_FOLD_DOCS.toDF("doc_id", "text")
+    exactGroupsFoldOf(
+      documents(s, d).select(col("doc_id"), col("text")).unionByName(planted))
+  }
+
+  /** The lower(nfc) grouping over an arbitrary (doc_id, text) frame —
+    * shared by the contract query and the soundness spec's planted
+    * corpus.
+    */
+  private[graft] def exactGroupsFoldOf(df: DataFrame): DataFrame =
+    df.groupBy(md5(expr("lower(nfc(text))")).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+      .orderBy("h")
+
+  /** Spec-side digest twin of [[exactGroupsFoldOf]] keyed
+    * `md5(casefold(nfc(text)))` — ICU full case folding for the script
+    * classes where `lower()` is the wrong fold (ß→ss, position-stable
+    * sigma, dotted I). No DuckDB twin exists (its `lower()` is a simple
+    * per-codepoint map and it ships no fold function), so this variant
+    * is deliberately NOT on the contract: UnicodeFoldSpec /
+    * DedupSoundnessSpec pin its collision sets on planted docs instead.
+    */
+  private[graft] def exactGroupsCasefoldOf(df: DataFrame): DataFrame =
+    df.groupBy(md5(expr("casefold(nfc(text))")).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+      .orderBy("h")
+
+  private def exactGroupsFoldOracle: String = {
+    val values = TextAnalysis.LATIN_FOLD_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text))
+       |SELECT md5(lower(nfc_normalize(text))) AS h, count(*) AS n_dups,
+       |  min(doc_id) AS keeper
+       |FROM corpus GROUP BY 1 ORDER BY h""".stripMargin
+  }
+
+  /** Keep-first on the normalized key — the row-level operator a user
+    * actually runs to dedup a multilingual corpus: one keeper row per
+    * `md5(lower(nfc(text)))` group, min(struct) carried whole (the
+    * same partial-aggregatable shape as [[exactKeep]] — no window, so
+    * a boilerplate doc duplicated 10^9 times costs one partial per
+    * partition, not a single-task sort straggler).
+    */
+  private def exactKeepFold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = TextAnalysis.LATIN_FOLD_DOCS.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+    documents(s, d).select("doc_id", "text", "lang", "n_chars")
+      .unionByName(planted)
+      .groupBy(md5(expr("lower(nfc(text))")).as("h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_chars"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+        col("keep.n_chars").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def exactKeepFoldOracle: String = {
+    val values = TextAnalysis.LATIN_FOLD_DOCS
+      .map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '$t', 'xx', CAST(length('$t') AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, lang, n_chars FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text, lang, n_chars))
+       |SELECT doc_id, lang, n_chars FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    row_number() OVER (PARTITION BY md5(lower(nfc_normalize(text)))
+       |      ORDER BY doc_id) AS rn
+       |  FROM corpus)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   // ---- MinHash signature table (shared, computed once) ----------------
 
   /** (doc_id, shingles, sig: array<string> of K minhashes), persisted —
@@ -1380,7 +1481,9 @@ object Dedup extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> exactGroups _,
+    "dedup_exact_fold"    -> exactGroupsFold _,
     "dedup_exact_keep"    -> exactKeep _,
+    "dedup_exact_keep_fold" -> exactKeepFold _,
     "dedup_minhash_sig"   -> minhashSig _,
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_simhash"       -> simhash _,
@@ -1397,6 +1500,8 @@ object Dedup extends QueryModule {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "dedup_exact_fold"    -> exactGroupsFoldOracle,
+    "dedup_exact_keep_fold" -> exactKeepFoldOracle,
     "dedup_exact_keep" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,

@@ -236,9 +236,21 @@ object TextAnalysis extends QueryModule {
     * walks to position i) and 5× slower at sf0.1.
     */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .withColumn("norm",
-        expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"))
+    fingerprintOf(documents(s, d))
+
+  /** The fingerprint pipeline over an arbitrary (doc_id, text, ...)
+    * frame. Normalization is the FULL fold, `casefold(nfc(text))` — on
+    * the pure-lowercase-ASCII fixture corpus (Round12Spec pins it) this
+    * is byte-identical to the oracle's `lower(text)`, so the contract
+    * row stays oracle-gated; on real multilingual input it is the
+    * production-correct form (NFD composes before hashing, ß→ss
+    * survives the `[^a-z0-9]+` squeeze where `lower()`'s kept ß was
+    * stripped, every sigma spelling lands on one key) — spec-gated by
+    * UnicodeFoldSpec's planted docs because DuckDB ships no fold.
+    */
+  private[graft] def fingerprintOf(df: DataFrame): DataFrame =
+    df.withColumn("norm",
+        expr("trim(regexp_replace(casefold(nfc(text)), '[^a-z0-9]+', ' '))"))
       .select(col("doc_id"), md5(col("norm")).as("fp_norm"),
         org.apache.spark.sql.graft.TextColumns.minGramHash(col("norm"))
           .as("fp_min_gram"))

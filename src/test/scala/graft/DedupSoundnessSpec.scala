@@ -72,4 +72,54 @@ class DedupSoundnessSpec extends SparkSpec {
     assert(!p.keySet.exists(k => k._1 == 5L || k._2 == 5L),
       s"the unrelated doc must pair with nothing: $p")
   }
+
+  test("dedup_exact_fold collapses the planted NFC/NFD + case variants " +
+      "to one keeper each while raw dedup_exact keeps every spelling, " +
+      "and the lower-fold deliberately keeps Strasse/STRASSE distinct") {
+    // the PRODUCTION query: synthetic corpus + the LATIN_FOLD_DOCS it
+    // plants itself. keeper -> n_dups
+    val folded = operators.Dedup.queries("dedup_exact_fold")(spark, corpusDir)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    // four spellings of "café crème" (NFC/NFD × case) -> ONE group
+    assert(folded(-14L) == 4L,
+      s"cafe variants must share one normalized key: $folded")
+    // two spellings of "über müller" (NFC/NFD umlauts) -> ONE group
+    assert(folded(-16L) == 2L, s"umlaut variants must collapse: $folded")
+    // lower() is NOT full case folding: the sharp-s pair stays split —
+    // the engines AGREE on this, which is why it can sit on the contract
+    assert(folded(-17L) == 1L && folded(-18L) == 1L,
+      s"Straße/STRASSE must stay distinct under the lower fold: $folded")
+    // the synthetic identical pair still collapses (fold ⊇ identity)
+    assert(folded(1L) == 2L)
+    // raw byte-identity sees every planted spelling as distinct: the
+    // raw-key path groups the same 9 docs into 9 singleton keys
+    import spark.implicits._
+    val rawKeys = operators.TextAnalysis.LATIN_FOLD_DOCS
+      .toDF("doc_id", "text")
+      .select(md5(col("text")).as("h")).distinct().count()
+    assert(rawKeys == operators.TextAnalysis.LATIN_FOLD_DOCS.size.toLong,
+      "raw md5(text) must see one key per planted spelling")
+  }
+
+  test("the casefold(nfc) digest twin is the full fold: sharp-s joins " +
+      "STRASSE and every sigma spelling lands on one key — the variant " +
+      "kept OFF the contract because DuckDB ships no fold") {
+    import spark.implicits._
+    // \u escapes per the planting discipline: the bytes ARE the test
+    val greekUpper = "\u039f\u0394\u039f\u03a3" // capital ODOS
+    val greekLower = "\u03bf\u03b4\u03bf\u03c2" // final sigma
+    val greekMixed = "\u039f\u0394\u039f\u03c2" // capital + final sigma
+    val df = (operators.TextAnalysis.LATIN_FOLD_DOCS ++ Seq(
+      -21L -> greekUpper, -22L -> greekLower, -23L -> greekMixed))
+      .toDF("doc_id", "text")
+    val full = operators.Dedup.exactGroupsCasefoldOf(df)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    // everything the lower-fold merges still merges...
+    assert(full(-14L) == 4L && full(-16L) == 2L)
+    // ...plus the two folds lower() cannot do: ß→ss and sigma stability
+    assert(full(-18L) == 2L,
+      s"casefold must merge Straße with STRASSE: $full")
+    assert(full(-23L) == 3L,
+      s"all three sigma spellings must share one folded key: $full")
+  }
 }

@@ -41,12 +41,16 @@ class Round13Spec extends SparkSpec {
       assert(nSessions == rows.length, s"user $user session count")
       assert(nEvents == rows.map(_.getLong(2)).sum, s"user $user event count")
       // the twin emits per-session value sums as double; the rollup
-      // re-aggregates in decimal — reconcile at decimal(·,6) precision,
-      // the exactness boundary both paths share
+      // re-aggregates in decimal. Exact 6-dp equality would assume every
+      // double is within 5e-7 of its decimal — false once sums exceed
+      // ~3e9 (double ulp > 1e-6) — so reconcile with a per-session ulp
+      // budget: each of the n sessions may contribute one rounding ulp.
       val twinSum = rows.map(r => BigDecimal(r.getDouble(3))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
-      assert(BigDecimal(valueSum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        == twinSum, s"user $user value sum: $valueSum vs $twinSum")
+      val ulpBudget = rows.map(r => BigDecimal(math.ulp(r.getDouble(3)))).sum +
+        BigDecimal("0.000001") * rows.length
+      assert((BigDecimal(valueSum) - twinSum).abs <= ulpBudget,
+        s"user $user value sum: $valueSum vs $twinSum (budget $ulpBudget)")
       assert(first == rows.map(_.getLong(1)).min, s"user $user first start")
       assert(last == rows.map(_.getLong(1)).max, s"user $user last start")
     }

@@ -210,4 +210,35 @@ class UnicodeFoldSpec extends SparkSpec {
     assert(rows("turk")._1 == Some(istanbulFolded))
     assert(rows("null") == ((None, None)))
   }
+
+  test("casefold(nfc) in the PRODUCTION fingerprint path: sharp-s and " +
+      "NFD spellings now fingerprint-collide with their canonical " +
+      "forms, while ASCII rows keep the exact pre-fold fingerprint") {
+    import spark.implicits._
+    val ascii = "The Quick  Brown-Fox! 42"
+    val docs = Seq(
+      (-1L, strasseUpper), (-2L, strasseSharp),
+      (-6L, "menu " + cafeNfc), (-7L, "menu " + cafeNfd),
+      (-8L, ascii)).toDF("doc_id", "text")
+    val fp = operators.TextAnalysis.fingerprintOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // ß→ss survives the [^a-z0-9]+ squeeze where lower()'s kept ß was
+    // stripped: the two Strasse spellings now share BOTH fingerprints
+    assert(fp(-1L) == fp(-2L),
+      s"full fold must merge STRASSE with Straße: $fp")
+    // nfc() composes e+U+0301 before hashing: the NFD menu now matches
+    // the NFC menu (under plain lower() the mark was squeezed to a
+    // space, splitting 'cafe' vs 'caf' — different fingerprints)
+    assert(fp(-6L) == fp(-7L),
+      s"NFC pass must merge composed/decomposed spellings: $fp")
+    // ASCII identity: the fold changes nothing on the fixture class, so
+    // the contract row stays oracle-gated — pin the exact normalized
+    // bytes by recomputing the md5 the oracle's lower() form produces
+    val expectNorm = "the quick brown fox 42"
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectNorm.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(fp(-8L)._1 == expectMd5,
+      "ASCII fingerprint must equal the lower()-normalized md5 byte-for-byte")
+  }
 }

@@ -881,6 +881,83 @@ object TextAnalysis extends QueryModule {
        |FROM keyed GROUP BY k ORDER BY first_doc""".stripMargin
   }
 
+  // ---- statistical LM familiarity score --------------------------------
+
+  /** CCNet-style statistical quality score: each document scored by how
+    * familiar its word bigrams are to a bigram model trained on the
+    * corpus itself (the contract instance; a production pipeline points
+    * the model side at a curated reference corpus, same shape). The
+    * published recipe scores with LM log-perplexity; this operator uses
+    * the mean corpus-frequency of the document's bigrams instead —
+    * monotone in the same signal (rare-bigram documents score low) but
+    * built ONLY from exact integer sums and one final double division,
+    * so the score is bit-identical across engines (ln() is
+    * correctly-rounded nowhere; IEEE division is everywhere).
+    *
+    * Scale shape: the model is vocabulary-sized (bigram type count
+    * grows with the corpus), so the doc-bigram → model join is a
+    * shuffle join — but it shuffles a FIXED-WIDTH 16-hex md5 digest of
+    * the bigram, never the bigram text (the digest-not-content
+    * discipline of the dedup family; collision odds at 64 bits are
+    * negligible against 100 TB vocab sizes and identical in both
+    * engines by construction). Both aggregations are partial
+    * (map-side combine on digest / doc_id); the gram build itself is
+    * the codegen'd [[org.apache.spark.sql.graft.TextColumns.wordNGrams]]
+    * byte pass. Documents with fewer than two words carry no bigrams:
+    * they survive via the left join with n_bigrams = 0 and a NULL
+    * familiarity (never a 0/0).
+    */
+  private def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(documents(s, d))
+
+  /** The familiarity pipeline over an arbitrary (doc_id, lang, text)
+    * frame — the seam TextSoundnessSpec scores planted corpora through.
+    */
+  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.TextColumns
+          .wordNGrams(col("text"), 2)).as("bigram"))
+      // word_ngrams' short-input fallback emits the whole-doc join (a
+      // single word, or "" for wordless text) as one element; a true
+      // bigram always contains exactly one space, so this row filter is
+      // the exact twin of the oracle's CASE len(words) >= 2 branch
+      .filter(col("bigram").contains(" "))
+      .select(col("doc_id"), substring(md5(col("bigram")), 1, 16).as("bh"))
+    val model = bg.groupBy("bh").agg(count(lit(1)).as("cnt"))
+    val perDoc = bg.join(model, "bh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("fam_sum"))
+    docs.select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("fam_sum").cast("double") / col("n_bigrams")).as("familiarity"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("fam_sum"), lit(0L)).as("fam_sum"))
+      .select("doc_id", "lang", "n_bigrams", "fam_sum", "familiarity")
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreOracle =
+    s"""WITH $wordsCte,
+       |bg AS (
+       |  SELECT doc_id,
+       |    substr(md5(unnest(CASE WHEN len(words) >= 2
+       |      THEN list_transform(range(len(words)-1),
+       |        i -> words[i+1] || ' ' || words[i+2])
+       |      ELSE [] END)), 1, 16) AS bh
+       |  FROM docs),
+       |model AS (SELECT bh, count(*) AS cnt FROM bg GROUP BY bh),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(cnt)::BIGINT AS fam_sum
+       |  FROM bg JOIN model USING (bh) GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  coalesce(fam_sum, 0) AS fam_sum,
+       |  fam_sum::DOUBLE / n_bigrams AS familiarity
+       |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -899,6 +976,7 @@ object TextAnalysis extends QueryModule {
     "text_heavy_hitters"  -> heavyHitters _,
     "text_bpe_train"      -> bpeTrain _,
     "text_bpe_encode"     -> bpeEncode _,
+    "text_lm_score"       -> lmScore _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -923,5 +1001,6 @@ object TextAnalysis extends QueryModule {
     "text_bpe_train"      -> bpeTrainOracle,
     "text_bpe_encode"     -> bpeEncodeOracle,
     "text_casefold_key"   -> casefoldKeyOracle,
+    "text_lm_score"       -> lmScoreOracle,
   )
 }

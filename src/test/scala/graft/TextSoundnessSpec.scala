@@ -90,4 +90,35 @@ class TextSoundnessSpec extends SparkSpec {
     assert(rows(3L).isNullAt(3) && rows(3L).isNullAt(5),
       "wordless doc must yield NULL ratios and score")
   }
+
+  test("lm familiarity scores duplicated prose above a rare-bigram doc " +
+      "and NULLs the bigram-free docs, with exact integer accounting") {
+    import spark.implicits._
+    // docs 1/2 share every bigram (model count 2 each); doc 3's two
+    // bigrams are singletons; doc 4 has one word (word_ngrams' fallback
+    // emits a space-free element the filter must drop); doc 5 wordless
+    val planted = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "zq zx qv"),
+      (4L, "lonely"),
+      (5L, "1234 %$#@"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val rows = operators.TextAnalysis.lmScoreOf(planted)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 5 bigrams each, every one with model count 2 -> fam_sum 10
+    for (d <- Seq(1L, 2L)) {
+      assert(rows(d).getLong(2) == 5L && rows(d).getLong(3) == 10L &&
+        rows(d).getDouble(4) == 2.0, s"doc $d: ${rows(d)}")
+    }
+    assert(rows(3L).getLong(2) == 2L && rows(3L).getDouble(4) == 1.0,
+      s"rare-bigram doc must score the singleton floor: ${rows(3L)}")
+    assert(rows(1L).getDouble(4) > rows(3L).getDouble(4),
+      "duplicated prose must outscore the rare-bigram doc")
+    for (d <- Seq(4L, 5L)) {
+      assert(rows(d).getLong(2) == 0L && rows(d).getLong(3) == 0L &&
+        rows(d).isNullAt(4),
+        s"bigram-free doc $d must carry 0 counts and NULL familiarity: ${rows(d)}")
+    }
+  }
 }

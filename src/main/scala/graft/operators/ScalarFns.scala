@@ -373,6 +373,62 @@ object ScalarFns extends QueryModule {
 
   // ---- per-user statistical anomaly detection ---------------------------
 
+  // ---- last-touch attribution -------------------------------------------
+
+  /** Last-touch marketing attribution: every purchase's value is
+    * credited to the user's most recent PRECEDING touch event (click
+    * or view, strictly earlier in the per-user (ts, event_id) order;
+    * purchases with no prior touch credit 'direct'), then rolled up
+    * per channel. The product-analytics revenue-attribution workload.
+    *
+    * Determinism: the carry-forward orders by (ts, event_id) — a total
+    * order, since event_id is unique — so a touch sharing a purchase's
+    * timestamp attributes identically in both engines; attributed
+    * revenue uses the event family's exact decimal sum (order-
+    * independent, bit-identical double at the end).
+    *
+    * Scale shape: one shuffle on user_id + a per-user sort for the
+    * carry-forward window (the sessionization shape — bounded by a
+    * user's OWN event count, never by corpus size), then the channel
+    * rollup is a partial-aggregatable 3-group hash agg. Non-touch,
+    * non-purchase events flow through the window as NULLs (skipped by
+    * ignoreNulls, never resetting the carried touch) and are dropped
+    * by the purchase filter before the agg.
+    */
+  private def eventAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type").isin("click", "view"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct("user_id").as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("attributed_value"))
+      .orderBy("channel")
+  }
+
+  private val eventAttributionOracle =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, 'direct') AS channel,
+      |  count(*) AS n_purchases,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+      |FROM seq WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   /** Rounded-z cut: the comparison runs on the ROUNDED z in both
     * engines, so a value sitting exactly on the threshold cannot be
     * admitted by one engine's last-ulp and rejected by the other's.
@@ -472,6 +528,7 @@ object ScalarFns extends QueryModule {
     "fn_bitwise"       -> bitwiseFns _,
     "event_retention"  -> eventRetention _,
     "event_anomaly"    -> eventAnomaly _,
+    "event_attribution" -> eventAttribution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,6 +621,7 @@ object ScalarFns extends QueryModule {
     "fn_bitwise"    -> bitwiseOracle,
     "event_retention" -> eventRetentionOracle,
     "event_anomaly" -> eventAnomalyOracle,
+    "event_attribution" -> eventAttributionOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -151,4 +151,42 @@ class EventSoundnessSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) != 7L),
       "the zero-variance user must be excluded")
   }
+
+  test("event_attribution credits the LAST preceding touch, direct when " +
+      "none precedes, and never credits retroactively") {
+    // user 1: view(+0) -> click(+5) -> purchase(+10): LAST touch wins
+    //   (click, not the earlier view), then a later view(+20) must not
+    //   re-attribute anything;
+    // user 2: purchase(+1) with no prior touch -> direct; a click(+2)
+    //   AFTER it must not credit retroactively; second purchase(+3)
+    //   credits that click;
+    // user 3: click and purchase at the SAME ts — the (ts, event_id)
+    //   total order makes the smaller-event_id click "preceding";
+    // user 4: only an error event then a purchase -> non-touch events
+    //   never attribute (direct), and never RESET a carried touch
+    //   (user 1's error at +7 sits between click and purchase).
+    val dir = writeEvents(Seq(
+      (1L, at(0), 1L, "view", 1.0),
+      (2L, at(5), 1L, "click", 1.0),
+      (3L, at(7), 1L, "error", 9.0),
+      (4L, at(10), 1L, "purchase", 10.25),
+      (5L, at(20), 1L, "view", 1.0),
+      (6L, at(1), 2L, "purchase", 5.50),
+      (7L, at(2), 2L, "click", 1.0),
+      (8L, at(3), 2L, "purchase", 7.75),
+      (9L, at(30), 3L, "click", 1.0),
+      (10L, at(30), 3L, "purchase", 3.00),
+      (11L, at(4), 4L, "error", 1.0),
+      (12L, at(6), 4L, "purchase", 2.25)))
+    val got = operators.ScalarFns.queries("event_attribution")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      // user 1 (+10, click carried over the error) + user 2 (+3) +
+      // user 3 (same-ts click by event_id order)
+      "click" -> ((3L, 3L, 21.0)),
+      // user 2's first purchase + user 4 (error is not a touch)
+      "direct" -> ((2L, 2L, 7.75))), s"got $got")
+  }
 }

@@ -153,6 +153,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_lm_score shuffles digests, never bigram text, and its " +
+      "vocabulary-sized model side carries no broadcast hint") {
+    // the model (bigram type counts) is corpus-derived — billions of
+    // types at 100 TB — so a forced broadcast is the same
+    // dies-at-scale plan the tfidf pin guards against
+    val opt = SparkEntry.queries("text_lm_score")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val forced = opt.linesIterator
+      .filter(l => l.contains("Join") && l.contains("strategy=broadcast"))
+      .toList
+    assert(forced.isEmpty,
+      s"text_lm_score forces broadcast on a vocabulary-sized side:\n${forced.mkString("\n")}")
+    // digest-not-content: no exchange may carry the raw bigram column —
+    // every shuffle key/row downstream of the gram build is the 16-hex
+    // digest (bh) or (doc_id, longs)
+    // plan lines carry tree-drawing prefixes ("+- ", ":- "), so match
+    // by containment, not prefix
+    val exchanges = planOf("text_lm_score").linesIterator
+      .filter(_.contains("Exchange ")).toList
+    assert(exchanges.nonEmpty, "no exchanges found — test is mis-aimed")
+    exchanges.foreach(e => assert(!e.contains("bigram"),
+      s"an exchange carries raw bigram text:\n$e"))
+  }
+
+  test("event_attribution shuffles the full stream exactly once (the " +
+      "per-user carry-forward), never as a window over raw content") {
+    val plan = planOf("event_attribution")
+    // one hash exchange on user_id feeds the carry-forward window; the
+    // only other full-width exchanges are over the purchase-filtered
+    // slice (the channel rollup) and the 3-row final sort
+    val userExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("user_id"))
+      .toList
+    assert(userExchanges.size == 1,
+      s"expected exactly one per-user hash exchange, got ${userExchanges.size}:\n" +
+        userExchanges.mkString("\n"))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"carry-forward window missing:\n$plan")
+  }
+
   test("no batch query plans a CartesianProduct (except the cross join)") {
     // streams execute eagerly on construction and dedup_cc runs its
     // iterative loop — both are covered by their own specs; everything

@@ -429,6 +429,49 @@ object ScalarFns extends QueryModule {
       |FROM seq WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // ---- behavior path analysis ---------------------------------------------
+
+  /** Top-25 most common 3-step behavior paths: each user's event
+    * sequence in (ts, event_id) total order is windowed into
+    * overlapping event_type trigrams (`lead` ×2 over the per-user
+    * window), counted corpus-wide, ranked with a path tiebreak — the
+    * product-analytics path/flow-analysis workload (what do users do
+    * immediately before an error or a purchase). Everything is strings
+    * and exact counts: nothing engine-divergent anywhere.
+    *
+    * Scale shape: the same single user_id shuffle + bounded per-user
+    * sort as the attribution carry-forward, a partial-aggregatable
+    * path count (path cardinality is |event_types|³ = tiny, so the
+    * final agg is effectively map-side), and a bounded
+    * TakeOrderedAndProject top-k — no global sort, no content-wide
+    * exchange.
+    */
+  private def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(25)
+  }
+
+  private val eventPathsOracle =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
+
   /** Rounded-z cut: the comparison runs on the ROUNDED z in both
     * engines, so a value sitting exactly on the threshold cannot be
     * admitted by one engine's last-ulp and rejected by the other's.
@@ -529,6 +572,7 @@ object ScalarFns extends QueryModule {
     "event_retention"  -> eventRetention _,
     "event_anomaly"    -> eventAnomaly _,
     "event_attribution" -> eventAttribution _,
+    "event_paths"      -> eventPaths _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -622,6 +666,7 @@ object ScalarFns extends QueryModule {
     "event_retention" -> eventRetentionOracle,
     "event_anomaly" -> eventAnomalyOracle,
     "event_attribution" -> eventAttributionOracle,
+    "event_paths"   -> eventPathsOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -189,4 +189,28 @@ class EventSoundnessSpec extends SparkSpec {
       // user 2's first purchase + user 4 (error is not a touch)
       "direct" -> ((2L, 2L, 7.75))), s"got $got")
   }
+
+  test("event_paths builds OVERLAPPING per-user trigrams that never " +
+      "cross a user boundary, ranked with the path tiebreak") {
+    // user 1: view,click,purchase,view -> trigrams view>click>purchase
+    //   and click>purchase>view (overlap by two);
+    // user 2: click,view -> too short, no trigram, and its events must
+    //   NOT chain onto user 1's to fabricate one;
+    // user 3: view,click,purchase -> repeats user 1's first trigram
+    val dir = writeEvents(Seq(
+      (1L, at(0), 1L, "view", 1.0),
+      (2L, at(1), 1L, "click", 1.0),
+      (3L, at(2), 1L, "purchase", 1.0),
+      (4L, at(3), 1L, "view", 1.0),
+      (5L, at(0), 2L, "click", 1.0),
+      (6L, at(1), 2L, "view", 1.0),
+      (7L, at(0), 3L, "view", 1.0),
+      (8L, at(1), 3L, "click", 1.0),
+      (9L, at(2), 3L, "purchase", 1.0)))
+    val got = operators.ScalarFns.queries("event_paths")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(
+      "view>click>purchase" -> 2L,
+      "click>purchase>view" -> 1L), s"got $got")
+  }
 }

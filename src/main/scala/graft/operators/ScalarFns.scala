@@ -472,6 +472,51 @@ object ScalarFns extends QueryModule {
       |FROM seq WHERE e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
 
+  /** First-order Markov transition model over user behavior: adjacent
+    * event-type pairs in each user's (ts, event_id)-ordered sequence,
+    * counted corpus-wide, with the row-conditional transition
+    * probability `p = n / from_total`. The user-flow model behind
+    * next-action prediction and funnel drop-off analysis. Counts are
+    * exact longs; each probability is ONE IEEE division of two
+    * exactly-converted longs, so the doubles hash-match cross-engine
+    * (the text_lm_score construction).
+    *
+    * Scale shape: the shared per-user shuffle+sort spine
+    * (event_paths / event_attribution), a partial-aggregatable pair
+    * count whose cardinality is |event_types|² = 25, and a window over
+    * that 25-row aggregate for the per-source totals — the window
+    * input is the MODEL, not the corpus, so its sort is constant-size
+    * at any data scale.
+    */
+  private def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(wf).cast("double"))
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
+
+  private val eventTransitionsOracle =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS p
+      |FROM pairs ORDER BY from_type, to_type""".stripMargin
+
   /** Rounded-z cut: the comparison runs on the ROUNDED z in both
     * engines, so a value sitting exactly on the threshold cannot be
     * admitted by one engine's last-ulp and rejected by the other's.
@@ -573,6 +618,7 @@ object ScalarFns extends QueryModule {
     "event_anomaly"    -> eventAnomaly _,
     "event_attribution" -> eventAttribution _,
     "event_paths"      -> eventPaths _,
+    "event_transitions" -> eventTransitions _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -667,6 +713,7 @@ object ScalarFns extends QueryModule {
     "event_anomaly" -> eventAnomalyOracle,
     "event_attribution" -> eventAttributionOracle,
     "event_paths"   -> eventPathsOracle,
+    "event_transitions" -> eventTransitionsOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

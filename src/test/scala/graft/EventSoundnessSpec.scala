@@ -213,4 +213,33 @@ class EventSoundnessSpec extends SparkSpec {
       "view>click>purchase" -> 2L,
       "click>purchase>view" -> 1L), s"got $got")
   }
+
+  test("event_transitions counts adjacent pairs within a user only and " +
+      "emits exact row-conditional probabilities") {
+    // user 1: view,click,view,click -> view>click x2, click>view x1;
+    // user 2: click (alone) -> no pair, and its click must NOT chain
+    //   onto user 1's trailing click across the boundary;
+    // user 3: view,error -> view>error x1
+    val dir = writeEvents(Seq(
+      (1L, at(0), 1L, "view", 1.0),
+      (2L, at(1), 1L, "click", 1.0),
+      (3L, at(2), 1L, "view", 1.0),
+      (4L, at(3), 1L, "click", 1.0),
+      (5L, at(0), 2L, "click", 1.0),
+      (6L, at(0), 3L, "view", 1.0),
+      (7L, at(1), 3L, "error", 1.0)))
+    val got = operators.ScalarFns.queries("event_transitions")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("click", "view") -> ((1L, 1.0)),
+      ("view", "click") -> ((2L, 2.0 / 3.0)),
+      ("view", "error") -> ((1L, 1.0 / 3.0))), s"got $got")
+    // probabilities are row-conditional: they sum to 1 per from_type
+    got.groupBy(_._1._1).foreach { case (from, rows) =>
+      assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-15,
+        s"$from probabilities do not sum to 1")
+    }
+  }
 }

@@ -335,7 +335,13 @@ object ScalarFns extends QueryModule {
     * funnel costs three small hash aggregations at any scale (never a
     * per-user sort of the full history).
     */
-  private def eventFunnel(s: SparkSession, d: String): DataFrame = {
+  /** The strictly-ordered view → click → purchase per-user stage
+    * chain, shared by the row-level funnel and the conversion-rate
+    * report: each stage keeps a user's FIRST qualifying event that is
+    * strictly later than the prior stage's.
+    */
+  private def funnelStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ev = events(s, d).select("user_id", "event_type", "ts")
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("view_ts"))
@@ -346,12 +352,61 @@ object ScalarFns extends QueryModule {
       .filter(col("ts") > col("click_ts"))
       .groupBy("user_id").agg(min("ts").as("purchase_ts"),
         min("view_ts").as("view_ts"), min("click_ts").as("click_ts"))
+    (v, c, p)
+  }
+
+  private def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val (_, _, p) = funnelStages(s, d)
     p.select(col("user_id"),
         col("view_ts").cast("long").as("view_s"),
         col("click_ts").cast("long").as("click_s"),
         col("purchase_ts").cast("long").as("purchase_s"))
       .orderBy("user_id")
   }
+
+  /** The funnel REPORT: users reaching each stage plus the three
+    * conversion rates — what a dashboard renders from the row-level
+    * funnel. Counts are exact longs; each rate is one IEEE division
+    * of exactly-converted longs (cross-engine bit-identical). Each
+    * stage collapses to a 1-row count before the crossJoins, so the
+    * composition is three partial-aggregated counts and two
+    * broadcast-trivial 1-row joins at any scale.
+    */
+  private def eventFunnelConv(s: SparkSession, d: String): DataFrame = {
+    val (v, c, p) = funnelStages(s, d)
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        (col("n_click").cast("double") / col("n_view").cast("double"))
+          .as("view_to_click"),
+        (col("n_purchase").cast("double") / col("n_click").cast("double"))
+          .as("click_to_purchase"),
+        (col("n_purchase").cast("double") / col("n_view").cast("double"))
+          .as("view_to_purchase"))
+  }
+
+  private val eventFunnelConvOracle =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |n AS (
+      |  SELECT (SELECT count(*) FROM v) AS n_view,
+      |    (SELECT count(*) FROM c) AS n_click,
+      |    (SELECT count(*) FROM p) AS n_purchase)
+      |SELECT n_view, n_click, n_purchase,
+      |  n_click::DOUBLE / n_view::DOUBLE AS view_to_click,
+      |  n_purchase::DOUBLE / n_click::DOUBLE AS click_to_purchase,
+      |  n_purchase::DOUBLE / n_view::DOUBLE AS view_to_purchase
+      |FROM n""".stripMargin
 
   private val eventFunnelOracle =
     """WITH v AS (
@@ -619,6 +674,7 @@ object ScalarFns extends QueryModule {
     "event_attribution" -> eventAttribution _,
     "event_paths"      -> eventPaths _,
     "event_transitions" -> eventTransitions _,
+    "event_funnel_conv" -> eventFunnelConv _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -714,6 +770,7 @@ object ScalarFns extends QueryModule {
     "event_attribution" -> eventAttributionOracle,
     "event_paths"   -> eventPathsOracle,
     "event_transitions" -> eventTransitionsOracle,
+    "event_funnel_conv" -> eventFunnelConvOracle,
     "event_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -242,4 +242,27 @@ class EventSoundnessSpec extends SparkSpec {
         s"$from probabilities do not sum to 1")
     }
   }
+
+  test("event_funnel_conv reports exact stage counts and conversion " +
+      "rates from the strictly-ordered chain") {
+    // user 1: full chain; user 2: view only; user 3: view then click,
+    // no purchase; user 4: purchase BEFORE any view — reaches no stage
+    // (the strict ordering the row-level funnel spec already pins)
+    val dir = writeEvents(Seq(
+      (1L, at(0), 1L, "view", 1.0),
+      (2L, at(1), 1L, "click", 1.0),
+      (3L, at(2), 1L, "purchase", 1.0),
+      (4L, at(0), 2L, "view", 1.0),
+      (5L, at(0), 3L, "view", 1.0),
+      (6L, at(1), 3L, "click", 1.0),
+      (7L, at(0), 4L, "purchase", 1.0),
+      (8L, at(1), 4L, "view", 1.0)))
+    val r = operators.ScalarFns.queries("event_funnel_conv")(spark, dir)
+      .collect().head
+    // 4 viewers (user 4's view counts: stage 1 has no predecessor),
+    // 2 clickers, 1 purchaser
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1L)), r)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5 &&
+      r.getDouble(5) == 0.25, s"conversion rates wrong: $r")
+  }
 }

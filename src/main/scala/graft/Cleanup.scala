@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
 object Cleanup {
   def releaseAll(spark: SparkSession): Unit = {
     operators.Dedup.clearCaches()
+    operators.ScalarFns.clearCaches()
     operators.RelationalExt.clearCaches()
     operators.Similarity.clearCaches()
     operators.TrainingPipeline.clearCaches()

@@ -42,17 +42,35 @@ object Dedup extends QueryModule {
     * (bit-exact twin incl. the short-doc whole-text fallback; the
     * distinct over the fallback's single element is a no-op, so
     * distinct-everywhere equals the original distinct-in-branch).
+    *
+    * The shingle base is NORMALIZED text — `lower(nfc(text))`, the
+    * exact-dedup fold key ([[exactGroupsFoldOf]]) pushed down to the
+    * near-dup front-end. Raw-text shingling silently destroyed recall
+    * on real corpora: [[WordNGrams]] tokenizes maximal `[a-z]` runs, so
+    * an UPPERCASE letter was a DELIMITER — "The quick brown fox" and
+    * "the quick brown fox" shared ZERO shingles, and NFC/NFD spellings
+    * of the same word shingled differently. After the fold,
+    * case/normalization variants of near-duplicate prose land in the
+    * same LSH buckets (DedupSoundnessSpec plants exactly those
+    * variants and pins both the old miss and the new catch). Cost at
+    * 100 TB: ASCII rows pay one sign-bit scan for `nfc` (identity fast
+    * path) plus the JVM lower — the same premium the fold-key exact
+    * pair priced at ~0.6–0.9 s per 500k docs.
     */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("shingles",
       array_distinct(org.apache.spark.sql.graft.TextColumns
-        .wordNGrams(col("text"), 3)))
+        .wordNGrams(lower(org.apache.spark.sql.graft.TextColumns
+          .nfc(col("text"))), 3)))
 
-  /** DuckDB twin of [[withShingles]] as a CTE body. */
+  /** DuckDB twin of [[withShingles]] as a CTE body (`lower ∘
+    * nfc_normalize` is the proven oracle twin of Spark's
+    * `lower ∘ nfc` — the dedup_exact_fold recipe).
+    */
   private val shinglesCte =
     """docs AS (
       |  SELECT doc_id, lang,
-      |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS words
+      |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, lang,
@@ -511,9 +529,14 @@ object Dedup extends QueryModule {
     */
   private def simhashTable(s: SparkSession, d: String): DataFrame =
     shCache.computeIfAbsent((s, d), _ => {
+      // token base is the normalized fold — lower(nfc) — matching the
+      // shingle front-end: raw-text splitting made uppercase letters
+      // DELIMITERS, so case variants of near-dup prose fingerprinted
+      // apart (see withShingles)
       val ex = documents(s, d)
         .select(col("doc_id"),
-          explode(expr("filter(split(text, '[^a-z]+'), x -> x <> '')")).as("w"))
+          explode(expr(
+            "filter(split(lower(nfc(text)), '[^a-z]+'), x -> x <> '')")).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
         // the first 16 hex chars as two 32-bit chunks: one conv per
         // chunk, then each of the 64 bit counts is a shift+mask, not a
@@ -593,7 +616,7 @@ object Dedup extends QueryModule {
       .mkString("\n  UNION ALL\n  ")
     s"""WITH docs AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS words
+       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
        |  FROM documents),
        |sized AS (SELECT doc_id, words, len(words) AS size0 FROM docs),
        |fp AS (SELECT doc_id, $bits AS simhash64 FROM sized),
@@ -617,7 +640,7 @@ object Dedup extends QueryModule {
     val bits = simhashBitExprs("duckdb").mkString(" || ")
     s"""WITH docs AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS words
+       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
        |  FROM documents),
        |sized AS (SELECT doc_id, words, len(words) AS size0 FROM docs),
        |fp AS (SELECT doc_id, $bits AS simhash64 FROM sized)
@@ -1329,11 +1352,17 @@ object Dedup extends QueryModule {
     */
   private def subGramTable(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      // windows build over the NORMALIZED word stream — lower(nfc), the
+      // same fold as the shingle front-end: a capitalized copy of a
+      // license block must hit the lowercase original, and the cut side
+      // below tokenizes identically so span indices line up
       .withColumn("grams",
-        when(expr("size(filter(split(text, '[^a-z]+'), x -> x <> ''))")
+        when(expr(
+            "size(filter(split(lower(nfc(text)), '[^a-z]+'), x -> x <> ''))")
             >= SUB_GRAM,
           org.apache.spark.sql.graft.TextColumns.wordNGrams(
-            col("text"), SUB_GRAM))
+            lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text"))),
+            SUB_GRAM))
           .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
@@ -1402,7 +1431,7 @@ object Dedup extends QueryModule {
     val gram = (1 to SUB_GRAM).map(j => s"words[i+$j]").mkString(" || ' ' || ")
     s"""docs AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '') AS words
+       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, CASE WHEN len(words) >= $SUB_GRAM
@@ -1447,8 +1476,14 @@ object Dedup extends QueryModule {
       .agg(collect_list(struct(col("span_start").as("st"),
         col("span_end").as("en"))).as("spans"))
     documents(s, d)
+      // the cut operates on the same normalized word stream the spans
+      // were found over (indices must agree) — the manifest therefore
+      // describes the folded text; a pipeline splicing ORIGINAL bytes
+      // would map word indices back through an offset table, which is
+      // row-local bookkeeping, not a different distributed shape
       .select(col("doc_id"),
-        expr("filter(split(text, '[^a-z]+'), x -> x <> '')").as("words"))
+        expr("filter(split(lower(nfc(text)), '[^a-z]+'), x -> x <> '')")
+          .as("words"))
       .join(sp, Seq("doc_id"), "left")
       .withColumn("kept",
         when(col("spans").isNull, col("words"))

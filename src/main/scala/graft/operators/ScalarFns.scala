@@ -378,11 +378,18 @@ object ScalarFns extends QueryModule {
       .crossJoin(c.agg(count(lit(1)).as("n_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
-        (col("n_click").cast("double") / col("n_view").cast("double"))
+        // each rate NULLs out on an empty denominator stage (when/
+        // NULLIF twins): without the guard Spark emits Infinity/NaN
+        // while DuckDB's float-division-by-zero behavior is a setting —
+        // a latent oracle divergence on degenerate corpora
+        when(col("n_view") > 0,
+          col("n_click").cast("double") / col("n_view").cast("double"))
           .as("view_to_click"),
-        (col("n_purchase").cast("double") / col("n_click").cast("double"))
+        when(col("n_click") > 0,
+          col("n_purchase").cast("double") / col("n_click").cast("double"))
           .as("click_to_purchase"),
-        (col("n_purchase").cast("double") / col("n_view").cast("double"))
+        when(col("n_view") > 0,
+          col("n_purchase").cast("double") / col("n_view").cast("double"))
           .as("view_to_purchase"))
   }
 
@@ -403,9 +410,9 @@ object ScalarFns extends QueryModule {
       |    (SELECT count(*) FROM c) AS n_click,
       |    (SELECT count(*) FROM p) AS n_purchase)
       |SELECT n_view, n_click, n_purchase,
-      |  n_click::DOUBLE / n_view::DOUBLE AS view_to_click,
-      |  n_purchase::DOUBLE / n_click::DOUBLE AS click_to_purchase,
-      |  n_purchase::DOUBLE / n_view::DOUBLE AS view_to_purchase
+      |  n_click::DOUBLE / NULLIF(n_view, 0)::DOUBLE AS view_to_click,
+      |  n_purchase::DOUBLE / NULLIF(n_click, 0)::DOUBLE AS click_to_purchase,
+      |  n_purchase::DOUBLE / NULLIF(n_view, 0)::DOUBLE AS view_to_purchase
       |FROM n""".stripMargin
 
   private val eventFunnelOracle =
@@ -428,6 +435,51 @@ object ScalarFns extends QueryModule {
 
   // ---- per-user statistical anomaly detection ---------------------------
 
+  // ---- shared per-user event spine --------------------------------------
+
+  /** The (ts, event_id)-ordered per-user event spine, augmented with
+    * every window-derived column the sequence-analytics reports
+    * consume: `to1`/`to2` (the next one/two event types — the
+    * path/transition lookahead) and `touch` (the carried most-recent
+    * preceding click/view — the attribution carry-forward). Computed
+    * ONCE per (session, sfDir) and persisted, the Dedup signature-table
+    * discipline: attribution, paths, and transitions all window over
+    * the identical partitionBy(user_id).orderBy(ts, event_id) order,
+    * and because the three window columns share that partitioning and
+    * ordering Catalyst plans them into ONE WindowExec over ONE
+    * exchange+sort (the frames differ per column — two leads and an
+    * unbounded-preceding last — which the single sorted pass evaluates
+    * side by side). A daily pipeline runs all three reports over the
+    * same day's events: three full-stream shuffle+sorts vs one is a 3×
+    * ingest-cost difference at 100 TB. At cluster scale the spine is
+    * what a pipeline writes out partitioned by user_id and sorted
+    * within partitions; here it persists MEMORY_AND_DISK and the
+    * downstream reports are rollups whose group cardinality is
+    * model-sized (channels / |event_types|³ paths / |event_types|²
+    * transitions), so past the spine nothing re-sees the corpus.
+    */
+  private val spineCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val persisted = new graft.PersistRegistry
+  def clearCaches(): Unit = { spineCache.clear(); persisted.clear() }
+
+  private def eventSpine(s: SparkSession, d: String): DataFrame =
+    spineCache.computeIfAbsent((s, d), _ => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val wp = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      persisted.track(events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("to1", lead("event_type", 1).over(w))
+        .withColumn("to2", lead("event_type", 2).over(w))
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"),
+            col("event_type")), ignoreNulls = true).over(wp))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
   // ---- last-touch attribution -------------------------------------------
 
   /** Last-touch marketing attribution: every purchase's value is
@@ -442,24 +494,16 @@ object ScalarFns extends QueryModule {
     * revenue uses the event family's exact decimal sum (order-
     * independent, bit-identical double at the end).
     *
-    * Scale shape: one shuffle on user_id + a per-user sort for the
-    * carry-forward window (the sessionization shape — bounded by a
-    * user's OWN event count, never by corpus size), then the channel
-    * rollup is a partial-aggregatable 3-group hash agg. Non-touch,
-    * non-purchase events flow through the window as NULLs (skipped by
-    * ignoreNulls, never resetting the carried touch) and are dropped
-    * by the purchase filter before the agg.
+    * Scale shape: consumes the shared [[eventSpine]] (one user_id
+    * shuffle + per-user sort paid once for the whole report family —
+    * the carry-forward is the spine's `touch` column), then the
+    * channel rollup is a partial-aggregatable 3-group hash agg.
+    * Non-touch, non-purchase events flow through the spine window as
+    * NULLs (skipped by ignoreNulls, never resetting the carried touch)
+    * and are dropped by the purchase filter before the agg.
     */
-  private def eventAttribution(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"), col("value"))
-      .withColumn("touch",
-        last(when(col("event_type").isin("click", "view"),
-          col("event_type")), ignoreNulls = true).over(w))
+  private def eventAttribution(s: SparkSession, d: String): DataFrame =
+    eventSpine(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
       .agg(count(lit(1)).as("n_purchases"),
@@ -467,7 +511,6 @@ object ScalarFns extends QueryModule {
         sum(col("value").cast("decimal(18,6)")).cast("double")
           .as("attributed_value"))
       .orderBy("channel")
-  }
 
   private val eventAttributionOracle =
     """WITH seq AS (
@@ -494,27 +537,28 @@ object ScalarFns extends QueryModule {
     * immediately before an error or a purchase). Everything is strings
     * and exact counts: nothing engine-divergent anywhere.
     *
-    * Scale shape: the same single user_id shuffle + bounded per-user
-    * sort as the attribution carry-forward, a partial-aggregatable
-    * path count (path cardinality is |event_types|³ = tiny, so the
-    * final agg is effectively map-side), and a bounded
-    * TakeOrderedAndProject top-k — no global sort, no content-wide
-    * exchange.
+    * Scale shape: consumes the shared [[eventSpine]] (`to1`/`to2` are
+    * the spine's lookahead columns — the user_id shuffle + bounded
+    * per-user sort is paid once for the report family), a
+    * partial-aggregatable path count (path cardinality is
+    * |event_types|³ = tiny, so the final agg is effectively map-side),
+    * and a bounded TakeOrderedAndProject top-k — no global sort, no
+    * content-wide exchange.
+    *
+    * The path is built with NULL-PROPAGATING concat (not concat_ws,
+    * which silently skips NULL elements): a NULL event_type must group
+    * under the NULL path exactly as the oracle's `||` chain does, not
+    * shrink to a 2-part path.
     */
-  private def eventPaths(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    events(s, d).select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"))
-      .withColumn("e2", lead("event_type", 1).over(w))
-      .withColumn("e3", lead("event_type", 2).over(w))
-      .filter(col("e3").isNotNull)
-      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+  private def eventPaths(s: SparkSession, d: String): DataFrame =
+    eventSpine(s, d)
+      .filter(col("to2").isNotNull)
+      .select(concat(col("event_type"), lit(">"), col("to1"), lit(">"),
+        col("to2")).as("path"))
       .groupBy("path")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(25)
-  }
 
   private val eventPathsOracle =
     """WITH seq AS (
@@ -536,22 +580,19 @@ object ScalarFns extends QueryModule {
     * exactly-converted longs, so the doubles hash-match cross-engine
     * (the text_lm_score construction).
     *
-    * Scale shape: the shared per-user shuffle+sort spine
-    * (event_paths / event_attribution), a partial-aggregatable pair
-    * count whose cardinality is |event_types|² = 25, and a window over
-    * that 25-row aggregate for the per-source totals — the window
-    * input is the MODEL, not the corpus, so its sort is constant-size
-    * at any data scale.
+    * Scale shape: consumes the shared [[eventSpine]] (`to1` is the
+    * spine's one-step lookahead — the per-user shuffle+sort is paid
+    * once for the report family), a partial-aggregatable pair count
+    * whose cardinality is |event_types|² = 25, and a window over that
+    * 25-row aggregate for the per-source totals — the window input is
+    * the MODEL, not the corpus, so its sort is constant-size at any
+    * data scale.
     */
   private def eventTransitions(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
     val wf = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
-    events(s, d).select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"))
-      .withColumn("to_type", lead("event_type", 1).over(w))
-      .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+    eventSpine(s, d)
+      .filter(col("to1").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to1").as("to_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("p", col("n").cast("double") /
         sum("n").over(wf).cast("double"))

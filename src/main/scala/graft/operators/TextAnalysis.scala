@@ -898,9 +898,15 @@ object TextAnalysis extends QueryModule {
     * grows with the corpus), so the doc-bigram → model join is a
     * shuffle join — but it shuffles a FIXED-WIDTH 16-hex md5 digest of
     * the bigram, never the bigram text (the digest-not-content
-    * discipline of the dedup family; collision odds at 64 bits are
-    * negligible against 100 TB vocab sizes and identical in both
-    * engines by construction). Both aggregations are partial
+    * discipline of the dedup family). 64-bit truncation is CONSISTENT
+    * across engines by construction — both truncate identically, so
+    * the oracle compare cannot drift — but not collision-free at the
+    * extreme: by the birthday bound collisions become likely around a
+    * few billion bigram TYPES, where colliding bigrams silently merge
+    * their counts (a bounded statistical smear on a frequency model,
+    * not a correctness break; a pipeline at billion-type vocabularies
+    * should widen to the full 32-hex digest — still fixed-width, same
+    * shape). Both aggregations are partial
     * (map-side combine on digest / doc_id); the gram build itself is
     * the codegen'd [[org.apache.spark.sql.graft.TextColumns.wordNGrams]]
     * byte pass. Documents with fewer than two words carry no bigrams:

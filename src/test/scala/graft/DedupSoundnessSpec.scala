@@ -122,4 +122,68 @@ class DedupSoundnessSpec extends SparkSpec {
     assert(full(-23L) == 3L,
       s"all three sigma spellings must share one folded key: $full")
   }
+
+  // ---- normalized near-dup front-end (round 15) -----------------------
+
+  // Title-case / NFD near-dup variants: under the OLD raw-text shingle
+  // base these shared ZERO shingles ([a-z] runs make uppercase letters
+  // DELIMITERS, and NFD accents split words where NFC ones end them);
+  // the normalized lower(nfc) front-end must catch both.
+  private val ndBase = words("th").mkString(" ")
+  private val ndTitle = // capitalized + one word changed: near, not exact
+    words("th").updated(20, "changed").map(_.capitalize).mkString(" ")
+  private val accWords = (0 until 40).map(i =>
+    s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}\u00e9x") // NFC e-acute inside
+  private val ndNfc = accWords.mkString(" ")
+  private val ndNfd = accWords.updated(20, "changed")
+    .map(_.replace("\u00e9", "e\u0301")).mkString(" ") // NFD spelling
+
+  private lazy val foldCorpusDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_fold_")
+    import spark.implicits._
+    Seq((10L, ndBase), (11L, ndTitle), (12L, ndNfc), (13L, ndNfd),
+        (14L, loner))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synthetic").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("raw-text shingling provably misses the capitalized and NFD " +
+      "near-dup variants (zero shared shingles) — the defect the " +
+      "normalized front-end exists to fix") {
+    import spark.implicits._
+    val rawShingles = Seq((10L, ndBase), (11L, ndTitle), (12L, ndNfc),
+        (13L, ndNfd)).toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(
+        org.apache.spark.sql.graft.TextColumns.wordNGrams(col("text"), 3))
+        .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(rawShingles(10L).intersect(rawShingles(11L)).isEmpty,
+      "title-cased copy must share zero RAW shingles with its original")
+    assert(rawShingles(12L).intersect(rawShingles(13L)).isEmpty,
+      "NFD copy must share zero RAW shingles with its NFC original")
+  }
+
+  test("the normalized front-end catches both planted variant pairs " +
+      "through the production minhash/simhash queries") {
+    val mh = operators.Dedup.queries("dedup_minhash_pairs")(spark, foldCorpusDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(mh.get((10L, 11L)).exists(_ >= 0.5),
+      s"capitalized near-dup must survive LSH + the 0.5 cut: $mh")
+    assert(mh.get((12L, 13L)).exists(_ >= 0.5),
+      s"NFD near-dup must survive LSH + the 0.5 cut: $mh")
+    assert(!mh.keySet.exists(k => k._1 == 14L || k._2 == 14L),
+      s"the unrelated doc must pair with nothing: $mh")
+    val sh = operators.Dedup.queries("dedup_simhash_pairs")(spark, foldCorpusDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2).toString.toDouble)
+      .toMap
+    assert(sh.get((10L, 11L)).exists(_ <= 8.0),
+      s"capitalized near-dup must land within the simhash 8-bit cut: $sh")
+    assert(sh.get((12L, 13L)).exists(_ <= 8.0),
+      s"NFD near-dup must land within the simhash 8-bit cut: $sh")
+  }
 }

@@ -663,8 +663,14 @@ object TextAnalysis extends QueryModule {
     * BPE_LADDER.json), because live state per round is exactly one
     * checkpointed vocab plus one 1-row local result.
     */
+  /** @return (learned-merge rows as a local relation, final vocab
+    *         frame, learned merge pairs in rank order — already
+    *         driver-local from the per-round argmax sink, so exposing
+    *         them adds no driver traffic; the rank-indexed encoder
+    *         consumes them as its merge table)
+    */
   private[graft] def bpeRounds(s: SparkSession, d: String,
-      merges: Int = BPE_MERGES): (DataFrame, DataFrame) = {
+      merges: Int = BPE_MERGES): (DataFrame, DataFrame, Seq[(String, String)]) = {
     val seed = withWords(documents(s, d))
       .select(explode(col("words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -728,7 +734,8 @@ object TextAnalysis extends QueryModule {
       org.apache.spark.sql.types.StructField("n",
         org.apache.spark.sql.types.LongType, nullable = false)))
     import scala.jdk.CollectionConverters._
-    (s.createDataFrame(won.toSeq.asJava, schema), vocab)
+    (s.createDataFrame(won.toSeq.asJava, schema), vocab,
+      won.toSeq.map(r => (r.getString(1), r.getString(2))))
   }
 
   private def bpeTrain(s: SparkSession, d: String): DataFrame =
@@ -751,6 +758,41 @@ object TextAnalysis extends QueryModule {
         sum(size(split(col("seq"), " ")).cast("long") * col("freq"))
           .as("tok_after"))
       .orderBy("initial")
+
+  /** The PRODUCTION apply path: the same learned merges, applied by the
+    * rank-indexed greedy encoder
+    * ([[org.apache.spark.sql.graft.BpeRankEncode]]) instead of replay.
+    * Replay re-derives each merge as a corpus-vocab-wide rewrite round
+    * — O(merges) jobs per pass, ~28 min at a 32k-merge production
+    * vocab at the measured 0.05 s/round constant, regardless of corpus
+    * size — where the rank encoder hashes the merge list once and
+    * encodes each word by repeatedly merging its lowest-ranked
+    * adjacent pair: one codegen'd scan stage, cost independent of
+    * merge-list length. Greedy-by-rank ≡ sequential replay (a merge
+    * only creates pairs involving its output symbol, whose consuming
+    * rules are strictly later-ranked — see the BpeEncoder scaladoc),
+    * so this query's oracle IS the replay oracle: the green row
+    * re-proves the encoder identity on the real corpus every run.
+    *
+    * The aggregation mirrors [[bpeEncode]] (same schema, same
+    * initial-bucketed compression report) so the two rows certify the
+    * same numbers through two different execution strategies.
+    */
+  private def bpeEncodeRank(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeRounds(s, d)._3
+    withWords(documents(s, d))
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", org.apache.spark.sql.graft.BpeColumns
+        .bpeRankEncode(col("word"), merges))
+      .groupBy(substring(col("word"), 1, 1).as("initial"))
+      .agg(count(lit(1)).as("n_words"),
+        sum((length(col("word")) + 1).cast("long") * col("freq"))
+          .as("tok_before"),
+        sum(size(split(col("seq"), " ")).cast("long") * col("freq"))
+          .as("tok_after"))
+      .orderBy("initial")
+  }
 
   /** Identical recurrence, rounds unrolled as CTEs; `b$k` is the 1-row
     * argmax each round and the rewrite uses it via scalar subqueries.
@@ -982,6 +1024,7 @@ object TextAnalysis extends QueryModule {
     "text_heavy_hitters"  -> heavyHitters _,
     "text_bpe_train"      -> bpeTrain _,
     "text_bpe_encode"     -> bpeEncode _,
+    "text_bpe_encode_rank" -> bpeEncodeRank _,
     "text_lm_score"       -> lmScore _,
   )
 
@@ -1006,6 +1049,7 @@ object TextAnalysis extends QueryModule {
     "text_heavy_hitters"  -> heavyHittersOracle,
     "text_bpe_train"      -> bpeTrainOracle,
     "text_bpe_encode"     -> bpeEncodeOracle,
+    "text_bpe_encode_rank" -> bpeEncodeOracle,
     "text_casefold_key"   -> casefoldKeyOracle,
     "text_lm_score"       -> lmScoreOracle,
   )

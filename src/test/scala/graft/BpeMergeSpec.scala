@@ -90,4 +90,43 @@ class BpeMergeSpec extends SparkSpec {
       assert(p._5 >= q._5, s"argmax count increased: $p -> $q")
     }
   }
+
+  // ---- rank-indexed encoder ≡ sequential replay (round 15) ------------
+
+  test("rank-indexed greedy encode equals replay on the planted chain " +
+      "corpora (the overlapping-run edge cases) and on the fixture") {
+    // the chain word: greedy must land on ONE symbol exactly as the
+    // two-pass boundary replace does, including the odd-length run
+    // where a trailing singleton survives round 1
+    for (docs <- Seq(Seq("aaaa"), Seq("aaa"), Seq("aaaaa"),
+        Seq.fill(5)("xyxy") ++ Seq.fill(3)("zq"))) {
+      val dir = corpusOf(docs)
+      val replay = operators.TextAnalysis.queries("text_bpe_encode")(
+        spark, dir).collect().map(_.toSeq).toSeq
+      val ranked = operators.TextAnalysis.queries("text_bpe_encode_rank")(
+        spark, dir).collect().map(_.toSeq).toSeq
+      assert(ranked == replay,
+        s"encoder strategies diverged on $docs:\n replay=$replay\n ranked=$ranked")
+    }
+    val replayF = operators.TextAnalysis.queries("text_bpe_encode")(
+      spark, sfDir).collect().map(_.toSeq).toSeq
+    val rankedF = operators.TextAnalysis.queries("text_bpe_encode_rank")(
+      spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(rankedF == replayF, "encoder strategies diverged on the fixture")
+  }
+
+  test("BpeEncoder unit semantics: greedy merge order, memo-backed " +
+      "whole-text counting, and unknown symbols surviving untouched") {
+    val enc = new org.apache.spark.sql.graft.BpeEncoder(Array(
+      ("a", "a"), ("aa", "</w>"), ("aa", "aa</w>")))
+    assert(enc.encodeWord("aaaa").toSeq == Seq("aaaa</w>"))
+    assert(enc.encodeWord("aaa").toSeq == Seq("aa", "a", "</w>"))
+    assert(enc.encodeWord("b").toSeq == Seq("b", "</w>"))
+    // countText tokenizes [a-z] runs exactly like the trainer's seed:
+    // 'aaaa' -> 1 token, 'b' -> 2, uppercase/punct are delimiters
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(enc.countText(UTF8String.fromString("aaaa b AAAA, aaaa!")) ==
+      1L + 2L + 1L)
+    assert(enc.countText(UTF8String.fromString("")) == 0L)
+  }
 }

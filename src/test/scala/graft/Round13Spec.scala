@@ -61,7 +61,7 @@ class Round13Spec extends SparkSpec {
     def census: Int = spark.sparkContext.getPersistentRDDs.size
     def trainDelta(merges: Int): Int = {
       val before = census
-      val (bests, vocab) = operators.TextAnalysis.bpeRounds(spark, sfDir, merges)
+      val (bests, vocab, _) = operators.TextAnalysis.bpeRounds(spark, sfDir, merges)
       // force both outputs the way the contract queries do
       assert(bests.count() >= 0)
       assert(vocab.agg(count(lit(1))).collect().head.getLong(0) > 0)

@@ -38,10 +38,15 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         # driver fixtures are single files; locally derived ones (ScaleUp)
-        # are Spark-written directories of part files
+        # are Spark-written directories of part files. ScaleUp fixtures
+        # are PARTIAL (e.g. sf100es carries only events) - register the
+        # tables that exist and let a query touching a missing one fail
+        # at its own row instead of killing the whole run at setup
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )

@@ -833,6 +833,45 @@ object TextAnalysis extends QueryModule {
        |    rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
        |  FROM (SELECT unnest(words) AS word FROM docs) GROUP BY word)""".stripMargin
 
+  /** Per-document BPE token counts under the contract vocab — the
+    * corpus-pass shape of the rank encoder: ONE codegen'd
+    * `bpe_rank_count(text)` call per document (tokenize + greedy
+    * merge + sum inside the scan stage; no explode, no join, no
+    * shuffle before the terminal sort). This is what a pipeline runs
+    * per corpus pass to budget sequence packing, and it puts the
+    * whole-text entry point of the encoder under the oracle gate —
+    * [[bpeEncodeRank]] certifies the per-WORD path; this certifies
+    * the tokenize-and-sum composition. The oracle replays the same
+    * ten merges, joins each document's words to the final vocab's
+    * symbol counts, and sums per document — wordless docs come
+    * through the left join as 0, matching the encoder's empty scan.
+    *
+    * At a production vocab the per-doc cost is flat in merge count
+    * (BPE_ENCODE.json: ~1 µs/doc at both 10 and 32,768 trained
+    * rounds), so the query's scale shape is exactly the corpus scan.
+    */
+  private def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeRounds(s, d)._3
+    documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.BpeColumns
+          .bpeRankCount(col("text"), merges).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  private def bpeDocTokensOracle: String =
+    s"""WITH $bpeSeedCte,
+       |${bpeRoundsCte(emitLast = true)},
+       |dw AS (SELECT doc_id, unnest(words) AS word FROM docs),
+       |enc AS (
+       |  SELECT word, len(string_split(seq, ' '))::BIGINT AS n
+       |  FROM v$BPE_MERGES)
+       |SELECT d.doc_id, coalesce(sum(enc.n), 0)::BIGINT AS n_bpe
+       |FROM documents d
+       |LEFT JOIN dw ON d.doc_id = dw.doc_id
+       |LEFT JOIN enc ON dw.word = enc.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   private def bpeTrainOracle: String = {
     val out = (1 to BPE_MERGES).map { k =>
       s"""SELECT $k AS merge_rank, a AS pa, b AS pb, a||b AS merged,
@@ -1025,6 +1064,7 @@ object TextAnalysis extends QueryModule {
     "text_bpe_train"      -> bpeTrain _,
     "text_bpe_encode"     -> bpeEncode _,
     "text_bpe_encode_rank" -> bpeEncodeRank _,
+    "text_bpe_doc_tokens" -> bpeDocTokens _,
     "text_lm_score"       -> lmScore _,
   )
 
@@ -1050,6 +1090,7 @@ object TextAnalysis extends QueryModule {
     "text_bpe_train"      -> bpeTrainOracle,
     "text_bpe_encode"     -> bpeEncodeOracle,
     "text_bpe_encode_rank" -> bpeEncodeOracle,
+    "text_bpe_doc_tokens" -> bpeDocTokensOracle,
     "text_casefold_key"   -> casefoldKeyOracle,
     "text_lm_score"       -> lmScoreOracle,
   )

@@ -256,6 +256,24 @@ object Dedup extends QueryModule {
         array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
   }
 
+  /** Full-fold twin of the signature front-end, keyed
+    * `casefold(nfc(text))` — ICU full case folding for the script
+    * classes where `lower()` is the wrong fold (ß→ss, position-stable
+    * sigma, dotted I), mirroring the exact-dedup pair
+    * [[exactGroupsFoldOf]]/[[exactGroupsCasefoldOf]] one layer down.
+    * Deliberately NOT on the contract (DuckDB ships no fold function,
+    * so no oracle twin exists); UnicodeFoldSpec pins its planted
+    * collision behavior — sharp-s near-dups shingle together here and
+    * provably NOT under the lower fold.
+    */
+  private[graft] def signaturesCasefold(docs: DataFrame): DataFrame =
+    sigOf(docs.withColumn("shingles",
+      array_distinct(org.apache.spark.sql.graft.TextColumns
+        .wordNGrams(org.apache.spark.sql.graft.TextColumns
+          .casefold(org.apache.spark.sql.graft.TextColumns
+            .nfc(col("text"))), 3)))
+      .select("doc_id", "shingles"))
+
   /** MinHash signatures for an arbitrary `(doc_id, text, ...)` frame —
     * the corpus-agnostic core of the memoized signature table, and what
     * an incremental pipeline runs over each NEW batch before

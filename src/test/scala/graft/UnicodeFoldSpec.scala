@@ -241,4 +241,29 @@ class UnicodeFoldSpec extends SparkSpec {
     assert(fp(-8L)._1 == expectMd5,
       "ASCII fingerprint must equal the lower()-normalized md5 byte-for-byte")
   }
+
+  test("the casefold(nfc) signature twin folds sharp-s near-dups into " +
+      "identical minhash signatures where the contract's lower fold " +
+      "provably keeps them apart (round 15)") {
+    import spark.implicits._
+    // near-dup pair: the same 12-word sentence spelled with sharp-s vs
+    // uppercase SS inside one word. Under lower(nfc) the folded words
+    // differ (straße vs strasse -> different [a-z] runs), so every
+    // 3-shingle containing that word differs; under casefold(nfc) the
+    // two spellings are byte-identical, so ALL shingles - and hence the
+    // K minhashes - agree.
+    val base = (1 to 12).map(i => s"wort$i").toVector
+    val withSharp = base.updated(5, "straße").mkString(" ")
+    val withUpper = base.updated(5, "STRASSE").mkString(" ")
+    val docs = Seq((1L, withSharp), (2L, withUpper)).toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    val folded = sigs(operators.Dedup.signaturesCasefold(docs))
+    assert(folded(1L) == folded(2L),
+      s"casefold shingles must make the pair minhash-identical: $folded")
+    val lowered = sigs(operators.Dedup.signatures(docs))
+    assert(lowered(1L) != lowered(2L),
+      "the lower fold must NOT merge the sharp-s pair - if it does, " +
+      "the casefold twin is redundant and this pin is stale")
+  }
 }

@@ -265,4 +265,27 @@ class EventSoundnessSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5 &&
       r.getDouble(5) == 0.25, s"conversion rates wrong: $r")
   }
+
+  test("event_paths NULL-propagates a NULL event_type into a NULL path " +
+      "(the oracle's || semantics), never a shrunken 2-part path") {
+    // user 1: v,c,p,NULL,v,c,p. Windows whose THIRD element is the
+    // NULL-typed event are dropped by the to2 filter in BOTH engines;
+    // windows where it sits FIRST or SECOND survive and must group
+    // under the NULL path (concat_ws would silently emit 'purchase>view'
+    // / 'view>click' 2-part paths here - the latent divergence this pins)
+    val dir = writeEvents(Seq(
+      (1L, at(0), 1L, "view", 0),
+      (2L, at(1), 1L, "click", 0),
+      (3L, at(2), 1L, "purchase", 0),
+      (4L, at(3), 1L, null, 0),
+      (5L, at(4), 1L, "view", 0),
+      (6L, at(5), 1L, "click", 0),
+      (7L, at(6), 1L, "purchase", 0)))
+    val rows = operators.ScalarFns.queries("event_paths")(spark, dir)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0)) -> r.getLong(1))
+      .toMap
+    assert(rows == Map("view>click>purchase" -> 2L, "<null>" -> 2L),
+      s"NULL event_type must yield NULL paths, got $rows")
+  }
 }

@@ -446,10 +446,11 @@ object ScalarFns extends QueryModule {
     * discipline: attribution, paths, and transitions all window over
     * the identical partitionBy(user_id).orderBy(ts, event_id) order,
     * and because the three window columns share that partitioning and
-    * ordering Catalyst plans them into ONE WindowExec over ONE
-    * exchange+sort (the frames differ per column — two leads and an
-    * unbounded-preceding last — which the single sorted pass evaluates
-    * side by side). A daily pipeline runs all three reports over the
+    * ordering Catalyst plans them over ONE exchange + ONE sort (the
+    * offset-frame leads and the unbounded-preceding last group into
+    * two adjacent Window nodes by frame class, but the second requires
+    * no new exchange or sort — PlanShapeSpec pins the
+    * one-exchange/one-sort/two-window shape). A daily pipeline runs all three reports over the
     * same day's events: three full-stream shuffle+sorts vs one is a 3×
     * ingest-cost difference at 100 TB. At cluster scale the spine is
     * what a pipeline writes out partitioned by user_id and sorted

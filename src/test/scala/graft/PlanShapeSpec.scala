@@ -177,23 +177,66 @@ class PlanShapeSpec extends SparkSpec {
       s"an exchange carries raw bigram text:\n$e"))
   }
 
+  /** Plans under a materialized cache print the InMemoryRelation's
+    * physical plan TWICE ("== Final Plan ==" + "== Initial Plan ==");
+    * keep the final section only so line counting is not doubled.
+    */
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==")(0)
+
   test("event_attribution shuffles the full stream exactly once (the " +
-      "per-user carry-forward), never as a window over raw content") {
-    val plan = planOf("event_attribution")
-    // one hash exchange on user_id feeds the carry-forward window; the
-    // only other full-width exchanges are over the purchase-filtered
-    // slice (the channel rollup) and the 3-row final sort
-    val userExchanges = plan.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning") &&
-        l.contains("user_id"))
+      "spine's per-user exchange), never as a window over raw content") {
+    // deterministic COLD spine: another suite (or test order) may have
+    // materialized it for this (session, sfDir) already
+    operators.ScalarFns.clearCaches()
+    val plan = finalSection(planOf("event_attribution"))
+    // exactly one full-stream hash exchange keyed on user_id alone (the
+    // spine's); the channel rollup's exchange is over the purchase-
+    // filtered slice and carries the grouping expression too
+    val spineExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(user_id"))
       .toList
-    assert(userExchanges.size == 1,
-      s"expected exactly one per-user hash exchange, got ${userExchanges.size}:\n" +
-        userExchanges.mkString("\n"))
-    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+    assert(spineExchanges.size == 1,
+      s"expected exactly one per-user hash exchange, got ${spineExchanges.size}:\n" +
+        spineExchanges.mkString("\n"))
+    assert(plan.contains("windowspecdefinition"),
       s"carry-forward window missing:\n$plan")
   }
 
+  test("the event spine plans ONE exchange + ONE sort feeding its " +
+      "frame-grouped window pair, and warm reports add no window work " +
+      "of their own") {
+    operators.ScalarFns.clearCaches()
+    val cold = finalSection(planOf("event_paths"))
+    // one exchange + one per-user sort serve BOTH window nodes (Spark
+    // groups the offset-frame leads and the running last into two
+    // Window operators over the SAME partitioning/ordering - the
+    // second requires no new exchange or sort)
+    assert(cold.linesIterator.count(
+      _.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"spine must shuffle the stream exactly once:\n$cold")
+    assert(cold.linesIterator.count(_.contains("Sort [user_id")) == 1,
+      s"spine must sort each partition exactly once:\n$cold")
+    assert(cold.linesIterator.count(_.contains("windowspecdefinition")) == 2,
+      s"expected the lead pair + carry-forward as two frame-grouped " +
+        s"window nodes over one sort:\n$cold")
+    // materialize through one consumer; the OTHER reports must then
+    // read the cache and do no per-user exchange/sort/window of their own
+    SparkEntry.queries("event_attribution")(spark, sfDir).collect()
+    for (name <- Seq("event_paths", "event_transitions")) {
+      val warm = finalSection(planOf(name))
+      assert(warm.contains("InMemoryTableScan"),
+        s"$name does not read the cached spine:\n$warm")
+      val outside = warm.split("InMemoryRelation")(0)
+      assert(!outside.contains("Exchange hashpartitioning(user_id"),
+        s"$name re-shuffles on user_id above the cached spine:\n$warm")
+      // transitions legitimately windows over its 25-row MODEL
+      // aggregate (per-from_type totals); what must never reappear
+      // above the cache is a PER-USER window over the corpus
+      assert(!outside.contains("windowspecdefinition(user_id"),
+        s"$name re-windows the corpus per user above the cached spine:\n$warm")
+    }
+  }
   test("no batch query plans a CartesianProduct (except the cross join)") {
     // streams execute eagerly on construction and dedup_cc runs its
     // iterative loop — both are covered by their own specs; everything

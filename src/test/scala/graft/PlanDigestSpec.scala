@@ -28,7 +28,13 @@ class PlanDigestSpec extends SparkSpec {
   }
 
   private def freshCacheState(): Unit = {
+    // EVERY module memo must reset here: catalog.clearCache() drops the
+    // CacheManager entries, and a module memo still holding a frame
+    // whose cache registration was just dropped digests as the raw
+    // (uncached) plan — exactly the order-dependent divergence the
+    // round-15 spine memo exposed when a prior suite had built it
     operators.Dedup.clearCaches()
+    operators.ScalarFns.clearCaches()
     operators.RelationalExt.clearCaches()
     operators.Similarity.clearCaches()
     operators.TrainingPipeline.clearCaches()

@@ -151,6 +151,48 @@ object TrainingPipeline extends QueryModule {
        |FROM train JOIN bench ON train.gram = bench.gram
        |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin
 
+  /** The APPLY path of [[decontaminate]]: drop every flagged training
+    * document and emit the retained-corpus manifest — what a pipeline
+    * actually trains on after the report. Reuses the memoized gram
+    * table (same materialization tag), so running report + cut in one
+    * session pays the gram build once; the cut itself is the broadcast
+    * hit-join again plus one anti-join keyed on doc_id (a long per
+    * flagged doc crosses the wire, never text). Same shapes at 100 TB:
+    * the benchmark index broadcasts, the flagged set is corpus-derived
+    * but id-only.
+    */
+  private def decontaminateCut(s: SparkSession, d: String): DataFrame = {
+    val g = materialized(s, d, "decon_grams")(
+      withGrams(documents(s, d)).select("doc_id", "grams"))
+    val bench = g.filter(col("doc_id") % DECON_MOD === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val flagged = g.filter(col("doc_id") % DECON_MOD =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .select("doc_id").distinct()
+    documents(s, d).filter(col("doc_id") % DECON_MOD =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def decontaminateCutOracle: String =
+    s"""WITH $wordsCte,
+       |$gramsCte,
+       |bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $DECON_MOD = 0),
+       |train AS (
+       |  SELECT doc_id, unnest(grams) AS gram
+       |  FROM g WHERE doc_id % $DECON_MOD <> 0),
+       |flagged AS (
+       |  SELECT DISTINCT train.doc_id FROM train
+       |  JOIN bench ON train.gram = bench.gram)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % $DECON_MOD <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- sequence packing ------------------------------------------------
 
   private val PACK_BUDGET = 512L // tokens per training sequence
@@ -585,6 +627,7 @@ object TrainingPipeline extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_decontaminate"  -> decontaminate _,
+    "pipe_decontaminate_cut" -> decontaminateCut _,
     "pipe_pack"           -> packSequences _,
     "pipe_sample_strat"   -> stratifiedSample _,
     "pipe_mix_weighted"   -> mixWeighted _,
@@ -596,6 +639,7 @@ object TrainingPipeline extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "pipe_decontaminate"  -> decontaminateOracle,
+    "pipe_decontaminate_cut" -> decontaminateCutOracle,
     "pipe_pack"           -> packSequencesOracle,
     "pipe_sample_strat"   -> stratifiedSampleOracle,
     "pipe_mix_weighted"   -> mixWeightedOracle,

@@ -47,6 +47,11 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map(1L -> ((3L, 1L)), 4L -> ((1L, 1L))),
       s"contamination report mismatch: $got")
+    // the APPLY path: flagged docs 1 and 4 are cut; only the clean
+    // training doc 2 survives (bench docs 0/97 are never in the corpus)
+    val kept = q("pipe_decontaminate_cut", dir).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L),
+      s"cut must retain exactly the unflagged training doc: ${kept.toSeq}")
   }
 
   test("pack assigns each doc to the sequence its first token lands in " +

@@ -549,7 +549,12 @@ object ScalarFns extends QueryModule {
     * The path is built with NULL-PROPAGATING concat (not concat_ws,
     * which silently skips NULL elements): a NULL event_type must group
     * under the NULL path exactly as the oracle's `||` chain does, not
-    * shrink to a 2-part path.
+    * shrink to a 2-part path. And because that NULL path is a real
+    * group, its ORDER position must be pinned on BOTH sides: Spark
+    * defaults to NULLS FIRST ascending, DuckDB to NULLS LAST, and the
+    * driver compares rows positionally — a NULL path tying a real path
+    * on n would reorder (or cross the LIMIT 25 boundary) between
+    * engines. Both sides order path NULLS LAST explicitly.
     */
   private def eventPaths(s: SparkSession, d: String): DataFrame =
     eventSpine(s, d)
@@ -558,7 +563,7 @@ object ScalarFns extends QueryModule {
         col("to2")).as("path"))
       .groupBy("path")
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("path"))
+      .orderBy(col("n").desc, col("path").asc_nulls_last)
       .limit(25)
 
   private val eventPathsOracle =
@@ -570,7 +575,7 @@ object ScalarFns extends QueryModule {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
       |FROM seq WHERE e3 IS NOT NULL
-      |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
+      |GROUP BY 1 ORDER BY n DESC, path NULLS LAST LIMIT 25""".stripMargin
 
   /** First-order Markov transition model over user behavior: adjacent
     * event-type pairs in each user's (ts, event_id)-ordered sequence,
@@ -588,6 +593,11 @@ object ScalarFns extends QueryModule {
     * 25-row aggregate for the per-source totals — the window input is
     * the MODEL, not the corpus, so its sort is constant-size at any
     * data scale.
+    *
+    * A NULL event_type yields a NULL from_type group (to_type is
+    * non-NULL by the filter), and the engines' default NULL sort
+    * positions differ — pinned NULLS LAST on both sides, same as
+    * event_paths.
     */
   private def eventTransitions(s: SparkSession, d: String): DataFrame = {
     val wf = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
@@ -598,7 +608,7 @@ object ScalarFns extends QueryModule {
       .withColumn("p", col("n").cast("double") /
         sum("n").over(wf).cast("double"))
       .select("from_type", "to_type", "n", "p")
-      .orderBy("from_type", "to_type")
+      .orderBy(col("from_type").asc_nulls_last, col("to_type").asc_nulls_last)
   }
 
   private val eventTransitionsOracle =
@@ -612,7 +622,7 @@ object ScalarFns extends QueryModule {
       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
       |  n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS p
-      |FROM pairs ORDER BY from_type, to_type""".stripMargin
+      |FROM pairs ORDER BY from_type NULLS LAST, to_type NULLS LAST""".stripMargin
 
   /** Rounded-z cut: the comparison runs on the ROUNDED z in both
     * engines, so a value sitting exactly on the threshold cannot be

@@ -58,6 +58,37 @@ import org.apache.spark.unsafe.types.UTF8String
 final class BpeEncoder(val pairs: Array[(String, String)])
     extends Serializable {
 
+  /* Fail fast on merge lists where greedy-by-rank and sequential replay
+   * can diverge. The equivalence argument above needs every rule that
+   * CONSUMES a symbol to be ranked after the rule that CREATES it —
+   * which holds for any faithfully-trained list but not for an
+   * arbitrary one, and silently breaks if two rules produce the same
+   * output string (then a consumer ranked between them fires in greedy
+   * on the later creator's output but not in replay). Validate both
+   * halves in one pass: each input symbol must be a seed (single char
+   * or the `</w>` marker) or the output of an EARLIER rule, and
+   * outputs must be distinct. Runs once at construction on the driver
+   * (Java deserialization bypasses the constructor), O(merges).
+   */
+  locally {
+    val produced = new java.util.HashSet[String](pairs.length * 2)
+    def seedOrProduced(sym: String): Boolean =
+      sym.length == 1 || sym == "</w>" || produced.contains(sym)
+    var i = 0
+    while (i < pairs.length) {
+      val (a, b) = pairs(i)
+      require(seedOrProduced(a) && seedOrProduced(b),
+        s"BPE merge list unsound at rank $i: input of ('$a','$b') is not a " +
+          "seed symbol or an earlier rule's output - greedy-by-rank would " +
+          "diverge from sequential replay")
+      require(produced.add(a + b),
+        s"BPE merge list ambiguous at rank $i: output '${a + b}' is already " +
+          "produced by an earlier rule - greedy-by-rank would diverge from " +
+          "sequential replay")
+      i += 1
+    }
+  }
+
   /** pair "a b" -> rank (training order). Rebuilt lazily after task
     * deserialization; each task gets its own instance, so no sharing.
     */

@@ -129,4 +129,23 @@ class BpeMergeSpec extends SparkSpec {
       1L + 2L + 1L)
     assert(enc.countText(UTF8String.fromString("")) == 0L)
   }
+
+  test("BpeEncoder rejects merge lists where greedy-by-rank and replay " +
+      "can diverge (ambiguous outputs, consumer ranked before creator)") {
+    // two rules producing the same output symbol: a consumer ranked
+    // between them would fire in greedy on the later creator's output
+    // but never in replay
+    val amb = intercept[IllegalArgumentException] {
+      new org.apache.spark.sql.graft.BpeEncoder(Array(
+        ("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")))
+    }
+    assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
+    // a rule consuming a symbol only a LATER rule creates: replay at
+    // rank 0 sees no 'ab' symbol yet; greedy after rank 1 fires it
+    val ooo = intercept[IllegalArgumentException] {
+      new org.apache.spark.sql.graft.BpeEncoder(Array(
+        ("ab", "c"), ("a", "b")))
+    }
+    assert(ooo.getMessage.contains("unsound"), ooo.getMessage)
+  }
 }

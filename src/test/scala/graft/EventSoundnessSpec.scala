@@ -281,11 +281,42 @@ class EventSoundnessSpec extends SparkSpec {
       (5L, at(4), 1L, "view", 0),
       (6L, at(5), 1L, "click", 0),
       (7L, at(6), 1L, "purchase", 0)))
-    val rows = operators.ScalarFns.queries("event_paths")(spark, dir)
+    val collected = operators.ScalarFns.queries("event_paths")(spark, dir)
       .collect()
+    val rows = collected
       .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0)) -> r.getLong(1))
       .toMap
     assert(rows == Map("view>click>purchase" -> 2L, "<null>" -> 2L),
       s"NULL event_type must yield NULL paths, got $rows")
+    // the driver compares rows POSITIONALLY and the engines' default
+    // NULL sort positions differ (Spark ASC = NULLS FIRST, DuckDB =
+    // NULLS LAST); this fixture is the exact 2-vs-2 n-tie where the
+    // default would diverge — the query pins NULLS LAST explicitly, so
+    // the real path must come first and the NULL path dead last
+    assert(!collected.head.isNullAt(0) && collected.last.isNullAt(0),
+      s"NULL path must sort after n-tied real paths (NULLS LAST pin), got " +
+        collected.map(r => if (r.isNullAt(0)) "<null>" else r.getString(0)).toSeq)
+  }
+
+  test("event_transitions puts the NULL from_type group last " +
+      "(both engines' ORDER BY pins NULLS LAST)") {
+    // user 1: view, NULL, click, purchase. The (view -> NULL) edge is
+    // dropped by the to1 filter; the (NULL -> click) edge survives with
+    // a NULL from_type — no n-tie needed, the engines' DEFAULT null
+    // sort positions alone would already diverge on it.
+    val dir = writeEvents(Seq(
+      (1L, at(0), 1L, "view", 0),
+      (2L, at(1), 1L, null, 0),
+      (3L, at(2), 1L, "click", 0),
+      (4L, at(3), 1L, "purchase", 0)))
+    val rows = operators.ScalarFns.queries("event_transitions")(spark, dir)
+      .collect()
+    assert(rows.length == 2, rows.toSeq)
+    // ("click" -> "purchase") sorts before the NULL-from group
+    assert(rows.head.getString(0) == "click" && rows.last.isNullAt(0),
+      s"NULL from_type must sort last, got " +
+        rows.map(r => if (r.isNullAt(0)) "<null>" else r.getString(0)).toSeq)
+    assert(rows.last.getString(1) == "click",
+      s"the NULL-from edge must point at 'click', got ${rows.last}")
   }
 }

@@ -36,6 +36,7 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    n_tables = 0
     for t in TABLES:
         # driver fixtures are single files; locally derived ones (ScaleUp)
         # are Spark-written directories of part files. ScaleUp fixtures
@@ -50,6 +51,12 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
+        n_tables += 1
+    # a mistyped sf_dir would otherwise register nothing and surface as
+    # N confusing per-query 'oracle SQL error' rows instead of one setup
+    # failure
+    if n_tables == 0:
+        sys.exit(f"no fixture tables found under {sf_dir} - wrong sfDir?")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     # same guard as Verify/Bench: a typo'd filter name must not produce

@@ -108,20 +108,29 @@ case class MinGramHash(child: Expression)
 }
 
 /** Codegen'd word n-gram builder: the array of space-joined n-grams
-  * over the maximal `[a-z]`-runs of the input, in one O(len + output)
-  * byte pass.
+  * over the maximal letter runs of the input, in one O(len + output)
+  * byte pass. Two scanner modes:
+  *
+  *  - `unicode = false` (the historical default): words are maximal
+  *    runs of bytes in 'a'..'z' — the twin of `split(text, '[^a-z]+')`.
+  *    Byte-level scanning equals the code-point regex here because
+  *    'a'..'z' cannot occur inside a UTF-8 multi-byte sequence
+  *    (continuation bytes are >= 0x80), so any non-ASCII character
+  *    separates words exactly as `[^a-z]+` does.
+  *  - `unicode = true`: words are maximal runs of code points in the
+  *    Unicode letter category `\p{L}` (Lu/Ll/Lt/Lm/Lo — exactly
+  *    `Character.isLetter`, which is also what Java regex `\p{L}` and
+  *    RE2's `\p{L}` in DuckDB's string_split_regex match) — the twin
+  *    of `split(text, '[^\p{L}]+')`. ASCII bytes classify without
+  *    decoding; only bytes >= 0x80 pay a UTF-8 code-point decode, so
+  *    the dominant pure-ASCII corpus case runs the same tight byte
+  *    loop as the ASCII mode.
   *
   * Contract (bit-exact twin of the declarative form every oracle uses —
   * `transform(sequence(0, size(words)-n), i -> concat_ws(' ', words[i],
-  * ..., words[i+n-1]))` over `filter(split(text, '[^a-z]+'), w -> w <>
-  * '')`, with the `ELSE array(array_join(words, ' '))` short-input
-  * fallback):
+  * ..., words[i+n-1]))` over the mode's split, with the
+  * `ELSE array(array_join(words, ' '))` short-input fallback):
   *
-  *  - words are maximal runs of bytes in 'a'..'z'. Byte-level scanning
-  *    equals the code-point regex here because 'a'..'z' cannot occur
-  *    inside a UTF-8 multi-byte sequence (continuation bytes are
-  *    >= 0x80), so any non-ASCII character separates words exactly as
-  *    `[^a-z]+` does.
   *  - with >= n words: one element per window position, words joined by
   *    a single space.
   *  - with < n words (including zero): ONE element, all words joined —
@@ -137,7 +146,7 @@ case class MinGramHash(child: Expression)
   * remaining constant factor — the interpreted per-window expression-
   * tree walk — with a single byte loop inside whole-stage codegen.
   */
-case class WordNGrams(child: Expression, n: Int)
+case class WordNGrams(child: Expression, n: Int, unicode: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, s"word_ngrams window must be >= 1 word, got $n")
 
@@ -147,32 +156,41 @@ case class WordNGrams(child: Expression, n: Int)
   override def prettyName: String = "word_ngrams"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordNGrams.compute(input.asInstanceOf[UTF8String], n)
+    WordNGrams.compute(input.asInstanceOf[UTF8String], n, unicode)
 
   // one static call per row keeps the whole-stage codegen span intact;
   // the loop itself gains nothing from being inlined as generated Java
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = org.apache.spark.sql.graft.WordNGrams.compute($s, $n);")
+      s"${ev.value} = org.apache.spark.sql.graft.WordNGrams.compute($s, $n, $unicode);")
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
 }
 
-object WordNGrams {
-  /** The single-pass gram builder backing both eval paths. */
-  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val b = s.getBytes
+/** Shared maximal-letter-run scanner over a UTF-8 byte array: the
+  * word-boundary pass behind [[WordNGrams]] and [[LetterRunTokens]].
+  */
+private[graft] object LetterRuns {
+  /** Fills `starts`/`ends` (byte offsets, grown as needed) with the
+    * maximal letter runs of `b` and returns (starts, ends, count).
+    * ASCII mode: letters are 'a'..'z' bytes. Unicode mode: letters are
+    * `Character.isLetter` code points ('a'..'z' | 'A'..'Z' below 0x80;
+    * decoded from UTF-8 above).
+    */
+  def scan(b: Array[Byte], unicode: Boolean): (Array[Int], Array[Int], Int) = {
     val len = b.length
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
     var nWords = 0
     var i = 0
     while (i < len) {
-      val c = b(i)
-      if (c >= 'a' && c <= 'z') {
+      val w = letterWidth(b, i, len, unicode)
+      if (w > 0) {
         val st = i
-        while (i < len && b(i) >= 'a' && b(i) <= 'z') i += 1
+        i += w
+        var ww = letterWidth(b, i, len, unicode)
+        while (ww > 0) { i += ww; ww = letterWidth(b, i, len, unicode) }
         if (nWords == starts.length) {
           starts = java.util.Arrays.copyOf(starts, nWords * 2)
           ends = java.util.Arrays.copyOf(ends, nWords * 2)
@@ -180,21 +198,46 @@ object WordNGrams {
         starts(nWords) = st
         ends(nWords) = i
         nWords += 1
-      } else i += 1
+      } else i += -w // skip the non-letter's full byte width
     }
-    if (nWords >= n) {
-      val out = new Array[AnyRef](nWords - n + 1)
-      var g = 0
-      while (g < out.length) { out(g) = join(b, starts, ends, g, g + n); g += 1 }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    } else {
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array[AnyRef](join(b, starts, ends, 0, nWords)))
+    (starts, ends, nWords)
+  }
+
+  /** Byte width of the code point at `i` if it is a letter under the
+    * mode, else the NEGATED byte width (so the caller can skip whole
+    * code points either way; never 0 while i < len).
+    */
+  private def letterWidth(b: Array[Byte], i: Int, len: Int,
+      unicode: Boolean): Int = {
+    if (i >= len) return -1
+    val c = b(i)
+    if (c >= 0) { // ASCII: classify without decoding
+      val isL =
+        if (unicode) (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        else c >= 'a' && c <= 'z'
+      if (isL) 1 else -1
+    } else if (!unicode) -1 // ASCII mode: any non-ASCII byte separates
+    else {
+      // UTF-8 decode; malformed/truncated sequences classify non-letter
+      // byte-by-byte (UTF8String contents are validated UTF-8, so this
+      // is a total-function backstop, not a hot path)
+      val b0 = c & 0xff
+      if ((b0 & 0xe0) == 0xc0 && i + 1 < len) {
+        val cp = ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f)
+        if (Character.isLetter(cp)) 2 else -2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < len) {
+        val cp = ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+        if (Character.isLetter(cp)) 3 else -3
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < len) {
+        val cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+        if (Character.isLetter(cp)) 4 else -4
+      } else -1
     }
   }
 
   /** words[from, until) joined by single spaces, as a fresh UTF8String. */
-  private def join(b: Array[Byte], starts: Array[Int], ends: Array[Int],
+  def join(b: Array[Byte], starts: Array[Int], ends: Array[Int],
       from: Int, until: Int): UTF8String = {
     if (until <= from) return UTF8String.EMPTY_UTF8
     var size = until - from - 1
@@ -214,15 +257,95 @@ object WordNGrams {
   }
 }
 
+object WordNGrams {
+  /** The single-pass gram builder backing both eval paths. */
+  def compute(s: UTF8String, n: Int,
+      unicode: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = s.getBytes
+    val (starts, ends, nWords) = LetterRuns.scan(b, unicode)
+    if (nWords >= n) {
+      val out = new Array[AnyRef](nWords - n + 1)
+      var g = 0
+      while (g < out.length) {
+        out(g) = LetterRuns.join(b, starts, ends, g, g + n); g += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[AnyRef](LetterRuns.join(b, starts, ends, 0, nWords)))
+    }
+  }
+}
+
+/** Codegen'd `\p{L}`-run tokenizer: the array of maximal Unicode-letter
+  * runs of the input — the bit-exact twin of
+  * `filter(split(text, '[^\p{L}]+'), x -> x <> '')` (and of DuckDB's
+  * `list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')`),
+  * with NO short-input fallback: a letterless input tokenizes to the
+  * EMPTY array. Same scanner as [[WordNGrams]]' unicode mode; exists
+  * as its own expression because the word-LIST consumers (SimHash
+  * tokens, decontamination word base, the substring-cut word stream)
+  * want split semantics, not the n-gram windowing contract.
+  */
+case class LetterRunTokens(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "letter_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LetterRunTokens.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.LetterRunTokens.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): LetterRunTokens =
+    copy(child = newChild)
+}
+
+object LetterRunTokens {
+  /** The token-array builder backing both eval paths. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = s.getBytes
+    val (starts, ends, nWords) = LetterRuns.scan(b, unicode = true)
+    val out = new Array[AnyRef](nWords)
+    var k = 0
+    while (k < nWords) {
+      out(k) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(b, starts(k), ends(k)))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points for the text expressions. */
 object TextColumns {
   /** Min base-31 8-gram hash of a string column, as long. */
   def minGramHash(c: Column): Column =
     ExpressionUtils.column(MinGramHash(ExpressionUtils.expression(c)))
 
-  /** Space-joined word n-grams of a string column, as array<string>. */
+  /** Space-joined word n-grams of a string column, as array<string>
+    * (ASCII `[a-z]`-run words).
+    */
   def wordNGrams(c: Column, n: Int): Column =
     ExpressionUtils.column(WordNGrams(ExpressionUtils.expression(c), n))
+
+  /** Space-joined word n-grams over Unicode `\p{L}`-run words — the
+    * multilingual twin of [[wordNGrams]].
+    */
+  def wordNGramsU(c: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordNGrams(ExpressionUtils.expression(c), n, unicode = true))
+
+  /** Maximal `\p{L}`-run tokens of a string column, as array<string>
+    * (empty array for letterless input — split semantics, no fallback).
+    */
+  def letterTokens(c: Column): Column =
+    ExpressionUtils.column(LetterRunTokens(ExpressionUtils.expression(c)))
 
   /** Unicode NFC normalization of a string column (identity on ASCII). */
   def nfc(c: Column): Column =

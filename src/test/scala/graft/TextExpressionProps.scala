@@ -106,6 +106,85 @@ object TextExpressionProps extends Properties("MinGramHash") {
     })
   }
 
+  // ---- unicode mode ------------------------------------------------------
+
+  /** Multilingual text mixing every class the `\p{L}` scanner must
+    * classify: ASCII letters both cases, digits/punct/space delimiters,
+    * 2-byte letters (Latin-1, Greek, Cyrillic), a combining mark (Mn —
+    * NOT a letter, must split), 3-byte letters (CJK), and a 4-byte
+    * supplementary-plane letter (Gothic U+10330).
+    */
+  private val multilingualText: Gen[String] =
+    Gen.listOf(Gen.frequency[String](
+      5 -> Gen.oneOf(Gen.alphaLowerChar, Gen.alphaUpperChar, Gen.numChar,
+        Gen.const(' '), Gen.const('.')).map(_.toString),
+      3 -> Gen.oneOf('é', 'ß', 'ω', 'κ', 'ж').map(_.toString),
+      1 -> Gen.const("́"), // combining acute (Mn, not a letter)
+      2 -> Gen.oneOf('世', '界', '北').map(_.toString),
+      1 -> Gen.const("𐌰"))) // U+10330 as a surrogate pair
+      .map(_.mkString)
+
+  property("unicode WordNGrams equals the declarative \\p{L} HOF form " +
+      "for n in 1..9 on multilingual input") =
+    Prop.forAll(Gen.listOfN(8, multilingualText), Gen.choose(1, 9)) { (texts, n) =>
+      import spark.implicits._
+      val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .withColumn("words",
+          org.apache.spark.sql.functions.expr(
+            "filter(split(s, '[^\\\\p{L}]+'), x -> x <> '')"))
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.expr(declarativeNGrams(n)).as("want"),
+          org.apache.spark.sql.graft.TextColumns.wordNGramsU(
+            org.apache.spark.sql.functions.col("s"), n).as("got"))
+        .collect()
+      rows.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
+    }
+
+  property("LetterRunTokens equals filter(split('[^\\p{L}]+')) — split " +
+      "semantics, empty array on letterless input") =
+    Prop.forAll(Gen.listOfN(8, multilingualText)) { texts =>
+      import spark.implicits._
+      val rows = (texts :+ "123 .. 456").zipWithIndex
+        .map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.expr(
+            "filter(split(s, '[^\\\\p{L}]+'), x -> x <> '')").as("want"),
+          org.apache.spark.sql.graft.TextColumns.letterTokens(
+            org.apache.spark.sql.functions.col("s")).as("got"))
+        .collect()
+      rows.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
+    }
+
+  property("unicode scanners' interpreted eval matches codegen contract " +
+      "on planted edge inputs") = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def arr(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    val tokenCases = Seq(
+      "" -> Seq(),
+      "42 ..." -> Seq(),
+      "ωμέγα κόσμος" -> Seq("ωμέγα", "κόσμος"),
+      "北京大学 x" -> Seq("北京大学", "x"),
+      "naïve café" -> Seq("naïve", "café"),
+      // combining acute (Mn) splits: e + U+0301 is two tokens' boundary
+      "ab́cd" -> Seq("ab", "cd"),
+      "ＡＢ ab" -> Seq("ＡＢ", "ab"), // fullwidth letters are Lu/Ll
+      "𐌰x" -> Seq("𐌰x")) // 4-byte letter glues
+    val gramCases = Seq(
+      "ωμέγα κόσμος" -> Seq("ωμέγα κόσμος"),
+      "ωμέγα κόσμος γεια" -> Seq("ωμέγα κόσμος", "κόσμος γεια"),
+      "42" -> Seq(""))
+    Prop(tokenCases.forall { case (in, want) =>
+      arr(org.apache.spark.sql.graft.LetterRunTokens(Literal(in))) == want
+    } && gramCases.forall { case (in, want) =>
+      arr(org.apache.spark.sql.graft.WordNGrams(Literal(in), 2, unicode = true)) == want
+    })
+  }
+
   // ---- NfcNormalize ----------------------------------------------------
 
   /** Mixed generator biased toward the interesting classes: ASCII (the

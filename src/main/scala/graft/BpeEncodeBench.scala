@@ -54,7 +54,9 @@ object BpeEncodeBench {
       val merges = operators.TextAnalysis.bpeRounds(spark, sfDir, m)._3
       val trainWall = (System.nanoTime() - t0) / 1e9
       // release the train's surviving final-round checkpoint before the
-      // timed shots (the ladder-point discipline of BpeLadderBench)
+      // timed shots (the ladder-point discipline of BpeLadderBench);
+      // clear the memo too so the freed entry can't be reused
+      operators.TextAnalysis.clearCaches()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.err.println(f"[bpe-encode] merges=$m trained ${merges.size} " +
         f"pairs in $trainWall%.1fs")

@@ -19,6 +19,7 @@ object Cleanup {
     operators.RelationalExt.clearCaches()
     operators.Similarity.clearCaches()
     operators.TrainingPipeline.clearCaches()
+    operators.TextAnalysis.clearCaches()
     operators.Sources.clearStreamScratch()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()

@@ -46,7 +46,7 @@ object Dedup extends QueryModule {
     * The shingle base is NORMALIZED text — `lower(nfc(text))`, the
     * exact-dedup fold key ([[exactGroupsFoldOf]]) pushed down to the
     * near-dup front-end. Raw-text shingling silently destroyed recall
-    * on real corpora: [[WordNGrams]] tokenizes maximal `[a-z]` runs, so
+    * on real corpora: [[WordNGrams]] tokenized maximal `[a-z]` runs, so
     * an UPPERCASE letter was a DELIMITER — "The quick brown fox" and
     * "the quick brown fox" shared ZERO shingles, and NFC/NFD spellings
     * of the same word shingled differently. After the fold,
@@ -56,21 +56,34 @@ object Dedup extends QueryModule {
     * 100 TB: ASCII rows pay one sign-bit scan for `nfc` (identity fast
     * path) plus the JVM lower — the same premium the fold-key exact
     * pair priced at ~0.6–0.9 s per 500k docs.
+    *
+    * Words are maximal `\p{L}` code-point runs ([[WordNGrams]] unicode
+    * mode) — the fold's ASCII `[a-z]` scanner was the SAME recall bug
+    * one script class wider: every Greek/Cyrillic/CJK document
+    * tokenized to ZERO shingles (one degenerate '' fallback element),
+    * so non-Latin near-dups were indistinguishable from any other
+    * non-Latin doc (DedupSoundnessSpec plants the Greek pair and pins
+    * both the old blindness and the new catch; text_letter_tokens
+    * certifies the tokenizer itself cross-engine on planted
+    * multilingual docs). ASCII rows classify without decoding, so the
+    * dominant corpus case keeps the tight byte loop.
     */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("shingles",
       array_distinct(org.apache.spark.sql.graft.TextColumns
-        .wordNGrams(lower(org.apache.spark.sql.graft.TextColumns
+        .wordNGramsU(lower(org.apache.spark.sql.graft.TextColumns
           .nfc(col("text"))), 3)))
 
   /** DuckDB twin of [[withShingles]] as a CTE body (`lower ∘
     * nfc_normalize` is the proven oracle twin of Spark's
-    * `lower ∘ nfc` — the dedup_exact_fold recipe).
+    * `lower ∘ nfc` — the dedup_exact_fold recipe; RE2's `\p{L}` in
+    * string_split_regex matches Java's, proven by text_letter_tokens
+    * on planted multilingual docs).
     */
   private val shinglesCte =
     """docs AS (
       |  SELECT doc_id, lang,
-      |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
+      |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^\p{L}]+'), x -> x <> '') AS words
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, lang,
@@ -269,7 +282,7 @@ object Dedup extends QueryModule {
   private[graft] def signaturesCasefold(docs: DataFrame): DataFrame =
     sigOf(docs.withColumn("shingles",
       array_distinct(org.apache.spark.sql.graft.TextColumns
-        .wordNGrams(org.apache.spark.sql.graft.TextColumns
+        .wordNGramsU(org.apache.spark.sql.graft.TextColumns
           .casefold(org.apache.spark.sql.graft.TextColumns
             .nfc(col("text"))), 3)))
       .select("doc_id", "shingles"))
@@ -547,14 +560,17 @@ object Dedup extends QueryModule {
     */
   private def simhashTable(s: SparkSession, d: String): DataFrame =
     shCache.computeIfAbsent((s, d), _ => {
-      // token base is the normalized fold — lower(nfc) — matching the
-      // shingle front-end: raw-text splitting made uppercase letters
-      // DELIMITERS, so case variants of near-dup prose fingerprinted
-      // apart (see withShingles)
+      // token base is the normalized fold — lower(nfc) over \p{L} runs
+      // (the codegen'd LetterRunTokens scanner) — matching the shingle
+      // front-end: raw-text splitting made uppercase letters DELIMITERS
+      // and the ASCII class made every non-Latin doc tokenless, so case
+      // variants and non-Latin near-dups fingerprinted apart (see
+      // withShingles)
       val ex = documents(s, d)
         .select(col("doc_id"),
-          explode(expr(
-            "filter(split(lower(nfc(text)), '[^a-z]+'), x -> x <> '')")).as("w"))
+          explode(org.apache.spark.sql.graft.TextColumns.letterTokens(
+            lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text")))))
+            .as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
         // the first 16 hex chars as two 32-bit chunks: one conv per
         // chunk, then each of the 64 bit counts is a shift+mask, not a
@@ -634,7 +650,7 @@ object Dedup extends QueryModule {
       .mkString("\n  UNION ALL\n  ")
     s"""WITH docs AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
+       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^\\p{L}]+'), x -> x <> '') AS words
        |  FROM documents),
        |sized AS (SELECT doc_id, words, len(words) AS size0 FROM docs),
        |fp AS (SELECT doc_id, $bits AS simhash64 FROM sized),
@@ -658,7 +674,7 @@ object Dedup extends QueryModule {
     val bits = simhashBitExprs("duckdb").mkString(" || ")
     s"""WITH docs AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
+       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^\\p{L}]+'), x -> x <> '') AS words
        |  FROM documents),
        |sized AS (SELECT doc_id, words, len(words) AS size0 FROM docs),
        |fp AS (SELECT doc_id, $bits AS simhash64 FROM sized)
@@ -864,7 +880,7 @@ object Dedup extends QueryModule {
     * equality of the parameters.
     */
   private[graft] val sigTableMeta: String =
-    s"""{"format":2,"k":$K,"bands":$BANDS,"shingle":"lower-alpha-word-3gram-distinct","schema":"doc_id bigint, sig array<string>, ingest_batch bigint"}"""
+    s"""{"format":3,"k":$K,"bands":$BANDS,"shingle":"lower-nfc-pL-word-3gram-distinct","schema":"doc_id bigint, sig array<string>, ingest_batch bigint"}"""
 
   private val META_FILE = "_graft_meta.json"
   private val COMMIT_MARKER = "_graft_commit"
@@ -1370,15 +1386,16 @@ object Dedup extends QueryModule {
     */
   private def subGramTable(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      // windows build over the NORMALIZED word stream — lower(nfc), the
-      // same fold as the shingle front-end: a capitalized copy of a
-      // license block must hit the lowercase original, and the cut side
-      // below tokenizes identically so span indices line up
+      // windows build over the NORMALIZED word stream — lower(nfc) over
+      // \p{L} runs, the same fold+scanner as the shingle front-end: a
+      // capitalized copy of a license block must hit the lowercase
+      // original, a non-Latin license block must window at all, and the
+      // cut side below tokenizes identically so span indices line up
       .withColumn("grams",
-        when(expr(
-            "size(filter(split(lower(nfc(text)), '[^a-z]+'), x -> x <> ''))")
+        when(size(org.apache.spark.sql.graft.TextColumns.letterTokens(
+            lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text")))))
             >= SUB_GRAM,
-          org.apache.spark.sql.graft.TextColumns.wordNGrams(
+          org.apache.spark.sql.graft.TextColumns.wordNGramsU(
             lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text"))),
             SUB_GRAM))
           .otherwise(array().cast("array<string>")))
@@ -1449,7 +1466,7 @@ object Dedup extends QueryModule {
     val gram = (1 to SUB_GRAM).map(j => s"words[i+$j]").mkString(" || ' ' || ")
     s"""docs AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
+       |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^\\p{L}]+'), x -> x <> '') AS words
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, CASE WHEN len(words) >= $SUB_GRAM
@@ -1500,7 +1517,8 @@ object Dedup extends QueryModule {
       // would map word indices back through an offset table, which is
       // row-local bookkeeping, not a different distributed shape
       .select(col("doc_id"),
-        expr("filter(split(lower(nfc(text)), '[^a-z]+'), x -> x <> '')")
+        org.apache.spark.sql.graft.TextColumns.letterTokens(
+          lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text"))))
           .as("words"))
       .join(sp, Seq("doc_id"), "left")
       .withColumn("kept",

@@ -85,16 +85,19 @@ object TextAnalysis extends QueryModule {
   private def tokensUnicode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planted = UNICODE_DOCS.toDF("doc_id", "text")
+    val toks = org.apache.spark.sql.graft.TextColumns.letterTokens(col("text"))
     documents(s, d).select(col("doc_id"), col("text"))
       .unionByName(planted)
+      // the \p{L} columns run the codegen'd LetterRunTokens scanner —
+      // the SAME expression the dedup/pipe bases tokenize with — so
+      // this contract row certifies the production scanner against
+      // RE2's \p{L}, not merely Java's regex engine against RE2's
       .select(
         col("doc_id"),
-        expr("size(filter(split(text, '[^\\\\p{L}]+'), x -> x <> ''))")
-          .cast("long").as("n_tok_unicode"),
+        size(toks).cast("long").as("n_tok_unicode"),
         expr("size(filter(split(text, '[^a-z]+'), x -> x <> ''))")
           .cast("long").as("n_tok_ascii"),
-        expr("size(array_distinct(filter(split(text, '[^\\\\p{L}]+'), x -> x <> '')))")
-          .cast("long").as("n_uniq_unicode"))
+        size(array_distinct(toks)).cast("long").as("n_uniq_unicode"))
       .orderBy("doc_id")
   }
 
@@ -113,6 +116,75 @@ object TextAnalysis extends QueryModule {
        |SELECT doc_id, len(tu)::BIGINT AS n_tok_unicode,
        |  len(ta)::BIGINT AS n_tok_ascii,
        |  len(list_distinct(tu))::BIGINT AS n_uniq_unicode
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
+  /** Planted docs exercising every byte-width and category-boundary
+    * class the `\p{L}` scanner must classify: 2-byte letters
+    * (Greek/Cyrillic, already lowercase so no case mapping enters),
+    * 3-byte CJK, a 4-byte supplementary-plane letter, fullwidth Lu/Ll,
+    * a combining mark (Mn — NOT a letter, must split a run), an NFD
+    * spelling that must compose under nfc before tokenizing, and a
+    * letterless doc (must emit the EMPTY array, not a fallback
+    * element). Spelled in \\u escapes where the byte sequence is the
+    * point. No apostrophes (they'd need SQL escaping in the VALUES
+    * twin) and no uppercase-with-divergent-lowering (this query folds
+    * with nfc only — case mapping is certified separately by
+    * text_casefold_key inside the agreeing script class).
+    */
+  private[graft] val LETTER_TOKEN_DOCS: Seq[(Long, String)] = Seq(
+    -31L -> "\u03c9\u03bc\u03ad\u03b3\u03b1 \u03ba\u03cc\u03c3\u03bc\u03bf\u03c2 \u03b3\u03b5\u03b9\u03b1",
+    -32L -> "\u0441\u0435\u0432\u0435\u0440\u043d\u0430\u044f \u0437\u0438\u043c\u0430",
+    -33L -> "\u5317\u4eac\u5927\u5b66 \u8ba1\u7b97\u673a 42",
+    // NFD spellings: i+U+0308, e+U+0301 must COMPOSE under nfc into
+    // single precomposed letters (bare Mn marks would split the runs)
+    -34L -> "nai\u0308ve cafe\u0301 123",
+    // a combining acute after a NON-composable base ('b' takes no
+    // acute) survives nfc as a standalone Mn and splits the run: ab|cd
+    -35L -> "ab\u0301cd e",
+    -36L -> "\uff21\uff22 \uff41\uff42", // fullwidth Lu + Ll
+    -37L -> "\ud800\udf30\ud800\udf31 gothic", // U+10330 U+10331 (Lo, 4-byte UTF-8)
+    -38L -> "42 12.5 ...", // letterless: empty token array
+    -39L -> "mixed\u03c9runs keep\u0436going") // script changes do NOT split a run
+
+  /** The production tokenizer under the oracle, byte-exact: maximal
+    * `\p{L}` runs of `nfc(text)` via the codegen'd scanner, proven by
+    * an md5 of the space-joined token stream (tokens cannot contain
+    * spaces, so the join is injective) — not just counts. This is the
+    * certification row the whole near-dup/gram family leans on: the
+    * dedup shingles, SimHash tokens, substring windows, and
+    * decontamination/repetition grams all tokenize with this exact
+    * expression (plus the lower() fold certified by
+    * text_casefold_key).
+    *
+    * Scale: row-local scan + one md5 per row; the planted union is a
+    * 9-row LocalRelation — free at any corpus size.
+    */
+  private def letterTokensQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = LETTER_TOKEN_DOCS.toDF("doc_id", "text")
+    val toks = org.apache.spark.sql.graft.TextColumns.letterTokens(
+      org.apache.spark.sql.graft.TextColumns.nfc(col("text")))
+    documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(col("doc_id"), size(toks).cast("long").as("n_words"),
+        md5(concat_ws(" ", toks)).as("words_md5"))
+      .orderBy("doc_id")
+  }
+
+  private def letterTokensOracle: String = {
+    val values = LETTER_TOKEN_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(nfc_normalize(text), '[^\\p{L}]+'), x -> x <> '') AS toks
+       |  FROM corpus)
+       |SELECT doc_id, len(toks)::BIGINT AS n_words,
+       |  md5(coalesce(array_to_string(toks, ' '), '')) AS words_md5
        |FROM tok ORDER BY doc_id""".stripMargin
   }
 
@@ -663,14 +735,43 @@ object TextAnalysis extends QueryModule {
     * BPE_LADDER.json), because live state per round is exactly one
     * checkpointed vocab plus one 1-row local result.
     */
+  /** One train per (session, sfDir, merge count) — the
+    * eventSpine/simhashTable memo discipline applied to the most
+    * expensive derivation in the module: four consumers (train report,
+    * replay encode, rank encode, doc-token counter) each replayed the
+    * whole train before this, which at the contract's 10 merges is a
+    * second per consumer but at a 32k production vocab is ~28 min of
+    * per-round driver jobs EACH (BPE_ENCODE.json pricing). The memoized
+    * triple is two driver-local values plus the final-vocab frame (one
+    * lazy rewrite over the last retained checkpoint), so the only
+    * session-lifetime state is that checkpoint — released by
+    * [[clearCaches]] like every other module cache. At cluster scale
+    * the equivalent is training once and SHIPPING the merge list —
+    * [[writeTokenizer]]/[[readTokenizer]] below are that path.
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (DataFrame, DataFrame, Seq[(String, String)])]
+
+  /** Trains run this session — the memo's observability hook (specs
+    * assert N consumers cost exactly one train).
+    */
+  private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicLong
+
+  def clearCaches(): Unit = bpeCache.clear()
+
+  private[graft] def bpeRounds(s: SparkSession, d: String,
+      merges: Int = BPE_MERGES): (DataFrame, DataFrame, Seq[(String, String)]) =
+    bpeCache.computeIfAbsent((s, d, merges), _ => trainBpe(s, d, merges))
+
   /** @return (learned-merge rows as a local relation, final vocab
     *         frame, learned merge pairs in rank order — already
     *         driver-local from the per-round argmax sink, so exposing
     *         them adds no driver traffic; the rank-indexed encoder
     *         consumes them as its merge table)
     */
-  private[graft] def bpeRounds(s: SparkSession, d: String,
-      merges: Int = BPE_MERGES): (DataFrame, DataFrame, Seq[(String, String)]) = {
+  private def trainBpe(s: SparkSession, d: String,
+      merges: Int): (DataFrame, DataFrame, Seq[(String, String)]) = {
+    bpeTrainRuns.incrementAndGet()
     val seed = withWords(documents(s, d))
       .select(explode(col("words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -852,6 +953,104 @@ object TextAnalysis extends QueryModule {
     */
   private def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
     val merges = bpeRounds(s, d)._3
+    documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.BpeColumns
+          .bpeRankCount(col("text"), merges).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  // ---- tokenizer store: the trained-merge artifact ----------------------
+
+  /** Parameter stamp persisted beside every tokenizer table — the
+    * signature-store recipe one module over: a merge list is only
+    * usable by an encoder implementing the SAME seed tokenization and
+    * occurrence semantics (two-pass boundary-consuming replay — see
+    * BpeEncoder), so the stamp pins both plus the storage schema, and
+    * [[readTokenizer]] refuses a mismatch loudly instead of silently
+    * encoding with the wrong algebra. Canonical string: equality of the
+    * serialized form IS equality of the parameters. The merge COUNT is
+    * deliberately data, not stamp — any prefix of a merge list is a
+    * valid smaller tokenizer.
+    */
+  private[graft] val tokenizerMeta: String =
+    """{"format":1,"seed":"ascii-lower-word+</w>","apply":"two-pass-boundary-consuming-replay","schema":"merge_rank int, pa string, pb string"}"""
+
+  private val TOK_META_FILE = "_graft_meta.json"
+
+  private def tokFs(s: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = fs0 match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    (fs, p)
+  }
+
+  /** Persist a trained merge list as a stamped parquet table: the
+    * versioned artifact an encode-only pipeline LOADS instead of
+    * re-deriving — at a 32k vocab that's ~28 min of replay jobs per
+    * consumer avoided, and (more importantly at 100 TB) the tokenizer
+    * a training corpus was packed with is frozen, auditable bytes, not
+    * a recomputation that silently drifts when the corpus does. One
+    * parquet file (a merge list is KB-scale at any real vocab) plus
+    * the [[tokenizerMeta]] sidecar.
+    */
+  def writeTokenizer(s: SparkSession, dir: String,
+      merges: Seq[(String, String)]): Unit = {
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("merge_rank", "pa", "pb")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val (fs, p) = tokFs(s, dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, TOK_META_FILE), true)
+    try out.write(tokenizerMeta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a stamped tokenizer: stamp-checked (absent/mismatched stamps
+    * name the remedy), rank-ordered, and validated by BpeEncoder's
+    * soundness pass (duplicate outputs / out-of-order consumers fail
+    * fast at load, not as silent replay divergence mid-encode).
+    */
+  def readTokenizer(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val (fs, p) = tokFs(s, dir)
+    val metaPath = new org.apache.hadoop.fs.Path(p, TOK_META_FILE)
+    if (!fs.exists(metaPath))
+      sys.error(s"tokenizer table $dir has no $TOK_META_FILE parameter stamp: " +
+        "either it was not written by writeTokenizer, or it predates " +
+        "stamping. Re-export it, or — after verifying the seed/apply " +
+        s"semantics match — stamp it with a $TOK_META_FILE containing: " +
+        tokenizerMeta)
+    val in = fs.open(metaPath)
+    val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (found != tokenizerMeta)
+      sys.error(s"tokenizer table $dir was built with different semantics " +
+        s"and would silently mis-encode if used: its stamp is\n  $found\n" +
+        s"but this build requires\n  $tokenizerMeta\nRe-export it with " +
+        "writeTokenizer.")
+    val merges = s.read.parquet(dir)
+      .orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    // construct-and-discard runs BpeEncoder's merge-list validation
+    new org.apache.spark.sql.graft.BpeEncoder(merges.toArray)
+    merges
+  }
+
+  /** Encode-only entry point: per-document BPE token counts under a
+    * STORED tokenizer — the shape an encode pipeline actually runs
+    * (load KB of merges, one codegen'd scan over the corpus; no
+    * training jobs anywhere). Mirrors [[bpeDocTokens]], which derives
+    * its merges from the contract train.
+    */
+  def bpeDocTokensWith(s: SparkSession, d: String,
+      tokenizerDir: String): DataFrame = {
+    val merges = readTokenizer(s, tokenizerDir)
     documents(s, d)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.BpeColumns
@@ -1050,6 +1249,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens"      -> tokens _,
     "text_tokens_unicode" -> tokensUnicode _,
+    "text_letter_tokens" -> letterTokensQ _,
     "text_casefold_key" -> casefoldKey _,
     "text_quality"     -> quality _,
     "text_langid"      -> langid _,
@@ -1077,6 +1277,7 @@ object TextAnalysis extends QueryModule {
         |  length(text)::BIGINT AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens_unicode" -> tokensUnicodeOracle,
+    "text_letter_tokens" -> letterTokensOracle,
     "text_quality"     -> qualityOracle,
     "text_langid"      -> langidOracle,
     "text_fingerprint" -> fingerprintOracle,

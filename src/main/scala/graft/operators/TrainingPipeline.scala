@@ -4,7 +4,7 @@ import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.TextColumns.{nfc, wordNGrams}
+import org.apache.spark.sql.graft.TextColumns.{letterTokens, nfc, wordNGramsU}
 import org.apache.spark.sql.graft.VectorColumns.{vecDot, vecNorm}
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
@@ -65,19 +65,20 @@ object TrainingPipeline extends QueryModule {
 
   // ---- shared text helpers (mirrors Dedup/TextAnalysis tokenization) --
 
-  /** Words over the NORMALIZED fold — lower(nfc), the same base the
-    * dedup near-dup front-end tokenizes (capitalized/NFD spellings of
-    * benchmark prose must still decontaminate; see Dedup.withShingles
-    * for the recall argument and the oracle recipe).
+  /** Words over the NORMALIZED fold — lower(nfc) over `\p{L}` runs
+    * (the codegen'd [[letterTokens]] scanner), the same base the dedup
+    * near-dup front-end tokenizes (capitalized/NFD spellings of
+    * benchmark prose must still decontaminate, and non-Latin benchmark
+    * prose must produce grams at all; see Dedup.withShingles for the
+    * recall argument and the oracle recipe).
     */
   private def withWords(df: DataFrame): DataFrame =
-    df.withColumn("words",
-      expr("filter(split(lower(nfc(text)), '[^a-z]+'), x -> x <> '')"))
+    df.withColumn("words", letterTokens(lower(nfc(col("text")))))
 
   private val wordsCte =
     """docs AS (
       |  SELECT doc_id, lang, source,
-      |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^a-z]+'), x -> x <> '') AS words
+      |    list_filter(string_split_regex(lower(nfc_normalize(text)), '[^\p{L}]+'), x -> x <> '') AS words
       |  FROM documents)""".stripMargin
 
   // ---- decontamination -------------------------------------------------
@@ -93,14 +94,14 @@ object TrainingPipeline extends QueryModule {
     */
   private val DECON_MOD = 97
 
-  /** Grams via the codegen'd [[wordNGrams]] expression — bit-exact twin
+  /** Grams via the codegen'd [[wordNGramsU]] expression — bit-exact twin
     * of the declarative HOF form the oracle (gramsCte) uses, in one
     * O(len + output) byte pass per document instead of an interpreted
     * per-window expression-tree walk (the equality is property-tested in
     * TextExpressionProps; the oracle compare re-proves it per run).
     */
   private def withGrams(df: DataFrame): DataFrame =
-    df.withColumn("grams", array_distinct(wordNGrams(lower(nfc(col("text"))), DECON_GRAM)))
+    df.withColumn("grams", array_distinct(wordNGramsU(lower(nfc(col("text"))), DECON_GRAM)))
 
   private val gramsCte =
     s"""g AS (
@@ -391,10 +392,10 @@ object TrainingPipeline extends QueryModule {
       // this operator's contract (and its oracle) wants an EMPTY array
       // for docs below the window — hence the explicit size guard
       .withColumn("bigrams",
-        when(size(col("words")) >= 2, wordNGrams(lower(nfc(col("text"))), 2))
+        when(size(col("words")) >= 2, wordNGramsU(lower(nfc(col("text"))), 2))
           .otherwise(array().cast("array<string>")))
       .withColumn("trigrams",
-        when(size(col("words")) >= 3, wordNGrams(lower(nfc(col("text"))), 3))
+        when(size(col("words")) >= 3, wordNGramsU(lower(nfc(col("text"))), 3))
           .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("n_words"),
         size(col("bigrams")).cast("long").as("n_bi"),

@@ -130,6 +130,57 @@ class BpeMergeSpec extends SparkSpec {
     assert(enc.countText(UTF8String.fromString("")) == 0L)
   }
 
+  test("the train memo: all four BPE consumers on one (session, sfDir) " +
+      "cost exactly ONE training run") {
+    val dir = corpusOf(Seq.fill(4)("banana") ++ Seq.fill(2)("bandana"))
+    operators.TextAnalysis.clearCaches()
+    val before = operators.TextAnalysis.bpeTrainRuns.get()
+    for (q <- Seq("text_bpe_train", "text_bpe_encode", "text_bpe_encode_rank",
+        "text_bpe_doc_tokens"))
+      operators.TextAnalysis.queries(q)(spark, dir).collect()
+    assert(operators.TextAnalysis.bpeTrainRuns.get() == before + 1,
+      "four consumers must share one memoized train")
+    // a different corpus is a different memo key, never a stale hit
+    val dir2 = corpusOf(Seq("totally", "different"))
+    operators.TextAnalysis.queries("text_bpe_train")(spark, dir2).collect()
+    assert(operators.TextAnalysis.bpeTrainRuns.get() == before + 2)
+  }
+
+  test("tokenizer store round-trip: stored merges reload in rank order, " +
+      "encode identically, and stamp violations fail loudly") {
+    val dir = corpusOf(Seq.fill(4)("banana") ++ Seq.fill(2)("bandana"))
+    val trained = operators.TextAnalysis.bpeRounds(spark, dir)._3
+    assert(trained.nonEmpty)
+    val tokDir = java.nio.file.Files
+      .createTempDirectory("graft_tok_").toString + "/tokenizer"
+    operators.TextAnalysis.writeTokenizer(spark, tokDir, trained)
+    assert(operators.TextAnalysis.readTokenizer(spark, tokDir) == trained,
+      "stored merge list must reload byte-identically in rank order")
+    // the encode-only entry point matches the train-deriving query
+    val fromStore = operators.TextAnalysis
+      .bpeDocTokensWith(spark, dir, tokDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fromTrain = operators.TextAnalysis
+      .queries("text_bpe_doc_tokens")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fromStore == fromTrain,
+      "encoding under the stored tokenizer must equal the trained one")
+    // stamp mismatch: loud, names both stamps
+    val metaFile = new java.io.File(tokDir, "_graft_meta.json")
+    java.nio.file.Files.write(metaFile.toPath,
+      """{"format":0,"seed":"other"}""".getBytes("UTF-8"))
+    val e = intercept[RuntimeException] {
+      operators.TextAnalysis.readTokenizer(spark, tokDir)
+    }
+    assert(e.getMessage.contains("different semantics"), e.getMessage)
+    // stamp absent: loud, names the remedy
+    assert(metaFile.delete())
+    val e2 = intercept[RuntimeException] {
+      operators.TextAnalysis.readTokenizer(spark, tokDir)
+    }
+    assert(e2.getMessage.contains("no _graft_meta.json"), e2.getMessage)
+  }
+
   test("BpeEncoder rejects merge lists where greedy-by-rank and replay " +
       "can diverge (ambiguous outputs, consumer ranked before creator)") {
     // two rules producing the same output symbol: a consumer ranked

@@ -135,7 +135,12 @@ class DedupSoundnessSpec extends SparkSpec {
   private val accWords = (0 until 40).map(i =>
     s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}\u00e9x") // NFC e-acute inside
   private val ndNfc = accWords.mkString(" ")
-  private val ndNfd = accWords.updated(20, "changed")
+  // the changed word sits at the END (1 differing 3-gram shingle, not
+  // 3): with the \p{L} scanner the accented words are WHOLE tokens, so
+  // the pair's shingle sets are larger-overlap than the round-15 ASCII
+  // fragmentation gave \u2014 a mid-document change left the deterministic
+  // banding draw just outside 4x4-LSH recall at j~0.85
+  private val ndNfd = accWords.updated(39, "changed")
     .map(_.replace("\u00e9", "e\u0301")).mkString(" ") // NFD spelling
 
   private lazy val foldCorpusDir: String = {
@@ -185,5 +190,75 @@ class DedupSoundnessSpec extends SparkSpec {
       s"capitalized near-dup must land within the simhash 8-bit cut: $sh")
     assert(sh.get((12L, 13L)).exists(_ <= 8.0),
       s"NFD near-dup must land within the simhash 8-bit cut: $sh")
+  }
+
+  // ---- non-Latin near-dup front-end (round 16) --------------------------
+
+  // Greek corpus: a 40-word doc, a one-word-changed near-dup, and an
+  // UNRELATED 40-word Greek doc. Under the old ASCII [a-z] scanner all
+  // three tokenize to ZERO words (every shingle set degenerates to the
+  // single fallback ""), so the near-dup pair and the unrelated doc are
+  // INDISTINGUISHABLE — the same silent-recall bug class rounds 14-15
+  // fixed for case/NFD variants, one script class wider.
+  private def greekWords(prefix: String): Seq[String] =
+    (0 until 40).map(i =>
+      s"$prefix${('α' + i / 24).toChar}${('α' + i % 24).toChar}")
+
+  private val grBase = greekWords("λεξ").mkString(" ")
+  private val grNear =
+    greekWords("λεξ").updated(20, "άλλο")
+      .mkString(" ")
+  private val grOther = greekWords("μον").mkString(" ")
+
+  private lazy val greekCorpusDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_greek_")
+    import spark.implicits._
+    Seq((20L, grBase), (21L, grNear), (22L, grOther), (23L, loner))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("el").as("lang"),
+        lit("synthetic").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("the ASCII scanner is provably BLIND on Greek text: zero " +
+      "informative shingles, so near-dups and unrelated docs are " +
+      "indistinguishable — the defect the \\p{L} scanner fixes") {
+    import spark.implicits._
+    val asciiShingles = Seq((20L, grBase), (21L, grNear), (22L, grOther))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(
+        org.apache.spark.sql.graft.TextColumns.wordNGrams(
+          lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text"))), 3))
+        .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // every Greek doc degenerates to the single fallback "" shingle:
+    // not just "the pair is missed" — the unrelated doc would bucket
+    // IDENTICALLY to the near-dup pair (false positives AND false
+    // negatives at once)
+    assert(asciiShingles.values.forall(_ == Set("")),
+      s"ASCII scanner must see zero letters in Greek text: $asciiShingles")
+  }
+
+  test("the \\p{L} front-end separates the planted Greek corpus: the " +
+      "near-dup pair survives minhash/simhash, the unrelated Greek doc " +
+      "pairs with nothing") {
+    val mh = operators.Dedup.queries("dedup_minhash_pairs")(spark, greekCorpusDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(mh.get((20L, 21L)).exists(j => j >= 0.5 && j < 1.0),
+      s"one-word-in-40 Greek near-dup must survive LSH + the 0.5 cut: $mh")
+    assert(!mh.keySet.exists(k => k._1 == 22L || k._2 == 22L),
+      s"the unrelated Greek doc must pair with nothing: $mh")
+    assert(!mh.keySet.exists(k => k._1 == 23L || k._2 == 23L),
+      s"the ASCII loner must pair with nothing: $mh")
+    val sh = operators.Dedup.queries("dedup_simhash_pairs")(spark, greekCorpusDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2).toString.toDouble)
+      .toMap
+    assert(sh.get((20L, 21L)).exists(_ <= 8.0),
+      s"Greek near-dup must land within the simhash 8-bit cut: $sh")
+    assert(!sh.keySet.exists(k => k._1 == 22L || k._2 == 22L),
+      s"the unrelated Greek doc must pair with nothing in simhash: $sh")
   }
 }

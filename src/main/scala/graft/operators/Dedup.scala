@@ -858,6 +858,132 @@ object Dedup extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- character-n-gram near-dup for unsegmented scripts ----------------
+
+  /** Gram width for the character-shingle base. 5 code points of an
+    * unsegmented script carry roughly the information of a word-level
+    * bigram/trigram in a segmented one (CJK words average 1–3
+    * characters), and published CJK dedup recipes sit in the 4–6 range;
+    * at the fixture's document lengths 5 keeps the same
+    * "long-enough-to-be-non-accidental" property as the word bases.
+    */
+  private val CHAR_GRAM = 5
+
+  /** Planted CJK corpus for the char-gram contract row: a ~40-character
+    * near-dup pair differing in the LAST character (one differing
+    * 5-gram window — comfortably inside 4×4-LSH recall at j≈0.95) and
+    * an unrelated CJK doc. All Lo characters: no case mapping anywhere
+    * (lower() is the identity), so the planted rows certify the
+    * char-gram pipeline, not Unicode case tables.
+    */
+  private[graft] val CJK_NEARDUP_DOCS: Seq[(Long, String)] = Seq(
+    -41L -> "机器学习改变世界语言模型处理文本数据集质量决定结果去重是关键步骤训练语料需要清洗",
+    -42L -> "机器学习改变世界语言模型处理文本数据集质量决定结果去重是关键步骤训练语料需要清理",
+    -43L -> "北京大学计算机科学技术研究所发布最新报告分析互联网内容生态现状并提出治理建议方案")
+
+  /** Character-5-gram shingles over the `\p{L}`-squeezed normalized
+    * text — the near-dup base for scripts written WITHOUT word
+    * separators, where the word-shingle family is structurally blind: a
+    * CJK document is ONE maximal letter run, so its whole text is its
+    * only word-shingle and a near-duplicate differing by one character
+    * shares nothing (DedupSoundnessSpec pins exactly that miss, and
+    * this query's catch). Non-letters are DROPPED, not turned into
+    * boundaries, so punctuation variants of the same prose land on the
+    * same grams.
+    *
+    * Scale shape: identical to the word pipeline — per-row codegen'd
+    * gram build, distinct, explode → codegen md5 → partial-min
+    * signatures, (band, digest)-keyed LSH join — but the shingle
+    * EXPLOSION is one row per code point rather than per word (~3–5×
+    * the word base's rows on segmented text). A production pipeline
+    * therefore routes by script after langid: word shingles for
+    * segmented languages, char grams for unsegmented ones — both bases
+    * share [[sigOf]] and the banding, so the routing is a column
+    * choice, not a second pipeline.
+    */
+  private def withCharShingles(df: DataFrame): DataFrame =
+    df.withColumn("shingles",
+      array_distinct(org.apache.spark.sql.graft.TextColumns
+        .charNGrams(lower(org.apache.spark.sql.graft.TextColumns
+          .nfc(col("text"))), CHAR_GRAM)))
+
+  private val charSigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def charSigTable(s: SparkSession, d: String): DataFrame =
+    charSigCache.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      val planted = CJK_NEARDUP_DOCS.toDF("doc_id", "text")
+      val corpus = documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      sigOf(tracked(withCharShingles(corpus).select("doc_id", "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** LSH candidates over the char-gram signatures whose estimated
+    * Jaccard clears 0.5 — same banding, same verify, same output shape
+    * as [[minhashPairs]], so the two bases read as one API with two
+    * tokenization policies.
+    */
+  private def chargramPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = charSigTable(s, d)
+    val bands = bandsOf(sig)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard",
+        round(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))")
+          .cast("double") / K, 6))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle twin: the char-gram squeeze + windows in SQL (DuckDB's
+    * substr/length are code-point-indexed, matching the expression's
+    * window arithmetic — proven on the planted 3-byte CJK rows every
+    * run), ending in the same `sh(doc_id, shingles)` shape as
+    * [[shinglesCte]] so [[candidatePairsCte]] composes verbatim.
+    */
+  private def charShinglesCte: String = {
+    val values = CJK_NEARDUP_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', '', 'g') AS sq
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN length(sq) >= $CHAR_GRAM
+       |    THEN list_transform(range(length(sq) - ${CHAR_GRAM - 1}),
+       |      i -> substr(sq, i + 1, $CHAR_GRAM))
+       |    ELSE [sq] END) AS shingles
+       |  FROM sq)""".stripMargin
+  }
+
+  private def chargramPairsOracle: String = {
+    val matches = (0 until K)
+      .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $charShinglesCte,
+       |$candidatePairsCte
+       |SELECT doc_a, doc_b, round(($matches)::DOUBLE / $K, 6) AS est_jaccard
+       |FROM pairs
+       |JOIN sig sa ON doc_a = sa.doc_id
+       |JOIN sig sb ON doc_b = sb.doc_id
+       |WHERE ($matches)::DOUBLE / $K >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- streaming incremental dedup ------------------------------------
 
   /** On-disk signature-table schema: the [[signatures]] columns plus the
@@ -1316,7 +1442,7 @@ object Dedup extends QueryModule {
     * the caches held strong SparkSession references forever).
     */
   def clearCaches(): Unit = {
-    Seq(sigCache, shCache, ccCache).foreach { c =>
+    Seq(sigCache, shCache, ccCache, charSigCache).foreach { c =>
       c.values.forEach(df => { df.unpersist(false); () })
       c.clear()
     }
@@ -1560,6 +1686,7 @@ object Dedup extends QueryModule {
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
+    "dedup_chargram_pairs" -> chargramPairs _,
     "dedup_cc"            -> ccClusters _,
     "dedup_incremental"   -> incrementalDedup _,
     "dedup_substring"     -> substringSpans _,
@@ -1584,6 +1711,7 @@ object Dedup extends QueryModule {
     "dedup_simhash"       -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_jaccard_pairs" -> jaccardOracle,
+    "dedup_chargram_pairs" -> chargramPairsOracle,
     "dedup_cc"            -> ccClustersOracle,
     "dedup_incremental"   -> incrementalDedupOracle,
     "dedup_substring"     -> substringSpansOracle,

@@ -322,6 +322,102 @@ object LetterRunTokens {
   }
 }
 
+/** Codegen'd character n-gram builder for UNSEGMENTED scripts: squeeze
+  * the input to its `\p{L}` code points (non-letters dropped, not
+  * replaced), then emit every n-code-point sliding window — the
+  * bit-exact twin of the declarative form the oracle uses,
+  * `list_transform(range(length(sq) - (n-1)), i -> substr(sq, i+1, n))`
+  * over `sq = regexp_replace(s, '[^\p{L}]+', '', 'g')`, with the
+  * `ELSE [sq]` short-input fallback (one whole-squeeze element — the
+  * empty string for letterless input — mirroring [[WordNGrams]]'
+  * fallback contract so a minhash base built on it stays total).
+  *
+  * Why it exists: WORD n-gram shingles are structurally blind on
+  * scripts written without word separators — a CJK document is ONE
+  * maximal letter run, so its whole text is its only shingle and a
+  * near-duplicate differing by one character shares nothing. The
+  * published recipe (CCNet and friends) shingles such scripts on
+  * character n-grams; this expression is that base. Window positions
+  * count CODE POINTS (a 4-byte supplementary-plane letter is one
+  * character), matching both engines' character-indexed substr.
+  *
+  * Why an expression and not `transform(sequence(...), i ->
+  * substring(sq, i, n))`: UTF8String.substring walks from the string
+  * start to find code point i, so the declarative form is O(len²) per
+  * document (the MinGramHash lesson); this is one O(len + output)
+  * pass inside whole-stage codegen.
+  */
+case class CharNGrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"char_ngrams window must be >= 1 code point, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharNGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.CharNGrams.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNGrams =
+    copy(child = newChild)
+}
+
+object CharNGrams {
+  /** The squeeze-then-window builder backing both eval paths. */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = s.getBytes
+    // squeeze: contiguous letters-only bytes, plus per-kept-code-point
+    // start offsets into the squeezed buffer (windows count code
+    // points, grams copy byte ranges)
+    val (starts, ends, nRuns) = LetterRuns.scan(b, unicode = true)
+    var sqLen = 0
+    var r = 0
+    while (r < nRuns) { sqLen += ends(r) - starts(r); r += 1 }
+    val sq = new Array[Byte](sqLen)
+    var cpStarts = new Array[Int](16)
+    var nCp = 0
+    var p = 0
+    r = 0
+    while (r < nRuns) {
+      var i = starts(r)
+      while (i < ends(r)) {
+        if (nCp == cpStarts.length)
+          cpStarts = java.util.Arrays.copyOf(cpStarts, nCp * 2)
+        cpStarts(nCp) = p
+        nCp += 1
+        // copy one UTF-8 code point (leading byte determines width)
+        val b0 = b(i) & 0xff
+        val w = if (b0 < 0x80) 1
+          else if ((b0 & 0xe0) == 0xc0) 2
+          else if ((b0 & 0xf0) == 0xe0) 3
+          else 4
+        var j = 0
+        while (j < w) { sq(p) = b(i); p += 1; i += 1; j += 1 }
+      }
+      r += 1
+    }
+    def slice(fromCp: Int, untilCp: Int): UTF8String = {
+      val from = if (fromCp < nCp) cpStarts(fromCp) else sqLen
+      val until = if (untilCp < nCp) cpStarts(untilCp) else sqLen
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(sq, from, until))
+    }
+    if (nCp >= n) {
+      val out = new Array[AnyRef](nCp - n + 1)
+      var g = 0
+      while (g < out.length) { out(g) = slice(g, g + n); g += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[AnyRef](slice(0, nCp)))
+    }
+  }
+}
+
 /** Column-level entry points for the text expressions. */
 object TextColumns {
   /** Min base-31 8-gram hash of a string column, as long. */
@@ -346,6 +442,12 @@ object TextColumns {
     */
   def letterTokens(c: Column): Column =
     ExpressionUtils.column(LetterRunTokens(ExpressionUtils.expression(c)))
+
+  /** Sliding n-code-point grams over the `\p{L}`-squeezed string — the
+    * shingle base for unsegmented scripts (CJK), as array<string>.
+    */
+  def charNGrams(c: Column, n: Int): Column =
+    ExpressionUtils.column(CharNGrams(ExpressionUtils.expression(c), n))
 
   /** Unicode NFC normalization of a string column (identity on ASCII). */
   def nfc(c: Column): Column =

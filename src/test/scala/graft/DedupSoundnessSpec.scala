@@ -261,4 +261,39 @@ class DedupSoundnessSpec extends SparkSpec {
     assert(!sh.keySet.exists(k => k._1 == 22L || k._2 == 22L),
       s"the unrelated Greek doc must pair with nothing in simhash: $sh")
   }
+
+  // ---- char-gram base for unsegmented scripts (round 16) ----------------
+
+  test("WORD shingles are structurally blind on unsegmented CJK — the " +
+      "near-dup pair shares zero word-shingles (each doc is one " +
+      "letter run) — while the char-gram pipeline separates the corpus") {
+    import spark.implicits._
+    // blindness pin: under the \p{L} WORD scanner every planted CJK doc
+    // is a single 40-character token, so its only 3-word shingle is the
+    // whole-text fallback, and the near-dup pair intersects EMPTY
+    val wordShingles = operators.Dedup.CJK_NEARDUP_DOCS
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(
+        org.apache.spark.sql.graft.TextColumns.wordNGramsU(
+          lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text"))), 3))
+        .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(wordShingles.values.forall(_.size == 1),
+      s"a CJK doc must degenerate to ONE whole-text word-shingle: $wordShingles")
+    assert(wordShingles(-41L).intersect(wordShingles(-42L)).isEmpty,
+      "the CJK near-dup pair must share zero WORD shingles - the " +
+        "blindness the char-gram base exists to fix")
+    // the catch: the production char-gram query (which plants the same
+    // docs itself) pairs the near-dups and excludes the unrelated doc
+    val p = operators.Dedup.queries("dedup_chargram_pairs")(spark, corpusDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p.get((-42L, -41L)).exists(j => j >= 0.5 && j < 1.0),
+      s"one-char-in-40 CJK near-dup must survive char-gram LSH: $p")
+    assert(!p.keySet.exists(k => k._1 == -43L || k._2 == -43L),
+      s"the unrelated CJK doc must pair with nothing: $p")
+    // the synthetic ASCII identical pair rides the same pipeline
+    assert(p.get((1L, 2L)).contains(1.0),
+      s"identical ASCII docs must still collide at 1.0 on the char base: $p")
+  }
 }

@@ -157,6 +157,28 @@ object TextExpressionProps extends Properties("MinGramHash") {
       rows.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
     }
 
+  property("CharNGrams equals the declarative squeeze-then-window form " +
+      "for n in 1..6 on multilingual input") =
+    Prop.forAll(Gen.listOfN(8, multilingualText), Gen.choose(1, 6)) { (texts, n) =>
+      import spark.implicits._
+      val rows = (texts :+ "42 ..." :+ "机器学习, hello! 语言")
+        .zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .withColumn("sq",
+          org.apache.spark.sql.functions.expr(
+            "regexp_replace(s, '[^\\\\p{L}]+', '')"))
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.expr(
+            s"""CASE WHEN length(sq) >= $n
+               |THEN transform(sequence(0, length(sq) - $n),
+               |  i -> substring(sq, i + 1, $n))
+               |ELSE array(sq) END""".stripMargin).as("want"),
+          org.apache.spark.sql.graft.TextColumns.charNGrams(
+            org.apache.spark.sql.functions.col("s"), n).as("got"))
+        .collect()
+      rows.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
+    }
+
   property("unicode scanners' interpreted eval matches codegen contract " +
       "on planted edge inputs") = {
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -910,13 +910,36 @@ object Dedup extends QueryModule {
   private val charSigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  /** The SCRIPT ROUTING the scaladoc above prescribes, applied: only
+    * docs whose letter mass is majority non-ASCII enter the char-gram
+    * base (a production pipeline routes on langid's script class; this
+    * integer predicate is the same decision for the contract corpus).
+    * Measured necessity, not taste: run UNROUTED over the segmented
+    * 500k-doc rehearsal corpus, the base stays bit-correct (42.7M
+    * verified pairs matched DuckDB at 100× — SCALE.md) but over-pairs
+    * ~1,700× the word base at ~200× its wall — a shared word
+    * vocabulary makes 5-char-gram overlap near-universal, re-creating
+    * the candidate blowup LSH exists to avoid. Routing also retires a
+    * degeneracy: EVERY letterless doc shares the `""` fallback shingle
+    * (they would all pair at 1.0); the ratio predicate drops them
+    * (0 · 2 > 0 is false).
+    */
+  private def unsegmentedOnly(df: DataFrame): DataFrame =
+    df.withColumn("sq",
+        regexp_replace(lower(org.apache.spark.sql.graft.TextColumns
+          .nfc(col("text"))), "[^\\p{L}]+", ""))
+      .filter(length(regexp_replace(col("sq"), "[a-z]+", "")) * 2 >
+        length(col("sq")))
+      .drop("sq")
+
   private def charSigTable(s: SparkSession, d: String): DataFrame =
     charSigCache.computeIfAbsent((s, d), _ => {
       import s.implicits._
       val planted = CJK_NEARDUP_DOCS.toDF("doc_id", "text")
       val corpus = documents(s, d).select(col("doc_id"), col("text"))
         .unionByName(planted)
-      sigOf(tracked(withCharShingles(corpus).select("doc_id", "shingles")
+      sigOf(tracked(withCharShingles(unsegmentedOnly(corpus))
+        .select("doc_id", "shingles")
         .persist(StorageLevel.MEMORY_AND_DISK)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
@@ -958,10 +981,13 @@ object Dedup extends QueryModule {
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
-       |sq AS (
+       |sq0 AS (
        |  SELECT doc_id,
        |    regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', '', 'g') AS sq
        |  FROM corpus),
+       |sq AS (
+       |  SELECT doc_id, sq FROM sq0
+       |  WHERE length(regexp_replace(sq, '[a-z]+', '', 'g')) * 2 > length(sq)),
        |sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN length(sq) >= $CHAR_GRAM
        |    THEN list_transform(range(length(sq) - ${CHAR_GRAM - 1}),

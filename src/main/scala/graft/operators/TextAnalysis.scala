@@ -188,6 +188,62 @@ object TextAnalysis extends QueryModule {
        |FROM tok ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document script-class routing — the dedup family's tokenizer
+    * dispatch as a first-class certified operator: `latin` (ASCII
+    * letters are at least half the letter mass → word-shingle bases),
+    * `nonlatin` (majority non-ASCII letters → the char-gram base;
+    * `dedup_chargram_pairs` routes on exactly this predicate's
+    * complement), `letterless` (no `\p{L}` at all → no text dedup base
+    * applies). Pure integer arithmetic on code-point counts — both
+    * engines' length() counts code points, proven on the planted
+    * 2/3/4-byte rows — so the routing decision is bit-reproducible
+    * anywhere. Scale: one row-local regexp pass per doc, no shuffle
+    * before the terminal sort; production pipelines take the class
+    * from langid and keep this as the structural fallback for
+    * unidentified languages.
+    */
+  private def scriptRoute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = LETTER_TOKEN_DOCS.toDF("doc_id", "text")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .withColumn("sq",
+        regexp_replace(lower(org.apache.spark.sql.graft.TextColumns
+          .nfc(col("text"))), "[^\\p{L}]+", ""))
+      .withColumn("n_letters", length(col("sq")).cast("long"))
+      .withColumn("n_ascii_letters",
+        (length(col("sq")) -
+          length(regexp_replace(col("sq"), "[a-z]+", ""))).cast("long"))
+      .select(col("doc_id"), col("n_letters"), col("n_ascii_letters"),
+        when(col("n_letters") === 0, "letterless")
+          .when(col("n_letters") - col("n_ascii_letters") * 2 <= 0, "latin")
+          .otherwise("nonlatin").as("script_class"))
+      .orderBy("doc_id")
+  }
+
+  private def scriptRouteOracle: String = {
+    val values = LETTER_TOKEN_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', '', 'g') AS sq
+       |  FROM corpus),
+       |m AS (
+       |  SELECT doc_id, length(sq)::BIGINT AS n_letters,
+       |    (length(sq) - length(regexp_replace(sq, '[a-z]+', '', 'g')))::BIGINT
+       |      AS n_ascii_letters
+       |  FROM sq)
+       |SELECT doc_id, n_letters, n_ascii_letters,
+       |  CASE WHEN n_letters = 0 THEN 'letterless'
+       |       WHEN n_letters - n_ascii_letters * 2 <= 0 THEN 'latin'
+       |       ELSE 'nonlatin' END AS script_class
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   // ---- quality scoring ------------------------------------------------
 
   private def quality(s: SparkSession, d: String): DataFrame = {
@@ -1250,6 +1306,7 @@ object TextAnalysis extends QueryModule {
     "text_tokens"      -> tokens _,
     "text_tokens_unicode" -> tokensUnicode _,
     "text_letter_tokens" -> letterTokensQ _,
+    "text_script_route" -> scriptRoute _,
     "text_casefold_key" -> casefoldKey _,
     "text_quality"     -> quality _,
     "text_langid"      -> langid _,
@@ -1278,6 +1335,7 @@ object TextAnalysis extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens_unicode" -> tokensUnicodeOracle,
     "text_letter_tokens" -> letterTokensOracle,
+    "text_script_route" -> scriptRouteOracle,
     "text_quality"     -> qualityOracle,
     "text_langid"      -> langidOracle,
     "text_fingerprint" -> fingerprintOracle,

@@ -879,7 +879,14 @@ object Dedup extends QueryModule {
   private[graft] val CJK_NEARDUP_DOCS: Seq[(Long, String)] = Seq(
     -41L -> "机器学习改变世界语言模型处理文本数据集质量决定结果去重是关键步骤训练语料需要清洗",
     -42L -> "机器学习改变世界语言模型处理文本数据集质量决定结果去重是关键步骤训练语料需要清理",
-    -43L -> "北京大学计算机科学技术研究所发布最新报告分析互联网内容生态现状并提出治理建议方案")
+    -43L -> "北京大学计算机科学技术研究所发布最新报告分析互联网内容生态现状并提出治理建议方案",
+    // an identical pair: every minhash equal, est_jaccard exactly 1.0
+    -45L -> "深度神经网络在自然语言处理领域取得重大突破注意力机制成为核心组件规模决定能力上限",
+    -44L -> "深度神经网络在自然语言处理领域取得重大突破注意力机制成为核心组件规模决定能力上限",
+    // a Japanese near-dup pair (hiragana+kanji, Lo letters; unsegmented
+    // like CJK), again differing in the final character
+    -47L -> "むかしむかしあるところにおじいさんとおばあさんがすんでいましたかわでせんたくをした",
+    -46L -> "むかしむかしあるところにおじいさんとおばあさんがすんでいましたかわでせんたくをして")
 
   /** Character-5-gram shingles over the `\p{L}`-squeezed normalized
     * text — the near-dup base for scripts written WITHOUT word

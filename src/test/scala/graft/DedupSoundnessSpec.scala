@@ -290,6 +290,10 @@ class DedupSoundnessSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(p.get((-42L, -41L)).exists(j => j >= 0.5 && j < 1.0),
       s"one-char-in-40 CJK near-dup must survive char-gram LSH: $p")
+    assert(p.get((-45L, -44L)).contains(1.0),
+      s"the identical CJK pair must collide in every band at 1.0: $p")
+    assert(p.get((-47L, -46L)).exists(j => j >= 0.5 && j < 1.0),
+      s"the Japanese near-dup pair must survive char-gram LSH: $p")
     assert(!p.keySet.exists(k => k._1 == -43L || k._2 == -43L),
       s"the unrelated CJK doc must pair with nothing: $p")
     // the script ROUTING: segmented (ASCII-majority) docs never enter

@@ -929,15 +929,13 @@ object Dedup extends QueryModule {
     * the candidate blowup LSH exists to avoid. Routing also retires a
     * degeneracy: EVERY letterless doc shares the `""` fallback shingle
     * (they would all pair at 1.0); the ratio predicate drops them
-    * (0 · 2 > 0 is false).
+    * (0 · 2 > 0 is false). The predicate itself is the ONE shared
+    * definition in [[ScriptRouting]] (also consumed by
+    * `text_script_route` and both oracles — see its scaladoc for the
+    * `lower()` cross-engine caveat class).
     */
   private def unsegmentedOnly(df: DataFrame): DataFrame =
-    df.withColumn("sq",
-        regexp_replace(lower(org.apache.spark.sql.graft.TextColumns
-          .nfc(col("text"))), "[^\\p{L}]+", ""))
-      .filter(length(regexp_replace(col("sq"), "[a-z]+", "")) * 2 >
-        length(col("sq")))
-      .drop("sq")
+    ScriptRouting.unsegmentedOnly(df)
 
   private def charSigTable(s: SparkSession, d: String): DataFrame =
     charSigCache.computeIfAbsent((s, d), _ => {
@@ -990,11 +988,11 @@ object Dedup extends QueryModule {
        |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
        |sq0 AS (
        |  SELECT doc_id,
-       |    regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', '', 'g') AS sq
+       |    ${ScriptRouting.sqSql} AS sq
        |  FROM corpus),
        |sq AS (
        |  SELECT doc_id, sq FROM sq0
-       |  WHERE length(regexp_replace(sq, '[a-z]+', '', 'g')) * 2 > length(sq)),
+       |  WHERE ${ScriptRouting.unsegmentedSql("sq")}),
        |sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN length(sq) >= $CHAR_GRAM
        |    THEN list_transform(range(length(sq) - ${CHAR_GRAM - 1}),

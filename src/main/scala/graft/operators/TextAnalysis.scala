@@ -200,23 +200,24 @@ object TextAnalysis extends QueryModule {
     * anywhere. Scale: one row-local regexp pass per doc, no shuffle
     * before the terminal sort; production pipelines take the class
     * from langid and keep this as the structural fallback for
-    * unidentified languages.
+    * unidentified languages. Squeeze + class predicates are THE shared
+    * [[ScriptRouting]] definitions (the same objects `Dedup`'s routed
+    * char-gram base filters with), so this certified row and the
+    * production routing can never drift.
     */
   private def scriptRoute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planted = LETTER_TOKEN_DOCS.toDF("doc_id", "text")
     documents(s, d).select(col("doc_id"), col("text"))
       .unionByName(planted)
-      .withColumn("sq",
-        regexp_replace(lower(org.apache.spark.sql.graft.TextColumns
-          .nfc(col("text"))), "[^\\p{L}]+", ""))
+      .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
       .withColumn("n_letters", length(col("sq")).cast("long"))
       .withColumn("n_ascii_letters",
         (length(col("sq")) -
           length(regexp_replace(col("sq"), "[a-z]+", ""))).cast("long"))
       .select(col("doc_id"), col("n_letters"), col("n_ascii_letters"),
         when(col("n_letters") === 0, "letterless")
-          .when(col("n_letters") - col("n_ascii_letters") * 2 <= 0, "latin")
+          .when(!ScriptRouting.unsegmented(col("sq")), "latin")
           .otherwise("nonlatin").as("script_class"))
       .orderBy("doc_id")
   }
@@ -230,16 +231,17 @@ object TextAnalysis extends QueryModule {
        |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
        |sq AS (
        |  SELECT doc_id,
-       |    regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', '', 'g') AS sq
+       |    ${ScriptRouting.sqSql} AS sq
        |  FROM corpus),
        |m AS (
        |  SELECT doc_id, length(sq)::BIGINT AS n_letters,
        |    (length(sq) - length(regexp_replace(sq, '[a-z]+', '', 'g')))::BIGINT
-       |      AS n_ascii_letters
+       |      AS n_ascii_letters,
+       |    ${ScriptRouting.unsegmentedSql("sq")} AS unseg
        |  FROM sq)
        |SELECT doc_id, n_letters, n_ascii_letters,
        |  CASE WHEN n_letters = 0 THEN 'letterless'
-       |       WHEN n_letters - n_ascii_letters * 2 <= 0 THEN 'latin'
+       |       WHEN NOT unseg THEN 'latin'
        |       ELSE 'nonlatin' END AS script_class
        |FROM m ORDER BY doc_id""".stripMargin
   }

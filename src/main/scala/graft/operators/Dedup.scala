@@ -376,6 +376,13 @@ object Dedup extends QueryModule {
   /** LSH candidates whose estimated Jaccard (fraction of equal
     * minhashes) clears 0.5 — the verified near-dup edge set, shared by
     * the pair listing and the PageRank graph below.
+    *
+    * The filter runs on the UNROUNDED ratio — exactly the oracle's
+    * WHERE clause — and the rounding exists only on the output column
+    * (round-16 advice: filtering the rounded value was safe at K=16,
+    * where m/K is exact at 4 decimals, but a future K that is not a
+    * power of two could round a value across the 0.5 cut and diverge
+    * between engines).
     */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sig = sigTable(s, d)
@@ -383,10 +390,9 @@ object Dedup extends QueryModule {
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
     candidatePairs(s, d)
       .join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("est_jaccard",
-        round(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))")
-          .cast("double") / K, 6))
-      .filter(col("est_jaccard") >= 0.5)
+      .withColumn("agree", minhashAgreement("sa", "sb"))
+      .filter(col("agree").cast("double") / K >= 0.5)
+      .withColumn("est_jaccard", round(col("agree").cast("double") / K, 6))
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
@@ -965,10 +971,10 @@ object Dedup extends QueryModule {
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("est_jaccard",
-        round(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))")
-          .cast("double") / K, 6))
-      .filter(col("est_jaccard") >= 0.5)
+      // unrounded-ratio filter, rounded output — see verifiedPairs
+      .withColumn("agree", minhashAgreement("sa", "sb"))
+      .filter(col("agree").cast("double") / K >= 0.5)
+      .withColumn("est_jaccard", round(col("agree").cast("double") / K, 6))
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }

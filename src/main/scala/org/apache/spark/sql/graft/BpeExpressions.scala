@@ -72,8 +72,14 @@ final class BpeEncoder(val pairs: Array[(String, String)])
    */
   locally {
     val produced = new java.util.HashSet[String](pairs.length * 2)
+    // "single char" counts CODE POINTS, not UTF-16 units: a
+    // supplementary-plane seed character is two Java chars, and
+    // sym.length == 1 would falsely reject it (unreachable under the
+    // contract's ASCII [a-z] seed tokenizer, but this class validates
+    // ARBITRARY stored merge lists via readTokenizer)
     def seedOrProduced(sym: String): Boolean =
-      sym.length == 1 || sym == "</w>" || produced.contains(sym)
+      sym.codePointCount(0, sym.length) == 1 || sym == "</w>" ||
+        produced.contains(sym)
     var i = 0
     while (i < pairs.length) {
       val (a, b) = pairs(i)

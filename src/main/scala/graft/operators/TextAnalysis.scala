@@ -1116,6 +1116,33 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The LOAD-NOT-DERIVE encode path under the contract (round-16
+    * advice #3): train once (memoized), EXPORT the merges as a stamped
+    * parquet tokenizer table ([[writeTokenizer]]), load them back
+    * through the stamp gate + BpeEncoder soundness validation
+    * ([[readTokenizer]]), and encode the corpus with the stored
+    * artifact ([[bpeDocTokensWith]]). The oracle is the replay oracle
+    * shared with [[bpeDocTokens]], so a green row proves the
+    * store → stamp-check → validate → encode chain bit-equal to the
+    * derive path end to end — the artifact round trip itself, not just
+    * the in-memory merges (TokenizerStore's spec arm additionally pins
+    * the stamp REFUSAL behavior on absent/mismatched sidecars).
+    *
+    * The export lands in a per-sfDir temp directory (deterministic
+    * name, overwritten per run) — harness plumbing only; a pipeline
+    * points `writeTokenizer` at durable storage and ships the KB-scale
+    * table to every encode job, which is the whole point: no training
+    * jobs anywhere near the 100 TB encode pass.
+    */
+  private def bpeDocTokensStored(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_tok_contract_" +
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8")).toString)
+      .getAbsolutePath
+    writeTokenizer(s, dir, bpeRounds(s, d)._3)
+    bpeDocTokensWith(s, d, dir)
+  }
+
   private def bpeDocTokensOracle: String =
     s"""WITH $bpeSeedCte,
        |${bpeRoundsCte(emitLast = true)},
@@ -1324,6 +1351,7 @@ object TextAnalysis extends QueryModule {
     "text_bpe_encode"     -> bpeEncode _,
     "text_bpe_encode_rank" -> bpeEncodeRank _,
     "text_bpe_doc_tokens" -> bpeDocTokens _,
+    "text_bpe_doc_tokens_stored" -> bpeDocTokensStored _,
     "text_lm_score"       -> lmScore _,
   )
 
@@ -1352,6 +1380,7 @@ object TextAnalysis extends QueryModule {
     "text_bpe_encode"     -> bpeEncodeOracle,
     "text_bpe_encode_rank" -> bpeEncodeOracle,
     "text_bpe_doc_tokens" -> bpeDocTokensOracle,
+    "text_bpe_doc_tokens_stored" -> bpeDocTokensOracle,
     "text_casefold_key"   -> casefoldKeyOracle,
     "text_lm_score"       -> lmScoreOracle,
   )

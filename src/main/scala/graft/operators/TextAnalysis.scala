@@ -635,48 +635,87 @@ object TextAnalysis extends QueryModule {
 
   // ---- full pipeline: gate → transitive dedup → scrub → stats ---------
 
-  /** The round-3 composed pipeline: quality gate (>= 50 words) →
+  /** The round-3 composed pipeline: quality gate (>= 50 units) →
     * transitive near-dup removal (keep each CC cluster's canonical
     * doc) → PII scrub accounting → per-language corpus stats. Chains
     * the CC label table, the gate projection, and the scrub regexes the
     * way a real corpus build runs them: one narrow scan for the
     * metrics, the tiny (doc_id, cluster_id) table joined in, one final
     * aggregation.
+    *
+    * Round 17 — the unsegmented story: the corpus unions the planted
+    * CJK docs (lang `xx`) and the length gate ROUTES per script class
+    * ([[ScriptRouting]], the CC edge routing one consumer up): a latin
+    * doc's unit is the ASCII word (exactly the old gate — real fixture
+    * docs are all latin, so their rows are unchanged), an unsegmented
+    * doc's unit is the `\p{L}` letter (a CJK doc is ONE word, so a
+    * word gate would silently drop every unsegmented doc before dedup
+    * could even see it), a letterless doc has 0 units and drops. The
+    * CC labels now carry the char-base edges, so the planted CJK
+    * near-dup non-keepers are REMOVED here — the round-16 verdict's
+    * "found but never removed" gap, closed end to end under the
+    * oracle (DedupSoundnessSpec pins the kept/dropped ids).
     */
   private def pipelineDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val keepers = Dedup.ccLabels(s, d)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-    withWords(documents(s, d))
+    val planted = Dedup.CJK_NEARDUP_DOCS.toDF("doc_id", "text")
+      .select(col("doc_id"), lit("xx").as("lang"), col("text"))
+    documents(s, d).select("doc_id", "lang", "text")
+      .unionByName(planted)
+      .withColumn("words", expr("filter(split(text, '[^a-z]+'), x -> x <> '')"))
       .withColumn("n_words", expr("size(words)").cast("long"))
-      .filter(col("n_words") >= 50)
+      .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
+      .withColumn("n_units",
+        when(ScriptRouting.unsegmented(col("sq")),
+          length(col("sq")).cast("long"))
+          .otherwise(col("n_words")))
+      .filter(col("n_units") >= 50)
       .join(keepers, "doc_id")
       .withColumn("n_emails",
         expr("size(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+', 0))")
           .cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum("n_words").as("total_words"),
+        sum("n_units").as("total_words"),
         sum("n_emails").as("emails_removed"))
       .orderBy("lang")
   }
 
-  private def pipelineDedupOracle: String =
+  private def pipelineDedupOracle: String = {
+    val values = Dedup.CJK_NEARDUP_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), 'xx', '$t')" }
+      .mkString(", ")
     s"""WITH RECURSIVE ${Dedup.ccOracleCtes},
        |clusters AS (
        |  SELECT doc_id, min(lbl)::BIGINT AS cluster_id
        |  FROM reach GROUP BY doc_id),
-       |gated AS (
-       |  SELECT d.doc_id, d.lang,
-       |    len(list_filter(string_split_regex(d.text, '[^a-z]+'), x -> x <> ''))::BIGINT
+       |pcorpus AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, lang, text)),
+       |pm AS (
+       |  SELECT doc_id, lang, text,
+       |    len(list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> ''))::BIGINT
        |      AS n_words,
-       |    len(regexp_extract_all(d.text, '[a-z0-9._-]+@[a-z0-9.-]+'))::BIGINT
+       |    ${ScriptRouting.sqSql} AS sq
+       |  FROM pcorpus),
+       |pu AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN ${ScriptRouting.unsegmentedSql("sq")}
+       |      THEN length(sq)::BIGINT ELSE n_words END AS n_units
+       |  FROM pm),
+       |gated AS (
+       |  SELECT u.doc_id, u.lang, u.n_units,
+       |    len(regexp_extract_all(u.text, '[a-z0-9._-]+@[a-z0-9.-]+'))::BIGINT
        |      AS n_emails
-       |  FROM documents d JOIN clusters c
-       |    ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id
-       |  WHERE len(list_filter(string_split_regex(d.text, '[^a-z]+'), x -> x <> '')) >= 50)
-       |SELECT lang, count(*) AS n_docs, sum(n_words)::BIGINT AS total_words,
+       |  FROM pu u JOIN clusters c
+       |    ON u.doc_id = c.doc_id AND u.doc_id = c.cluster_id
+       |  WHERE u.n_units >= 50)
+       |SELECT lang, count(*) AS n_docs, sum(n_units)::BIGINT AS total_words,
        |  sum(n_emails)::BIGINT AS emails_removed
        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   // ---- heavy hitters (frequent tokens) --------------------------------
 

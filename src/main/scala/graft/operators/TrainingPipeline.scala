@@ -194,6 +194,98 @@ object TrainingPipeline extends QueryModule {
        |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- decontamination, unsegmented scripts ------------------------------
+
+  /** Char-gram width for unsegmented-script decontamination — the
+    * [[DECON_GRAM]]-word window's twin under the char tokenizer (CJK
+    * words average 1–3 characters, so 20 code points ≈ the 8-word /
+    * published 13-token overlap windows at the planted lengths; the
+    * same reasoning as Dedup's char-window width).
+    */
+  private val DECON_CHAR_GRAM = 20
+
+  /** Planted docs for the routed decontamination row (all `\p{L}`,
+    * no quotes): -97 ≡ 0 (mod [[DECON_MOD]]) plays the held-out
+    * benchmark and embeds a 23-char exam block; -96 is a training doc
+    * quoting that block verbatim (must flag with its hit count); -95
+    * is clean training prose (must NOT flag). Both engines compute
+    * `-97 % 97 = 0` and `-96 % 97 ≠ 0` (truncated remainder follows
+    * the dividend in Spark and DuckDB alike).
+    */
+  private[graft] val CJK_DECON_DOCS: Seq[(Long, String)] = Seq(
+    -97L -> "标准测试基准数据集包含考试题目要求计算下列函数的导数并给出完整推导过程以及参考答案",
+    -96L -> "某网页教学材料里恰好抄录了考试题目要求计算下列函数的导数并给出完整推导过程作为例题讲解",
+    -95L -> "另一个训练文档内容完全原创没有任何基准泄漏问题涉及烹饪菜谱和旅行游记共约五十个字符长度合适")
+
+  /** Benchmark decontamination for unsegmented scripts — the routed
+    * twin of [[decontaminate]]: a CJK training doc quoting benchmark
+    * prose shares ZERO 8-word shingles with it (each doc is one
+    * `\p{L}` token), so the word-gram pass is structurally blind one
+    * more consumer over (round-16 verdict #2); this instance routes
+    * the corpus ∪ [[CJK_DECON_DOCS]] through [[ScriptRouting]] and
+    * overlaps distinct [[DECON_CHAR_GRAM]]-char windows of the squeeze
+    * instead. Same shapes at 100 TB: the benchmark index is eval-set
+    * sized and broadcast-joined; the routed training side streams
+    * explode → broadcast-join → partial count; the only exchange is
+    * the (doc_id, count) aggregation. The char-gram build is the
+    * codegen'd CharNGrams scan (built-in whole-text fallback below the
+    * window width, mirrored by the oracle's CASE).
+    */
+  private def decontaminateChars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = CJK_DECON_DOCS.toDF("doc_id", "text")
+    val g = materialized(s, d, "decon_char_grams")(
+      ScriptRouting.unsegmentedOnly(
+        documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(planted))
+        // CharNGrams squeezes to \p{L} internally (the Dedup shingle
+        // pattern) — no second regexp pass over the routed rows
+        .withColumn("grams", array_distinct(
+          org.apache.spark.sql.graft.TextColumns.charNGrams(
+            lower(nfc(col("text"))), DECON_CHAR_GRAM)))
+        .select("doc_id", "grams"))
+    val bench = g.filter(col("doc_id") % DECON_MOD === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    g.filter(col("doc_id") % DECON_MOD =!= 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  private def decontaminateCharsOracle: String = {
+    val values = CJK_DECON_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq0 AS (
+       |  SELECT doc_id, ${ScriptRouting.sqSql} AS sq FROM corpus),
+       |sq AS (
+       |  SELECT doc_id, sq FROM sq0
+       |  WHERE ${ScriptRouting.unsegmentedSql("sq")}),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN length(sq) >= $DECON_CHAR_GRAM
+       |      THEN list_transform(range(length(sq) - ${DECON_CHAR_GRAM - 1}),
+       |        i -> substr(sq, i + 1, $DECON_CHAR_GRAM))
+       |      ELSE [sq] END) AS grams
+       |  FROM sq),
+       |bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $DECON_MOD = 0),
+       |train AS (
+       |  SELECT doc_id, len(grams)::BIGINT AS n_grams, unnest(grams) AS gram
+       |  FROM g WHERE doc_id % $DECON_MOD <> 0)
+       |SELECT train.doc_id, max(train.n_grams) AS n_grams,
+       |  count(*)::BIGINT AS n_hits
+       |FROM train JOIN bench ON train.gram = bench.gram
+       |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- sequence packing ------------------------------------------------
 
   private val PACK_BUDGET = 512L // tokens per training sequence
@@ -448,6 +540,112 @@ object TrainingPipeline extends QueryModule {
        |FROM sizes LEFT JOIN topbi ON sizes.doc_id = topbi.doc_id
        |ORDER BY 1""".stripMargin
 
+  // ---- repetition quality stats, unsegmented scripts ----------------------
+
+  /** Planted docs for the routed repetition row (all `\p{L}`): -61 is
+    * degenerate repetition (one 2-char token ×25 — the boilerplate the
+    * Gopher rules exist to drop: top bigram ≈ half of all bigrams,
+    * every trigram window a duplicate of one of three), -62 is normal
+    * prose (low fractions), -63 is half boilerplate (an 4-char ad
+    * slogan ×8 before short real content).
+    */
+  private[graft] val CJK_REP_DOCS: Seq[(Long, String)] = Seq(
+    -61L -> ("去重" * 25),
+    -62L -> "自然流畅的中文散文内容每个字符各不相同避免重复以便统计基线保持低位数值水平测试用例设计完成",
+    -63L -> (("滚动广告" * 8) + "正文只有这一点点"))
+
+  /** Gopher-style repetition statistics for unsegmented scripts — the
+    * routed twin of [[repetitionStats]]: a CJK doc has at most ONE
+    * `\p{L}` word, so its word-bigram/trigram arrays are empty and the
+    * word row reports NULL fractions (the oracle's zero-guard) — a
+    * repetition filter that cannot see the most boilerplate-prone
+    * pattern in unsegmented text, n-char loops (round-16 verdict #2).
+    * This instance routes corpus ∪ [[CJK_REP_DOCS]] through
+    * [[ScriptRouting]] and computes the same two signals over CHAR
+    * 2/3-grams of the squeeze: the top-bigram occupancy and the
+    * duplicate-trigram fraction. Same shapes: trigram dup fraction is
+    * row-local; the top-bigram count is explode → partial count →
+    * per-doc max, keyed (doc_id, gram) so a hot doc spreads by gram;
+    * 6-dp rounding and NULL zero-guards per the cross-engine
+    * discipline. The gram arrays are the codegen'd CharNGrams scan,
+    * size-guarded to EMPTY below the window (the word twin's guard).
+    */
+  private def repetitionChars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = CJK_REP_DOCS.toDF("doc_id", "text")
+    val base = materialized(s, d, "rep_char_base")(
+      documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
+        .filter(ScriptRouting.unsegmented(col("sq")))
+        .withColumn("bigrams",
+          when(length(col("sq")) >= 2,
+            org.apache.spark.sql.graft.TextColumns.charNGrams(col("sq"), 2))
+            .otherwise(array().cast("array<string>")))
+        .withColumn("trigrams",
+          when(length(col("sq")) >= 3,
+            org.apache.spark.sql.graft.TextColumns.charNGrams(col("sq"), 3))
+            .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), length(col("sq")).cast("long").as("n_letters"),
+          size(col("bigrams")).cast("long").as("n_bi"),
+          size(col("trigrams")).cast("long").as("n_tri"),
+          size(array_distinct(col("trigrams"))).cast("long").as("n_tri_d"),
+          col("bigrams")))
+    val topBi = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bi"))
+    base.drop("bigrams")
+      .join(topBi, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac",
+        round(col("top_bi").cast("double") /
+          when(col("n_bi") > 0, col("n_bi")), 6))
+      .withColumn("dup_trigram_frac",
+        round((col("n_tri") - col("n_tri_d")).cast("double") /
+          when(col("n_tri") > 0, col("n_tri")), 6))
+      .select("doc_id", "n_letters", "top_bigram_frac", "dup_trigram_frac")
+      .orderBy("doc_id")
+  }
+
+  private def repetitionCharsOracle: String = {
+    val values = CJK_REP_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq0 AS (
+       |  SELECT doc_id, ${ScriptRouting.sqSql} AS sq FROM corpus),
+       |sq AS (
+       |  SELECT doc_id, sq FROM sq0
+       |  WHERE ${ScriptRouting.unsegmentedSql("sq")}),
+       |base AS (
+       |  SELECT doc_id, length(sq)::BIGINT AS n_letters,
+       |    CASE WHEN length(sq) >= 2
+       |      THEN list_transform(range(length(sq) - 1), i -> substr(sq, i + 1, 2))
+       |      ELSE [] END AS bigrams,
+       |    CASE WHEN length(sq) >= 3
+       |      THEN list_transform(range(length(sq) - 2), i -> substr(sq, i + 1, 3))
+       |      ELSE [] END AS trigrams
+       |  FROM sq),
+       |sizes AS (
+       |  SELECT doc_id, n_letters, len(bigrams)::BIGINT AS n_bi,
+       |    len(trigrams)::BIGINT AS n_tri,
+       |    len(list_distinct(trigrams))::BIGINT AS n_tri_d
+       |  FROM base),
+       |bg AS (
+       |  SELECT doc_id, unnest(bigrams) AS bg FROM base),
+       |topbi AS (
+       |  SELECT doc_id, max(c) AS top_bi FROM (
+       |    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+       |  GROUP BY doc_id)
+       |SELECT sizes.doc_id, n_letters,
+       |  round(top_bi::DOUBLE / (CASE WHEN n_bi > 0 THEN n_bi END), 6) AS top_bigram_frac,
+       |  round((n_tri - n_tri_d)::DOUBLE / (CASE WHEN n_tri > 0 THEN n_tri END), 6) AS dup_trigram_frac
+       |FROM sizes LEFT JOIN topbi ON sizes.doc_id = topbi.doc_id
+       |ORDER BY 1""".stripMargin
+  }
+
   // ---- semantic dedup (SemDeDup-style) -----------------------------------
 
   // 6 bits / tau 0.3 fit the FIXTURE's cosine geometry (max pairwise
@@ -629,10 +827,12 @@ object TrainingPipeline extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_decontaminate"  -> decontaminate _,
     "pipe_decontaminate_cut" -> decontaminateCut _,
+    "pipe_decontaminate_chars" -> decontaminateChars _,
     "pipe_pack"           -> packSequences _,
     "pipe_sample_strat"   -> stratifiedSample _,
     "pipe_mix_weighted"   -> mixWeighted _,
     "pipe_repetition"     -> repetitionStats _,
+    "pipe_repetition_chars" -> repetitionChars _,
     "pipe_semantic_dedup" -> semanticDedup _,
     "pipe_split"          -> splitAssign _,
     "pipe_domain_cap"     -> domainCap _,
@@ -641,10 +841,12 @@ object TrainingPipeline extends QueryModule {
   val oracles: Map[String, String] = Map(
     "pipe_decontaminate"  -> decontaminateOracle,
     "pipe_decontaminate_cut" -> decontaminateCutOracle,
+    "pipe_decontaminate_chars" -> decontaminateCharsOracle,
     "pipe_pack"           -> packSequencesOracle,
     "pipe_sample_strat"   -> stratifiedSampleOracle,
     "pipe_mix_weighted"   -> mixWeightedOracle,
     "pipe_repetition"     -> repetitionStatsOracle,
+    "pipe_repetition_chars" -> repetitionCharsOracle,
     "pipe_semantic_dedup" -> semanticDedupOracle,
     "pipe_split"          -> splitAssignOracle,
     "pipe_domain_cap"     -> domainCapOracle,

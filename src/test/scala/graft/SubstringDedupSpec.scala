@@ -85,4 +85,31 @@ class SubstringDedupSpec extends SparkSpec {
     )
     assert(got == expected, s"cut mismatch:\ngot      $got\nexpected $expected")
   }
+
+  test("char-window spans (round 17): the routed unsegmented base finds " +
+      "the planted cross-doc block once per doc at its position, the " +
+      "within-doc repeat as TWO maximal spans, nothing for the unrelated " +
+      "CJK doc — and every ASCII doc is routed out (8-WORD windows were " +
+      "structurally empty here: a CJK doc is one \\p{L} token)") {
+    // expectations computed independently from the planted texts (pure
+    // BMP letters, so sliding windows are code-point windows)
+    val texts = operators.Dedup.CJK_SPAN_DOCS.toMap
+    val block = texts(-51L).drop(11).take(26) // the shared license block
+    assert(texts(-52L).contains(block) && !texts(-53L).contains(block))
+    val spans = operators.Dedup.queries("dedup_substring_chars")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.forall(_._1 < 0),
+      s"ASCII fixture docs must be routed out of the char base: ${spans.toSeq}")
+    val byDoc = spans.groupBy(_._1)
+    // the 26-char block yields 7 duplicated 20-char windows merging into
+    // one 26-char span per doc, starting at the block's letter offset
+    assert(byDoc(-51L).toSeq == Seq((-51L, 11L, 26L, 7L)), s"${byDoc(-51L).toSeq}")
+    assert(byDoc(-52L).toSeq == Seq((-52L, 13L, 26L, 7L)), s"${byDoc(-52L).toSeq}")
+    assert(byDoc(-54L).toSeq.sortBy(_._2) ==
+      Seq((-54L, 5L, 26L, 7L), (-54L, 37L, 26L, 7L)),
+      s"within-doc repeat must report two maximal spans: ${byDoc(-54L).toSeq}")
+    assert(!byDoc.contains(-53L),
+      s"the unrelated CJK doc must report nothing: ${spans.toSeq}")
+  }
 }

@@ -160,4 +160,43 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((5L, 0L, 1.0)),
       s"semantic dedup drop list mismatch: ${got.toSeq}")
   }
+
+  // ---- unsegmented-script variants (round 17) ----------------------------
+
+  test("char-gram decontamination flags the CJK doc quoting the planted " +
+      "benchmark block with the hand-counted hit count; clean CJK prose " +
+      "and every ASCII fixture doc are absent (word grams were " +
+      "structurally blind here: each doc is one \\p{L} token)") {
+    // expectations computed independently: the planted texts are pure
+    // BMP letters, so String#sliding windows ARE code-point windows
+    val texts = operators.TrainingPipeline.CJK_DECON_DOCS.toMap
+    def grams(id: Long) = texts(id).sliding(20).toSet
+    val expectHits = (grams(-96L) intersect grams(-97L)).size.toLong
+    val expectGrams = grams(-96L).size.toLong
+    assert(expectHits > 0, "plant must actually overlap the benchmark")
+    val got = q("pipe_decontaminate_chars", sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(-96L -> ((expectGrams, expectHits))),
+      s"routed contamination report mismatch (want -96 -> " +
+        s"($expectGrams, $expectHits)): $got")
+  }
+
+  test("char repetition stats: the degenerate 2-char loop tops the " +
+      "bigram occupancy and near-totals trigram duplication, normal " +
+      "CJK prose sits at baseline, the half-boilerplate doc lands " +
+      "between — and no ASCII fixture doc enters the routed base") {
+    val got = q("pipe_repetition_chars", sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(-61L, -62L, -63L),
+      s"exactly the planted unsegmented docs must report: $got")
+    val (tb61, dt61) = got(-61L)
+    // "去重"×25: top bigram occurs 25 times of 49 windows; all 48
+    // trigram windows repeat one of two patterns -> 46/48 duplicated
+    assert(tb61 > 0.5 && dt61 > 0.9, s"degenerate loop must max out: ${got(-61L)}")
+    val (tb62, dt62) = got(-62L)
+    assert(tb62 < 0.05 && dt62 == 0.0, s"normal prose must baseline: ${got(-62L)}")
+    val (tb63, dt63) = got(-63L)
+    assert(tb63 > tb62 && tb63 < tb61 && dt63 > 0.5 && dt63 < dt61,
+      s"half-boilerplate must land between: ${got(-63L)}")
+  }
 }

@@ -32,8 +32,34 @@ def norm_row(row):
     return tuple(norm_cell(v) for v in row)
 
 
+def warn_untracked_artifacts():
+    """Round artifacts (BENCH_r*.json, CORRECTNESS_r*.json, LEAKCHECK)
+    recurred UNTRACKED at HEAD four rounds running (round-16 verdict #5)
+    — surface it on every local gate run instead of trusting memory.
+    Warning only: this tool's exit code is the oracle verdict."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))).stdout
+    except OSError:
+        return
+    stale = [
+        line.split(None, 1)[1]
+        for line in out.splitlines()
+        if line and any(
+            p in line for p in ("BENCH_r", "CORRECTNESS_r", "LEAKCHECK"))
+    ]
+    if stale:
+        print(f"WARN round artifacts not committed at HEAD: {sorted(stale)} "
+              "- commit them with the round's work")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    warn_untracked_artifacts()
     only = set(sys.argv[3:])
     con = duckdb.connect()
     n_tables = 0

@@ -1024,8 +1024,9 @@ object Dedup extends QueryModule {
     * CTE names suffixed so the chain can sit beside the word chain in
     * the routed-union CC oracle.
     */
-  private def charShinglesCteFor(sfx: String): String = {
-    val values = CJK_NEARDUP_DOCS
+  private def charShinglesCteFor(sfx: String,
+      docs: Seq[(Long, String)] = CJK_NEARDUP_DOCS): String = {
+    val values = docs
       .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
       .mkString(", ")
     s"""corpus$sfx AS (
@@ -1060,6 +1061,102 @@ object Dedup extends QueryModule {
        |JOIN sig sb ON doc_b = sb.doc_id
        |WHERE ($matches)::DOUBLE / $K >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- incremental dedup for unsegmented scripts ------------------------
+
+  /** Planted CJK docs for the routed incremental row. Even ids play the
+    * already-kept corpus, odd ids the incoming batch — phrased
+    * `% 2 <> 0` for the batch in BOTH engines because a negative odd
+    * id's truncated remainder is -1, not 1 (the positive-id word
+    * instance can say `= 1`; these plants cannot). Fates hand-derived
+    * from the dominance rule:
+    *  - -62 corpus prose (even);
+    *  - -61 batch near-dup of -62, differing in the final character →
+    *    DROPPED by the corpus arm;
+    *  - -59 batch original → KEPT, and the smaller-id dominator below;
+    *  - -57 batch near-dup of -59 → DROPPED by the earlier-smaller-id
+    *    arm (-59 < -57);
+    *  - -55 batch original → KEPT.
+    * All Lo characters (`lower()` is the identity — the
+    * [[ScriptRouting]] caveat class is avoided), 50+ letters each.
+    */
+  private[graft] val CJK_INCR_DOCS: Seq[(Long, String)] = Seq(
+    -62L -> "分布式存储系统通过多副本复制保证数据持久性一致性协议协调节点状态故障转移机制确保服务持续可用整体性能依赖缓存",
+    -61L -> "分布式存储系统通过多副本复制保证数据持久性一致性协议协调节点状态故障转移机制确保服务持续可用整体性能依赖缓冲",
+    -59L -> "春天的花园里开满了各种颜色的鲜花蝴蝶在花丛中飞舞蜜蜂忙着采蜜小鸟在枝头歌唱温暖的阳光洒满大地微风轻拂柳条摇曳",
+    -57L -> "春天的花园里开满了各种颜色的鲜花蝴蝶在花丛中飞舞蜜蜂忙着采蜜小鸟在枝头歌唱温暖的阳光洒满大地微风轻拂柳条摇动",
+    -55L -> "量子计算利用叠加态和纠缠实现并行计算能力远超经典计算机在密码学药物设计材料科学领域具有广阔应用前景值得期待关注")
+
+  /** Incremental near-dup dedup for UNSEGMENTED scripts — the routed
+    * twin of [[dedupAgainst]], and the last pair-family consumer that
+    * was still word-base-only after round 17's cluster/removal union:
+    * a new CJK crawl document shares ZERO word shingles with the CJK
+    * corpus doc it near-duplicates (each is ONE `\p{L}` run), so the
+    * word-base dominance pass keeps every unsegmented duplicate —
+    * DedupIncrementalSpec pins exactly that blindness and this catch.
+    *
+    * Both sides route through [[ScriptRouting]] (latin docs are the
+    * word base's job, letterless docs nobody's), build char-gram
+    * signatures, and run the SAME [[dedupAgainstSigs]] dominance join —
+    * one rule, two signature front-ends, mirroring the cluster path.
+    * Scale shape is [[dedupAgainst]]'s: corpus text is never read
+    * (signatures only), shuffle keys are band digests and doc_ids.
+    *
+    * @return the kept rows of `newDocs`'s routed slice, all columns.
+    */
+  def dedupAgainstChars(corpusDocs: DataFrame, newDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val corpusSigs = sigOf(withCharShingles(
+      ScriptRouting.unsegmentedOnly(corpusDocs)).select("doc_id", "shingles"))
+    val newRouted = ScriptRouting.unsegmentedOnly(newDocs)
+    val newSigs = tracked(sigOf(withCharShingles(newRouted)
+      .select("doc_id", "shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    dedupAgainstSigs(corpusSigs, newRouted, newSigs, threshold)
+  }
+
+  /** Driver-gated exercise of [[dedupAgainstChars]]: even doc_ids of
+    * documents ∪ [[CJK_INCR_DOCS]] play the kept corpus, odd ids the
+    * batch; output is the routed batch's survivors with their letter
+    * mass. The all-ASCII fixture routes no real doc, so the planted
+    * rows ARE the certified content (the [[chargramPairs]] pattern —
+    * a plant-free row would certify the empty set); production callers
+    * use the plant-free entry point above.
+    */
+  private def incrementalDedupChars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = CJK_INCR_DOCS.toDF("doc_id", "text")
+    val corpus = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    dedupAgainstChars(
+      corpus.filter(col("doc_id") % 2 === 0),
+      corpus.filter(col("doc_id") % 2 =!= 0))
+      .select(col("doc_id"),
+        length(ScriptRouting.squeezedLetters(col("text")))
+          .cast("long").as("n_letters"))
+      .orderBy("doc_id")
+  }
+
+  private def incrementalDedupCharsOracle: String = {
+    val matches = (0 until K)
+      .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${charShinglesCteFor("", CJK_INCR_DOCS)},
+       |$candidatePairsCte,
+       |verified AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sig sa ON doc_a = sa.doc_id
+       |  JOIN sig sb ON doc_b = sb.doc_id
+       |  WHERE ($matches) >= ${(0.5 * K).toInt}),
+       |dropped AS (
+       |  SELECT doc_b AS new_id FROM verified WHERE doc_b % 2 <> 0
+       |  UNION
+       |  SELECT doc_a AS new_id FROM verified
+       |  WHERE doc_a % 2 <> 0 AND doc_b % 2 = 0)
+       |SELECT doc_id, length(sq)::BIGINT AS n_letters FROM sq
+       |WHERE doc_id % 2 <> 0 AND doc_id NOT IN (SELECT new_id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ---- streaming incremental dedup ------------------------------------
@@ -1948,6 +2045,7 @@ object Dedup extends QueryModule {
     "dedup_chargram_pairs" -> chargramPairs _,
     "dedup_cc"            -> ccClusters _,
     "dedup_incremental"   -> incrementalDedup _,
+    "dedup_incremental_chars" -> incrementalDedupChars _,
     "dedup_substring"     -> substringSpans _,
     "dedup_substring_cut" -> substringCut _,
     "dedup_substring_chars" -> substringCharSpans _,
@@ -1974,6 +2072,7 @@ object Dedup extends QueryModule {
     "dedup_chargram_pairs" -> chargramPairsOracle,
     "dedup_cc"            -> ccClustersOracle,
     "dedup_incremental"   -> incrementalDedupOracle,
+    "dedup_incremental_chars" -> incrementalDedupCharsOracle,
     "dedup_substring"     -> substringSpansOracle,
     "dedup_substring_cut" -> substringCutOracle,
     "dedup_substring_chars" -> substringCharSpansOracle,

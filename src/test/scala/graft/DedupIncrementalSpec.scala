@@ -121,6 +121,28 @@ class DedupIncrementalSpec extends SparkSpec {
       "registry query and direct dedupAgainst must agree row-for-row")
   }
 
+  test("word-base incremental is BLIND to CJK near-dups; the routed " +
+      "char base catches exactly the planted dominance fates") {
+    import spark.implicits._
+    val cjk = operators.Dedup.CJK_INCR_DOCS.toDF("doc_id", "text")
+    val corpus = cjk.filter(col("doc_id") % 2 === 0)
+    val batch = cjk.filter(col("doc_id") % 2 =!= 0)
+    // blindness: each CJK doc is ONE \p{L} run, so the word-shingle
+    // base sees a near-dup differing in one character as sharing
+    // nothing — the word-base dominance pass keeps EVERY batch doc
+    val keptWord = keptIds(operators.Dedup.dedupAgainst(
+      operators.Dedup.signatures(corpus).select("doc_id", "sig"), batch))
+    assert(keptWord == Set(-61L, -59L, -57L, -55L),
+      s"word base must keep all (blindness pin); got $keptWord")
+    // catch: the routed char base drops -61 (near-dup of corpus -62)
+    // and -57 (near-dup of earlier batch doc -59), keeps the originals
+    val keptChar = keptIds(
+      operators.Dedup.dedupAgainstChars(corpus, batch))
+    assert(keptChar == Set(-59L, -55L),
+      s"char base must drop -61 (corpus arm) and -57 (earlier arm); " +
+        s"got $keptChar")
+  }
+
   test("threshold is honored: at threshold 1.0 only exact signature " +
       "matches drop") {
     val corpusSigs = operators.Dedup.signatures(corpusA).select("doc_id", "sig")

@@ -352,6 +352,235 @@ object TextAnalysis extends QueryModule {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ---- script classification: language ID for unsegmented scripts -----
+
+  /** (script class, Java regex class, RE2 regex class): ONE list
+    * generates the count columns AND both engines' argmax chains, so
+    * the two sides cannot drift (the ScriptRouting shared-definition
+    * discipline). Java spells Unicode script properties `\p{IsHan}`,
+    * DuckDB's RE2 spells them `\p{Han}` — both read the same
+    * Scripts.txt classes (verified identical on every planted row per
+    * run by the oracle compare). Order IS the deterministic tie-break
+    * of the argmax chain.
+    */
+  private val scriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("hiragana", "\\p{IsHiragana}", "\\p{Hiragana}"),
+    ("katakana", "\\p{IsKatakana}", "\\p{Katakana}"),
+    ("hangul", "\\p{IsHangul}", "\\p{Hangul}"),
+    ("greek", "\\p{IsGreek}", "\\p{Greek}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"))
+
+  /** Priority-ordered argmax over the class counts — plain SQL over
+    * the already-computed `n_<class>` columns, so the SAME string runs
+    * under Spark's `expr` and DuckDB. Ties break toward the earlier
+    * class in [[scriptClasses]] order (latin first — the corpus
+    * default), `other` last; letterless docs short-circuit to 'none'.
+    */
+  private def scriptArgmaxSql: String = {
+    val names = scriptClasses.map(_._1) :+ "other"
+    val arms = names.init.zipWithIndex.map { case (n, i) =>
+      val later = names.drop(i + 1).map(m => s"n_$n >= n_$m").mkString(" AND ")
+      s"WHEN $later THEN '$n'"
+    }
+    s"CASE WHEN n_letters = 0 THEN 'none' ${arms.mkString(" ")} ELSE 'other' END"
+  }
+
+  /** Script → language class, with the published Japanese-vs-Chinese
+    * discriminator: kana PRESENCE marks Japanese even when kanji carry
+    * the letter mass (every Japanese sentence interleaves both; a
+    * Chinese one has no kana). Latin-script docs defer to the
+    * stopword-profile `text_langid` — script mass alone cannot split
+    * en/de/fr/es. Shared SQL text, same reasoning as
+    * [[scriptArgmaxSql]].
+    */
+  private val langClassSql: String =
+    """CASE WHEN script = 'none' THEN 'und'
+      | WHEN script IN ('hiragana', 'katakana') THEN 'ja'
+      | WHEN script = 'han' AND n_hiragana + n_katakana > 0 THEN 'ja'
+      | WHEN script = 'han' THEN 'zh'
+      | WHEN script = 'hangul' THEN 'ko'
+      | WHEN script = 'greek' THEN 'el'
+      | WHEN script = 'cyrillic' THEN 'ru'
+      | WHEN script = 'latin' THEN 'latin'
+      | ELSE 'und' END""".stripMargin
+
+  /** Planted docs for the script-classifier rows — the unsegmented and
+    * mixed-script language classes [[LETTER_TOKEN_DOCS]] does not
+    * cover: Korean (hangul, space-segmented but majority non-ASCII),
+    * Japanese with KANJI-majority letter mass (the kana-presence arm
+    * must fire — a pure han argmax would call it Chinese), and a
+    * katakana-majority doc. All letters chosen case-stable and
+    * script-unambiguous (no U+30FC prolonged-sound mark, which is
+    * Script=Common and would land in n_other — a legal but less
+    * legible certification).
+    */
+  private[graft] val LANGID_SCRIPT_DOCS: Seq[(Long, String)] = Seq(
+    -111L -> "한국어는 조사와 어미가 발달한 언어이다",
+    -112L -> "東京都内の高層建築物構造設計基準は地震対策を重視する",
+    -113L -> "カタカナのテキストはアニメとマンガで使う")
+
+  /** Language ID by Unicode script mass — the langid tier that works
+    * where the stopword profile is structurally blind: `text_langid`
+    * scores word-token overlap against en/de/fr/es stopword lists, so
+    * a CJK document (ONE `\p{L}` token, zero stopword hits) falls out
+    * as 'en' on the tie-break (TextSoundnessSpec pins that miss).
+    * This operator counts per-script letter mass over the SAME
+    * [[ScriptRouting]] squeeze the dedup family routes on, argmaxes
+    * with a deterministic tie-break, and maps script → language class
+    * (kana presence ⇒ Japanese, the standard CJK discriminator —
+    * cf. CLD2's script-first design, public). Latin-script docs defer
+    * to the stopword tier; the two operators compose into the full
+    * dispatch: script mass first, stopword profiles within the latin
+    * class.
+    *
+    * Cross-engine caveat (documented, same class as [[ScriptRouting]]'s
+    * fold note): Java and RE2 read their own Unicode script tables, so
+    * a code point whose script assignment moved between Unicode
+    * versions could count differently; the planted rows use only
+    * decades-stable BMP letters, and the oracle compare re-proves the
+    * agreement on them every run.
+    *
+    * Scale: row-local — one squeeze + |classes| codegen'd regexp
+    * passes per doc, no shuffle before the terminal sort (which only
+    * the contract row needs). At 100 TB this rides the same scan as
+    * quality/routing; production keeps the class column as corpus
+    * metadata.
+    */
+  private def langidScript(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS).toDF("doc_id", "text")
+    val counts = scriptClasses.foldLeft(
+      documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
+        .withColumn("n_letters", length(col("sq")).cast("long"))) {
+      case (df, (name, javaCls, _)) =>
+        df.withColumn(s"n_$name",
+          length(regexp_replace(col("sq"), s"[^$javaCls]+", "")).cast("long"))
+    }
+    counts
+      .withColumn("n_other",
+        scriptClasses.map(c => col(s"n_${c._1}"))
+          .foldLeft(col("n_letters"))(_ - _))
+      .withColumn("script", expr(scriptArgmaxSql))
+      .withColumn("lang_class", expr(langClassSql))
+      .select(Seq(col("doc_id"), col("n_letters")) ++
+        scriptClasses.map(c => col(s"n_${c._1}")) ++
+        Seq(col("n_other"), col("script"), col("lang_class")): _*)
+      .orderBy("doc_id")
+  }
+
+  private def langidScriptOracle: String = {
+    val values = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS)
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    val countCols = scriptClasses.map { case (name, _, re2Cls) =>
+      s"length(regexp_replace(sq, '[^$re2Cls]+', '', 'g'))::BIGINT AS n_$name"
+    }.mkString(",\n    ")
+    val otherExpr = scriptClasses.map(c => s"n_${c._1}")
+      .mkString("n_letters - ", " - ", "")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq AS (
+       |  SELECT doc_id, ${ScriptRouting.sqSql} AS sq FROM corpus),
+       |m AS (
+       |  SELECT doc_id, length(sq)::BIGINT AS n_letters,
+       |    $countCols
+       |  FROM sq),
+       |m2 AS (
+       |  SELECT *, ($otherExpr)::BIGINT AS n_other,
+       |    $scriptArgmaxSql AS script
+       |  FROM m)
+       |SELECT doc_id, n_letters,
+       |  ${scriptClasses.map(c => s"n_${c._1}").mkString(", ")}, n_other,
+       |  script, $langClassSql AS lang_class
+       |FROM m2 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- quality scoring for unsegmented scripts -------------------------
+
+  /** Character-level quality scoring for the unsegmented script class —
+    * `text_quality`'s routed twin, closing the same blindness one
+    * consumer over: the word-base metrics score a CJK document as ONE
+    * word with ZERO `[a-z]` alphabetic characters (n_words=1,
+    * avg_word_len=0, stop_ratio=0 — a constant garbage score
+    * regardless of content; TextSoundnessSpec pins it). For scripts
+    * where words are not delimited, the published quality heuristics
+    * (CCNet's per-character LM features, Gopher's character-level
+    * rules) work on characters instead — this operator emits, for the
+    * routed docs only: letter count, letter-to-text density, distinct
+    * code-point diversity (a boilerplate/repetition proxy: dup-heavy
+    * docs reuse few characters), and a 0.4/0.3/0.3 composite in exact
+    * integer millionths (the `text_quality` rounding contract — every
+    * component integer-scaled before the weighted sum so both engines
+    * land bit-equal).
+    *
+    * The corpus is all-ASCII, so the routed rows are the planted
+    * multilingual docs — present so the row certifies actual scoring
+    * every run (the chargram-contract rationale); a real pipeline
+    * calls this on its routed slice where those docs are the data.
+    *
+    * Scale: row-local projection over the routed slice (the squeeze +
+    * two distinct-count passes), no shuffle before the contract sort.
+    */
+  private def qualityChars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS).toDF("doc_id", "text")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
+      .filter(ScriptRouting.unsegmented(col("sq")))
+      .withColumn("n_letters", length(col("sq")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(
+        org.apache.spark.sql.graft.TextColumns.charNGrams(col("sq"), 1)))
+        .cast("long"))
+      // routed ⇒ n_letters ≥ 1 and length(text) ≥ 1: no /0 guards needed
+      .withColumn("letter_ratio",
+        round(col("n_letters").cast("double") / length(col("text")), 6))
+      .withColumn("uniq_ratio",
+        round(col("n_uniq").cast("double") / col("n_letters"), 6))
+      .withColumn("quality_score",
+        expr("""CAST((least(n_letters * 20000, 1000000) * 40
+            |  + CAST(round(letter_ratio * 1000000) AS BIGINT) * 30
+            |  + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30
+            |  + 50) div 100 AS DOUBLE) / 1000000""".stripMargin))
+      .select("doc_id", "n_letters", "n_uniq", "letter_ratio",
+        "uniq_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private def qualityCharsOracle: String = {
+    val values = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS)
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq0 AS (
+       |  SELECT doc_id, text, ${ScriptRouting.sqSql} AS sq FROM corpus),
+       |routed AS (
+       |  SELECT doc_id, text, sq FROM sq0
+       |  WHERE ${ScriptRouting.unsegmentedSql("sq")}),
+       |m AS (
+       |  SELECT doc_id, length(sq)::BIGINT AS n_letters,
+       |    len(list_distinct(list_transform(range(length(sq)),
+       |      i -> substr(sq, i + 1, 1))))::BIGINT AS n_uniq,
+       |    round(length(sq)::DOUBLE / length(text), 6) AS letter_ratio
+       |  FROM routed),
+       |m2 AS (
+       |  SELECT *, round(n_uniq::DOUBLE / n_letters, 6) AS uniq_ratio
+       |  FROM m)
+       |SELECT doc_id, n_letters, n_uniq, letter_ratio, uniq_ratio,
+       |  ((least(n_letters * 20000, 1000000) * 40
+       |    + round(letter_ratio * 1000000)::BIGINT * 30
+       |    + round(uniq_ratio * 1000000)::BIGINT * 30
+       |    + 50) // 100)::DOUBLE / 1000000 AS quality_score
+       |FROM m2 ORDER BY doc_id""".stripMargin
+  }
+
   // ---- document fingerprinting ----------------------------------------
 
   /** Whitespace-normalized content hash + min-k-gram rolling fingerprint
@@ -1377,7 +1606,9 @@ object TextAnalysis extends QueryModule {
     "text_script_route" -> scriptRoute _,
     "text_casefold_key" -> casefoldKey _,
     "text_quality"     -> quality _,
+    "text_quality_chars" -> qualityChars _,
     "text_langid"      -> langid _,
+    "text_langid_script" -> langidScript _,
     "text_fingerprint" -> fingerprint _,
     "text_tfidf"       -> tfidf _,
     "text_ngrams"      -> ngrams _,
@@ -1406,7 +1637,9 @@ object TextAnalysis extends QueryModule {
     "text_letter_tokens" -> letterTokensOracle,
     "text_script_route" -> scriptRouteOracle,
     "text_quality"     -> qualityOracle,
+    "text_quality_chars" -> qualityCharsOracle,
     "text_langid"      -> langidOracle,
+    "text_langid_script" -> langidScriptOracle,
     "text_fingerprint" -> fingerprintOracle,
     "text_tfidf"       -> tfidfOracle,
     "text_ngrams"      -> ngramsOracle,

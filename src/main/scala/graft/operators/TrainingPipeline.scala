@@ -334,6 +334,86 @@ object TrainingPipeline extends QueryModule {
        |  min(doc_id) AS first_doc
        |FROM cums GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
 
+  // ---- sequence packing, script-routed token counts --------------------
+
+  /** Planted docs for the routed-packing row. `-137` and `-121` share
+    * shard `-9` (both ≡ −9 mod [[PACK_SHARDS]]; truncated remainder
+    * agrees across engines) and carry 555 and 560 letters: under the
+    * routed count the shard's running sum crosses [[PACK_BUDGET]]
+    * between them, so they pack into TWO sequences — under the
+    * whitespace count each is ONE token and they'd collapse into one
+    * (the catch TrainingPipelineSpec pins). `-122`/`-123` are
+    * fixture-length CJK/hiragana docs in their own shards.
+    */
+  private[graft] val CJK_PACK_DOCS: Seq[(Long, String)] = Seq(
+    -137L -> ("训练语料按照批次切分成固定长度的片段用于模型学习" * 23 + "补两个"),
+    -121L -> ("大规模语言模型训练需要海量优质数据每个批次按序列长度切分" * 20),
+    -122L -> "短文档只有二十个汉字左右用来验证常规情况",
+    -123L -> "むかしむかしあるところにおじいさんがいました")
+
+  /** [[packSequences]] with a SCRIPT-ROUTED token count — the packing
+    * consumer's unsegmented story (the same blindness class as the
+    * gram family, one consumer over): `pipe_pack`'s whitespace count
+    * prices a CJK document at ONE token regardless of length, so a
+    * packer budgeting [[PACK_BUDGET]]-token sequences would overfill
+    * them by orders of magnitude on unsegmented corpora. Routed by the
+    * shared [[ScriptRouting]] class: segmented docs keep the
+    * whitespace count; unsegmented docs count `\p{L}` code points of
+    * the squeeze (≈1 token/character for CJK under production BPE
+    * vocabs — the standard proxy; a tokenizer-exact count is
+    * `text_bpe_doc_tokens`' job). The packing pass itself is
+    * UNCHANGED — shard-local running sum, cut at the budget — which is
+    * the point: routing is a column choice, not a second pipeline.
+    *
+    * Scale: identical to [[packSequences]] (the one shuffle carries
+    * doc_id + two longs, never text) plus one row-local squeeze pass.
+    */
+  private def packSequencesRouted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = CJK_PACK_DOCS.toDF("doc_id", "text")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
+      .select(col("doc_id"), (col("doc_id") % PACK_SHARDS).as("shard"),
+        when(ScriptRouting.unsegmented(col("sq")), length(col("sq")))
+          .otherwise(
+            expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))"))
+          .cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $PACK_BUDGET"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("shard", "seq_id")
+  }
+
+  private def packSequencesRoutedOracle: String = {
+    val values = CJK_PACK_DOCS
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq AS (
+       |  SELECT doc_id, text, ${ScriptRouting.sqSql} AS sq FROM corpus),
+       |toks AS (
+       |  SELECT doc_id, doc_id % $PACK_SHARDS AS shard,
+       |    (CASE WHEN ${ScriptRouting.unsegmentedSql("sq")} THEN length(sq)
+       |      ELSE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+       |      END)::BIGINT AS n_tok
+       |  FROM sq),
+       |cums AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM toks)
+       |SELECT shard, ((cum - n_tok) // $PACK_BUDGET)::BIGINT AS seq_id,
+       |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |  min(doc_id) AS first_doc
+       |FROM cums GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+  }
+
   // ---- deterministic hashing shared by the sampling operators ----------
 
   /** Knuth multiplicative hash of doc_id into [0, 1e6) — exact 64-bit
@@ -829,6 +909,7 @@ object TrainingPipeline extends QueryModule {
     "pipe_decontaminate_cut" -> decontaminateCut _,
     "pipe_decontaminate_chars" -> decontaminateChars _,
     "pipe_pack"           -> packSequences _,
+    "pipe_pack_routed"    -> packSequencesRouted _,
     "pipe_sample_strat"   -> stratifiedSample _,
     "pipe_mix_weighted"   -> mixWeighted _,
     "pipe_repetition"     -> repetitionStats _,
@@ -843,6 +924,7 @@ object TrainingPipeline extends QueryModule {
     "pipe_decontaminate_cut" -> decontaminateCutOracle,
     "pipe_decontaminate_chars" -> decontaminateCharsOracle,
     "pipe_pack"           -> packSequencesOracle,
+    "pipe_pack_routed"    -> packSequencesRoutedOracle,
     "pipe_sample_strat"   -> stratifiedSampleOracle,
     "pipe_mix_weighted"   -> mixWeightedOracle,
     "pipe_repetition"     -> repetitionStatsOracle,

@@ -121,4 +121,74 @@ class TextSoundnessSpec extends SparkSpec {
         s"bigram-free doc $d must carry 0 counts and NULL familiarity: ${rows(d)}")
     }
   }
+
+  // ---- unsegmented-script language/quality tiers (round 17) ------------
+
+  test("script-mass langid catches what the stopword profile is blind " +
+      "to: text_langid calls every CJK doc 'en' (zero stopword hits, " +
+      "tie-break), text_langid_script assigns zh/ja/ko — including " +
+      "kanji-majority Japanese via kana presence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_script_sound_")
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "语言模型需要海量训练数据质量决定最终效果"),           // Chinese: han only
+      (3L, "東京都内の高層建築物は地震対策を重視する"),           // Japanese: kanji-majority + kana
+      (4L, "한국어 문서 분류 테스트 자료"))                       // Korean: hangul
+    corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+        lit("synthetic").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the blindness: the stopword profiler scores every CJK doc 0-0-0-0
+    // and the tie-break hands them all to English
+    val word = operators.TextAnalysis.queries("text_langid")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(word == Map(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "en"),
+      s"stopword langid must be blind on CJK (all 'en'): $word")
+    // the catch: script mass separates them; doc 3 is the kana-presence
+    // arm (han carries the letter mass, so a pure argmax would say zh)
+    val script = operators.TextAnalysis.queries("text_langid_script")(spark, dir.toString)
+      .collect().filter(_.getLong(0) > 0)
+      .map(r => r.getLong(0) -> ((r.getString(10), r.getString(11)))).toMap
+    assert(script(1L) == (("latin", "latin")), s"got ${script(1L)}")
+    assert(script(2L) == (("han", "zh")), s"got ${script(2L)}")
+    assert(script(3L) == (("han", "ja")),
+      s"kanji-majority Japanese must classify ja via kana presence: ${script(3L)}")
+    assert(script(4L) == (("hangul", "ko")), s"got ${script(4L)}")
+  }
+
+  test("char-level quality scores unsegmented docs the word metrics " +
+      "see as constant garbage: boilerplate (one repeated char) lands " +
+      "under diverse prose of the same length, and no ASCII doc " +
+      "enters the routed output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qchar_sound_")
+    import spark.implicits._
+    val diverse = "深度神经网络在自然语言处理领域取得重大突破注意力机制成为核心"
+    val boiler = "的" * diverse.length
+    Seq((1L, diverse), (2L, boiler), (3L, "plain english text here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+        lit("synthetic").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the blindness: the word metrics tokenize [a-z] runs, so a CJK doc
+    // has ZERO words — NULL ratios, NULL score, no signal at all
+    val word = operators.TextAnalysis.queries("text_quality")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (d <- Seq(1L, 2L))
+      assert(word(d).getLong(1) == 0L && word(d).isNullAt(5),
+        "word quality must see a CJK doc as wordless (NULL score, the " +
+          s"blindness): ${word(d)}")
+    // the catch: distinct-char diversity separates them
+    val chars = operators.TextAnalysis.queries("text_quality_chars")(spark, dir.toString)
+      .collect().filter(_.getLong(0) > 0)
+      .map(r => r.getLong(0) -> r).toMap
+    assert(chars.keySet == Set(1L, 2L),
+      s"exactly the routed unsegmented corpus docs must report: ${chars.keySet}")
+    assert(chars(1L).getLong(2) == diverse.distinct.length.toLong &&
+      chars(2L).getLong(2) == 1L,
+      s"distinct-char counts: ${chars(1L)} / ${chars(2L)}")
+    assert(chars(1L).getDouble(5) > chars(2L).getDouble(5),
+      "diverse prose must outscore single-char boilerplate: " +
+        s"${chars(1L).getDouble(5)} <= ${chars(2L).getDouble(5)}")
+  }
 }

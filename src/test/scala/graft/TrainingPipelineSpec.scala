@@ -199,4 +199,38 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(tb63 > tb62 && tb63 < tb61 && dt63 > 0.5 && dt63 < dt61,
       s"half-boilerplate must land between: ${got(-63L)}")
   }
+
+  test("routed packing prices unsegmented docs in letters, not " +
+      "whitespace tokens: the two 555/560-letter CJK plants split into " +
+      "two sequences where the whitespace count (1 token each) would " +
+      "pack them into one, and every segmented-corpus row is unchanged " +
+      "from pipe_pack") {
+    val texts = operators.TrainingPipeline.CJK_PACK_DOCS.toMap
+    // the blindness, computed independently: no whitespace anywhere in
+    // the plants, so the word base prices each at ONE token
+    for ((id, t) <- texts)
+      assert(t.split("\\s+").count(_.nonEmpty) == 1,
+        s"plant $id must be whitespace-free (one ws token)")
+    assert(texts(-137L).length == 555 && texts(-121L).length == 560,
+      "the shard -9 pair must carry 555/560 letters (BMP chars, so " +
+        "String#length IS the code-point count)")
+    val routed = q("pipe_pack_routed", sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the catch: -137's 555 letters fill seq 0 past the 512 budget, so
+    // -121 starts seq 1 — under the word count both land in seq 0
+    assert(routed((-9L, 0L)) == ((1L, 555L, -137L)) &&
+      routed((-9L, 1L)) == ((1L, 560L, -121L)),
+      s"shard -9 must split: ${routed.filter(_._1._1 == -9L)}")
+    assert(routed((-10L, 0L)) == ((1L, 20L, -122L)) &&
+      routed((-11L, 0L)) == ((1L, 22L, -123L)),
+      s"fixture-length plants must price at their letter counts: " +
+        s"${routed.filter(k => k._1._1 == -10L || k._1._1 == -11L)}")
+    // segmented rows: routing must be a no-op — bit-equal to pipe_pack
+    val word = q("pipe_pack", sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(routed.filter(_._1._1 >= 0L) == word,
+      "ASCII corpus shards must be unchanged by the routing")
+  }
 }

@@ -635,6 +635,95 @@ object TextAnalysis extends QueryModule {
       |       + ord(substr(n8, i+8, 1))::BIGINT)) AS fp_min_gram
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---- document fingerprinting for unsegmented scripts -----------------
+
+  /** Planted docs closing the fingerprint-specific certification gaps
+    * the shared LETTER_TOKEN/LANGID sets leave open: a
+    * punctuation/whitespace-variant pair of the SAME Japanese prose
+    * (identical squeeze ⇒ identical fingerprint — the
+    * normalization-catch the winnowing recipe exists for) and a
+    * supplementary-plane doc (11 Gothic Lo letters, 4-byte UTF-8) —
+    * the code-point-vs-byte window arithmetic proven above U+FFFF in
+    * both engines every run.
+    */
+  private[graft] val FINGERPRINT_CHAR_DOCS: Seq[(Long, String)] = Seq(
+    -121L -> "深層学習は、データの表現を学ぶ。",
+    -122L -> "深層学習は データの表現を学ぶ",
+    -123L -> "𐌰𐌱𐌲𐌳𐌴𐌵𐌶𐌷𐌸𐌹𐌺")
+
+  /** `text_fingerprint`'s routed twin — the fingerprint base for the
+    * unsegmented script class, where the word form is not merely blind
+    * but ACTIVELY WRONG: its `[^a-z0-9]+` normalization squeezes a CJK
+    * document to the EMPTY string, so every unsegmented doc gets the
+    * same `md5('')` content hash and the same padded-window min-gram —
+    * a fingerprint store would silently merge all of them into one
+    * "duplicate" group (TextSoundnessSpec pins exactly that false
+    * merge, and this operator's split). Here the normalized form is
+    * the shared [[ScriptRouting]] `\p{L}` squeeze and the min-gram
+    * runs over 8-CODE-POINT windows via the codegen'd
+    * [[org.apache.spark.sql.graft.MinCharGramHash]] (byte windows
+    * would hash UTF-8 fragments no `ord`-based oracle recomputes).
+    *
+    * The corpus is all-ASCII, so the routed rows are the planted
+    * multilingual docs — present so the row certifies actual
+    * fingerprinting every run (the chargram-contract rationale); the
+    * identical CJK pair (-44/-45) lands on equal fingerprints, the
+    * punctuation variants (-121/-122) prove the squeeze erases
+    * formatting, and the Gothic doc certifies the 4-byte plane.
+    *
+    * Scale: row-local — one squeeze + one O(len) codegen'd hash pass
+    * per routed doc, no shuffle before the contract sort; at 100 TB
+    * this rides the same scan as the word fingerprint, routed by the
+    * script class like every char-base consumer.
+    */
+  private def fingerprintChars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS ++
+      Dedup.CJK_NEARDUP_DOCS ++ FINGERPRINT_CHAR_DOCS).toDF("doc_id", "text")
+    fingerprintCharsOf(
+      documents(s, d).select(col("doc_id"), col("text")).unionByName(planted))
+  }
+
+  /** The routed char fingerprint over an arbitrary (doc_id, text, ...)
+    * frame — the seam TextSoundnessSpec drives planted corpora through.
+    */
+  private[graft] def fingerprintCharsOf(df: DataFrame): DataFrame =
+    df.withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
+      .filter(ScriptRouting.unsegmented(col("sq")))
+      .select(col("doc_id"), md5(col("sq")).as("fp_norm"),
+        org.apache.spark.sql.graft.TextColumns.minCharGramHash(col("sq"))
+          .as("fp_min_gram"))
+      .orderBy("doc_id")
+
+  private def fingerprintCharsOracle: String = {
+    val values = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS ++
+      Dedup.CJK_NEARDUP_DOCS ++ FINGERPRINT_CHAR_DOCS)
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq0 AS (
+       |  SELECT doc_id, ${ScriptRouting.sqSql} AS sq FROM corpus),
+       |routed AS (
+       |  SELECT doc_id, sq FROM sq0
+       |  WHERE ${ScriptRouting.unsegmentedSql("sq")}),
+       |g AS (
+       |  SELECT doc_id, md5(sq) AS fp_norm, sq || '        ' AS s8,
+       |    greatest(length(sq)-7, 1) AS m FROM routed)
+       |SELECT doc_id, fp_norm,
+       |  list_min(list_transform(range(m),
+       |    i -> ord(substr(s8, i+1, 1))::BIGINT*27512614111
+       |       + ord(substr(s8, i+2, 1))::BIGINT*887503681
+       |       + ord(substr(s8, i+3, 1))::BIGINT*28629151
+       |       + ord(substr(s8, i+4, 1))::BIGINT*923521
+       |       + ord(substr(s8, i+5, 1))::BIGINT*29791
+       |       + ord(substr(s8, i+6, 1))::BIGINT*961
+       |       + ord(substr(s8, i+7, 1))::BIGINT*31
+       |       + ord(substr(s8, i+8, 1))::BIGINT)) AS fp_min_gram
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   // ---- tf-idf ---------------------------------------------------------
 
   /** Top-3 tf-idf terms per document. Ranking uses the rounded score so
@@ -1597,6 +1686,100 @@ object TextAnalysis extends QueryModule {
        |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- statistical LM quality score for unsegmented scripts ------------
+
+  /** `text_lm_score`'s routed twin — bigram familiarity over CHARACTER
+    * bigrams of the `\p{L}` squeeze, for the script class where the
+    * word model is structurally silent: a CJK document tokenizes to at
+    * most one `[a-z]` word, so it has ZERO word bigrams and a NULL
+    * familiarity — rare-boilerplate and fluent prose are
+    * indistinguishable (TextSoundnessSpec pins the miss). The
+    * published recipe (CCNet's char-level LM for CJK) scores such
+    * scripts on character n-grams; this operator is that tier with the
+    * repo's exactness contract: integer bigram counts, one IEEE
+    * division, bit-identical cross-engine.
+    *
+    * Same shapes as the word twin: the model is the corpus's char
+    * bigram table, the doc-bigram → model join shuffles a fixed-width
+    * 16-hex digest (never gram text), both aggregations partial. The
+    * gram build is the codegen'd [[org.apache.spark.sql.graft.CharNGrams]]
+    * pass; its short-input fallback (one whole-squeeze element) is
+    * dropped by an exact-length row filter — the twin of the oracle's
+    * `length(sq) >= 2` CASE — so 1-letter docs carry 0 bigrams and a
+    * NULL score through the left join, never a 0/0.
+    *
+    * The corpus is all-ASCII, so the routed rows are the planted
+    * multilingual docs (the chargram-contract rationale); the planted
+    * near-dup pair shares nearly all bigrams (high familiarity) while
+    * the unrelated doc scores low — the ordinal signal
+    * TextSoundnessSpec pins.
+    */
+  private def lmScoreChars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS ++
+      Dedup.CJK_NEARDUP_DOCS).toDF("doc_id", "text")
+    lmScoreCharsOf(
+      documents(s, d).select(col("doc_id"), col("text")).unionByName(planted))
+  }
+
+  /** The routed char-bigram familiarity pipeline over an arbitrary
+    * (doc_id, text, ...) frame — the spec seam.
+    */
+  private[graft] def lmScoreCharsOf(docs: DataFrame): DataFrame = {
+    val routed = docs
+      .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
+      .filter(ScriptRouting.unsegmented(col("sq")))
+    val bg = routed
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.TextColumns
+          .charNGrams(col("sq"), 2)).as("bigram"))
+      .filter(length(col("bigram")) === 2)
+      .select(col("doc_id"), substring(md5(col("bigram")), 1, 16).as("bh"))
+    val model = bg.groupBy("bh").agg(count(lit(1)).as("cnt"))
+    val perDoc = bg.join(model, "bh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("fam_sum"))
+    routed.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("fam_sum"), lit(0L)).as("fam_sum"),
+        (col("fam_sum").cast("double") / col("n_bigrams")).as("familiarity"))
+      .select("doc_id", "n_bigrams", "fam_sum", "familiarity")
+      .orderBy("doc_id")
+  }
+
+  private def lmScoreCharsOracle: String = {
+    val values = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS ++
+      Dedup.CJK_NEARDUP_DOCS)
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text)),
+       |sq0 AS (
+       |  SELECT doc_id, ${ScriptRouting.sqSql} AS sq FROM corpus),
+       |routed AS (
+       |  SELECT doc_id, sq FROM sq0
+       |  WHERE ${ScriptRouting.unsegmentedSql("sq")}),
+       |bg AS (
+       |  SELECT doc_id, substr(md5(unnest(CASE WHEN length(sq) >= 2
+       |    THEN list_transform(range(length(sq)-1),
+       |      i -> substr(sq, i+1, 2))
+       |    ELSE [] END)), 1, 16) AS bh
+       |  FROM routed),
+       |model AS (SELECT bh, count(*) AS cnt FROM bg GROUP BY bh),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(cnt)::BIGINT AS fam_sum
+       |  FROM bg JOIN model USING (bh) GROUP BY doc_id)
+       |SELECT r.doc_id,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  coalesce(fam_sum, 0) AS fam_sum,
+       |  fam_sum::DOUBLE / n_bigrams AS familiarity
+       |FROM routed r LEFT JOIN per_doc ON r.doc_id = per_doc.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1610,6 +1793,7 @@ object TextAnalysis extends QueryModule {
     "text_langid"      -> langid _,
     "text_langid_script" -> langidScript _,
     "text_fingerprint" -> fingerprint _,
+    "text_fingerprint_chars" -> fingerprintChars _,
     "text_tfidf"       -> tfidf _,
     "text_ngrams"      -> ngrams _,
     "text_collocations" -> collocations _,
@@ -1623,6 +1807,7 @@ object TextAnalysis extends QueryModule {
     "text_bpe_doc_tokens" -> bpeDocTokens _,
     "text_bpe_doc_tokens_stored" -> bpeDocTokensStored _,
     "text_lm_score"       -> lmScore _,
+    "text_lm_score_chars" -> lmScoreChars _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1641,6 +1826,7 @@ object TextAnalysis extends QueryModule {
     "text_langid"      -> langidOracle,
     "text_langid_script" -> langidScriptOracle,
     "text_fingerprint" -> fingerprintOracle,
+    "text_fingerprint_chars" -> fingerprintCharsOracle,
     "text_tfidf"       -> tfidfOracle,
     "text_ngrams"      -> ngramsOracle,
     "text_collocations" -> collocationsOracle,
@@ -1655,5 +1841,6 @@ object TextAnalysis extends QueryModule {
     "text_bpe_doc_tokens_stored" -> bpeDocTokensOracle,
     "text_casefold_key"   -> casefoldKeyOracle,
     "text_lm_score"       -> lmScoreOracle,
+    "text_lm_score_chars" -> lmScoreCharsOracle,
   )
 }

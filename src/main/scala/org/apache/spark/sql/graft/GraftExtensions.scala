@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "one space-padded window) as BIGINT; intended for ASCII-normalized " +
         "text fingerprinting. Returns NULL on NULL input.")(
       c => MinGramHash(c.head))
+    register(ext, "min_chargram_hash", classOf[MinCharGramHash].getName, 1,
+      "min_chargram_hash(s) - Minimum base-31 polynomial hash over the " +
+        "complete 8-CODE-POINT windows of s (inputs shorter than 8 code " +
+        "points hash one space-padded window) as BIGINT; the non-ASCII " +
+        "twin of min_gram_hash for unsegmented-script fingerprinting. " +
+        "Returns NULL on NULL input.")(
+      c => MinCharGramHash(c.head))
     register(ext, "word_ngrams", classOf[WordNGrams].getName, 2,
       "word_ngrams(s, n) - Array of space-joined n-grams over the " +
         "maximal [a-z] runs of s (n a literal INT >= 1). With fewer than " +

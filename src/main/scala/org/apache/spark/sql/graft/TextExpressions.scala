@@ -107,6 +107,96 @@ case class MinGramHash(child: Expression)
     copy(child = newChild)
 }
 
+/** [[MinGramHash]]'s CODE-POINT twin: the minimum base-31 polynomial
+  * hash over every 8-code-point window of the input, as a long — the
+  * fingerprint base for scripts the byte-windowed form cannot serve
+  * (its documented precondition is ASCII input, where byte == code
+  * point; a CJK squeeze breaks it — an `ord`-based SQL oracle reads
+  * code points while the byte loop reads UTF-8 fragments).
+  *
+  * hash(window) = Σ_{j=0..7} cp_{i+j} · 31^(7−j), minimized over the
+  * max(nCp−7, 1) positions — the SAME position count and pad contract
+  * as [[MinGramHash]] (out-of-range positions read as space, 32), so
+  * on pure-ASCII input the two expressions are EQUAL (pinned in
+  * TextExpressionProps). The oracle twin pads with 8 literal spaces
+  * and reads `ord(substr(sq, i+k, 1))` — DuckDB's substr is
+  * code-point-indexed, so the arithmetic matches on every plane
+  * (supplementary-plane letters certified by the planted Gothic doc
+  * in `text_fingerprint_chars`).
+  *
+  * Exactness: max code point 0x10FFFF gives h ≤ 0x10FFFF·(31^8−1)/30
+  * ≈ 3.2e16 and a rolling intermediate ≤ 31·h ≈ 9.9e17 < 2^63 — exact
+  * 64-bit integer math, no modular reduction, recomputable in SQL.
+  *
+  * Scale shape: one O(len) pass inside whole-stage codegen (the UTF-8
+  * decode is the window walk), no explode, no shuffle amplification —
+  * same plan shape as the byte form. Callers pass the already-squeezed
+  * `\p{L}` fold (ScriptRouting.squeezedLetters); the expression hashes
+  * whatever code points it is given.
+  */
+case class MinCharGramHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "min_chargram_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinCharGramHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.MinCharGramHash.compute($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinCharGramHash =
+    copy(child = newChild)
+}
+
+object MinCharGramHash {
+  private val P7 = 27512614111L // 31^7, the outgoing code point's coefficient
+
+  /** Shared by interpreted eval and generated code: decode UTF-8 to
+    * code points in one pass, then the same rolling min-hash recurrence
+    * as [[MinGramHash]] over code-point values.
+    */
+  def compute(s: UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length
+    var cps = new Array[Int](math.max(n, 1)) // nCp <= byte length
+    var nCp = 0
+    var i = 0
+    while (i < n) {
+      val b0 = b(i) & 0xff
+      val (cp, w) =
+        if (b0 < 0x80) (b0, 1)
+        else if ((b0 & 0xe0) == 0xc0)
+          (((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f), 2)
+        else if ((b0 & 0xf0) == 0xe0)
+          (((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f), 3)
+        else
+          (((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+            ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f), 4)
+      cps(nCp) = cp
+      nCp += 1
+      i += w
+    }
+    val m = math.max(nCp - 7, 1)
+    def at(k: Int): Long = if (k < nCp) cps(k).toLong else 32L
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = h * 31L + at(j); j += 1 }
+    var best = h
+    var p = 1
+    while (p < m) {
+      h = (h - at(p - 1) * P7) * 31L + at(p + 7)
+      if (h < best) best = h
+      p += 1
+    }
+    best
+  }
+}
+
 /** Codegen'd word n-gram builder: the array of space-joined n-grams
   * over the maximal letter runs of the input, in one O(len + output)
   * byte pass. Two scanner modes:
@@ -423,6 +513,12 @@ object TextColumns {
   /** Min base-31 8-gram hash of a string column, as long. */
   def minGramHash(c: Column): Column =
     ExpressionUtils.column(MinGramHash(ExpressionUtils.expression(c)))
+
+  /** Min base-31 8-CODE-POINT-gram hash of a string column, as long —
+    * the fingerprint base for non-ASCII (unsegmented-script) text.
+    */
+  def minCharGramHash(c: Column): Column =
+    ExpressionUtils.column(MinCharGramHash(ExpressionUtils.expression(c)))
 
   /** Space-joined word n-grams of a string column, as array<string>
     * (ASCII `[a-z]`-run words).

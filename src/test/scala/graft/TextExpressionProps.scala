@@ -207,6 +207,48 @@ object TextExpressionProps extends Properties("MinGramHash") {
     })
   }
 
+  // ---- MinCharGramHash -------------------------------------------------
+
+  /** Reference for the code-point twin: same pad/position contract as
+    * [[reference]] but windows count CODE POINTS and hash their values.
+    */
+  private def charReference(s: String): Long = {
+    val cps = s.codePoints.toArray
+    def at(k: Int): Long = if (k < cps.length) cps(k).toLong else 32L
+    (0 until math.max(cps.length - 7, 1)).map { i =>
+      (0 until 8).foldLeft(0L)((h, j) => h * 31L + at(i + j))
+    }.min
+  }
+
+  property("MinCharGramHash codegen'd batch result equals the " +
+      "code-point reference on multilingual input") =
+    Prop.forAll(Gen.listOfN(12, multilingualText)) { texts =>
+      import spark.implicits._
+      val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.graft.TextColumns.minCharGramHash(
+            org.apache.spark.sql.functions.col("s")).as("h"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      texts.zipWithIndex.forall { case (t, i) => got(i) == charReference(t) }
+    }
+
+  property("MinCharGramHash interpreted eval equals the code-point " +
+      "reference") =
+    Prop.forAll(multilingualText) { t =>
+      val e = org.apache.spark.sql.graft.MinCharGramHash(
+        org.apache.spark.sql.catalyst.expressions.Literal(t))
+      e.eval(null) == charReference(t)
+    }
+
+  property("MinCharGramHash equals MinGramHash on pure-ASCII input " +
+      "(byte == code point)") =
+    Prop.forAll(asciiText) { t =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal(t)
+      org.apache.spark.sql.graft.MinCharGramHash(lit).eval(null) ==
+        org.apache.spark.sql.graft.MinGramHash(lit).eval(null)
+    }
+
   // ---- NfcNormalize ----------------------------------------------------
 
   /** Mixed generator biased toward the interesting classes: ASCII (the

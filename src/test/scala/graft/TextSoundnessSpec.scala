@@ -191,4 +191,70 @@ class TextSoundnessSpec extends SparkSpec {
       "diverse prose must outscore single-char boilerplate: " +
         s"${chars(1L).getDouble(5)} <= ${chars(2L).getDouble(5)}")
   }
+
+  test("char fingerprint splits what the word fingerprint FALSELY " +
+      "MERGES: the [^a-z0-9] normalization squeezes every unsegmented " +
+      "doc to '', so all share one word fingerprint; the routed base " +
+      "distinguishes prose and equates punctuation variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "深層学習は、データの表現を学ぶ。"),
+      (2L, "深層学習は データの表現を学ぶ"), // same letters, other separators
+      (3L, "北京大学计算机科学技术研究所发布最新研究报告"),
+      (4L, "plain english text here")).toDF("doc_id", "text")
+    // the blindness — worse than a miss: docs 1-3 normalize to the
+    // empty string and collapse onto ONE (fp_norm, fp_min_gram) pair,
+    // so a fingerprint store would merge three distinct documents
+    val word = operators.TextAnalysis.fingerprintOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(Set(word(1L), word(2L), word(3L)).size == 1,
+      s"word fingerprint must collapse all unsegmented docs (the false " +
+        s"merge): $word")
+    assert(word(4L) != word(1L),
+      "the ASCII doc keeps a real fingerprint")
+    // the catch: the routed base fingerprints the \p{L} squeeze
+    val chars = operators.TextAnalysis.fingerprintCharsOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(chars.keySet == Set(1L, 2L, 3L),
+      s"exactly the unsegmented docs must route: ${chars.keySet}")
+    assert(chars(1L) == chars(2L),
+      s"punctuation variants of the same prose must share the " +
+        s"fingerprint: ${chars(1L)} vs ${chars(2L)}")
+    assert(chars(1L) != chars(3L),
+      "distinct prose must keep distinct fingerprints")
+  }
+
+  test("char-bigram familiarity scores unsegmented docs the word model " +
+      "NULLs: a prefix near-dup pair shares its bigrams (familiarity " +
+      "2.0) while unrelated prose sits at the singleton floor 1.0") {
+    import spark.implicits._
+    val a = "机器学习改变世界语言模型处理文本数据"       // 18 distinct chars
+    val b = a + "集"                                     // every bigram of a, once more
+    val c = "北冰洋深处古老沉积物揭示气候变迁历史"       // shares no bigram with a/b
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, "plain english text"))
+      .toDF("doc_id", "text")
+    // the blindness: zero [a-z] word bigrams -> NULL familiarity on
+    // every unsegmented doc — rare boilerplate and fluent prose alike
+    val word = operators.TextAnalysis
+      .lmScoreOf(docs.withColumn("lang", lit("xx")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (d <- Seq(1L, 2L, 3L))
+      assert(word(d).getLong(2) == 0L && word(d).isNullAt(4),
+        s"word familiarity must be NULL on unsegmented doc $d: ${word(d)}")
+    // the catch: char bigrams carry the signal; hand-computed — a's 17
+    // bigrams each occur twice (a is a prefix of b, all chars distinct)
+    // -> 2.0; c's 17 bigrams are corpus-unique -> 1.0
+    val chars = operators.TextAnalysis.lmScoreCharsOf(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(chars.keySet == Set(1L, 2L, 3L),
+      s"exactly the unsegmented docs must route: ${chars.keySet}")
+    assert(chars(1L).getLong(1) == 17L && chars(1L).getLong(2) == 34L &&
+      chars(1L).getDouble(3) == 2.0, s"doc 1: ${chars(1L)}")
+    assert(chars(2L).getLong(1) == 18L && chars(2L).getLong(2) == 35L,
+      s"doc 2: ${chars(2L)}")
+    assert(chars(3L).getLong(1) == 17L && chars(3L).getDouble(3) == 1.0,
+      s"unrelated prose must score the singleton floor: ${chars(3L)}")
+    assert(chars(1L).getDouble(3) > chars(3L).getDouble(3),
+      "near-dup prose must outscore corpus-unique prose")
+  }
 }

@@ -49,19 +49,29 @@ import org.apache.spark.sql.functions._
 private[operators] object ScriptRouting {
 
   /** `lower(nfc(text))` squeezed to its `\p{L}` code points — the
-    * letter mass every routing count reads.
+    * letter mass every routing count reads. The squeeze is the
+    * codegen'd [[org.apache.spark.sql.graft.LetterSqueeze]] byte scan,
+    * bit-equal to the previous `regexp_replace(…, "[^\p{L}]+", "")`
+    * form (property-tested in TextExpressionProps; the oracle twin
+    * [[sqSql]] keeps the regexp spelling) — r17 optimization: one scan
+    * instead of a java.util.regex pass per document, on the hottest
+    * shared column of the routed family.
     */
   def squeezedLetters(text: Column): Column =
-    regexp_replace(lower(org.apache.spark.sql.graft.TextColumns
-      .nfc(text)), "[^\\p{L}]+", "")
+    org.apache.spark.sql.graft.TextColumns.squeezeLetters(
+      lower(org.apache.spark.sql.graft.TextColumns.nfc(text)))
 
   /** Majority non-ASCII letters over a squeeze column — true exactly
     * for the `nonlatin` class (a letterless squeeze is false: 0·2 > 0
     * fails, so the degenerate docs drop out of every consumer that
-    * filters on this).
+    * filters on this). Non-ASCII letter mass is
+    * `length − ascii_letter_count` (one byte scan), ≡ the oracle's
+    * `length(regexp_replace(sq, '[a-z]+', ''))`: every non-[a-z] code
+    * point of the squeeze survives that replace.
     */
   def unsegmented(sq: Column): Column =
-    length(regexp_replace(sq, "[a-z]+", "")) * 2 > length(sq)
+    (length(sq) - org.apache.spark.sql.graft.TextColumns
+      .asciiLetterCount(sq)) * 2 > length(sq)
 
   /** Letters present AND ASCII-majority — the word-shingle class. */
   def latin(sq: Column): Column =

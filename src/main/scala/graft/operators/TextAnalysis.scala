@@ -212,9 +212,11 @@ object TextAnalysis extends QueryModule {
       .unionByName(planted)
       .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
       .withColumn("n_letters", length(col("sq")).cast("long"))
+      // ≡ length(sq) - length(regexp_replace(sq, '[a-z]+', '')) — the
+      // survivors of that replace are exactly the non-[a-z] code points
       .withColumn("n_ascii_letters",
-        (length(col("sq")) -
-          length(regexp_replace(col("sq"), "[a-z]+", ""))).cast("long"))
+        org.apache.spark.sql.graft.TextColumns
+          .asciiLetterCount(col("sq")).cast("long"))
       .select(col("doc_id"), col("n_letters"), col("n_ascii_letters"),
         when(col("n_letters") === 0, "letterless")
           .when(!ScriptRouting.unsegmented(col("sq")), "latin")
@@ -253,7 +255,9 @@ object TextAnalysis extends QueryModule {
     withWords(documents(s, d))
       .withColumn("n_words", expr("size(words)").cast("long"))
       .withColumn("n_alpha_chars",
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+        // ≡ length(regexp_replace(text, '[^a-z]', '')) — one byte scan
+        org.apache.spark.sql.graft.TextColumns
+          .asciiLetterCount(col("text")).cast("long"))
       .withColumn("n_stop",
         expr(s"size(filter(words, w -> w IN ($stop)))").cast("long"))
       // divide by nullif-style guards: a document with no [a-z] words (or
@@ -451,14 +455,21 @@ object TextAnalysis extends QueryModule {
   private def langidScript(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planted = (LETTER_TOKEN_DOCS ++ LANGID_SCRIPT_DOCS).toDF("doc_id", "text")
-    val counts = scriptClasses.foldLeft(
+    // r17 optimization: the per-class `length(regexp_replace(sq,
+    // '[^\p{IsXxx}]+', ''))` columns were |classes| java-regex NFA
+    // passes over every document; ScriptCounts computes all of them in
+    // ONE codegen'd code-point scan (bit-identical — java regex
+    // \p{IsXxx} IS UnicodeScript membership; property-tested). The
+    // oracle keeps the per-class regexp spelling.
+    val counts = scriptClasses.zipWithIndex.foldLeft(
       documents(s, d).select(col("doc_id"), col("text"))
         .unionByName(planted)
         .withColumn("sq", ScriptRouting.squeezedLetters(col("text")))
-        .withColumn("n_letters", length(col("sq")).cast("long"))) {
-      case (df, (name, javaCls, _)) =>
-        df.withColumn(s"n_$name",
-          length(regexp_replace(col("sq"), s"[^$javaCls]+", "")).cast("long"))
+        .withColumn("n_letters", length(col("sq")).cast("long"))
+        .withColumn("sc", org.apache.spark.sql.graft.TextColumns
+          .scriptCounts(col("sq"), scriptClasses.map(_._1)))) {
+      case (df, ((name, _, _), i)) =>
+        df.withColumn(s"n_$name", element_at(col("sc"), i + 1))
     }
     counts
       .withColumn("n_other",

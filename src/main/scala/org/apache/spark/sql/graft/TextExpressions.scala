@@ -508,6 +508,184 @@ object CharNGrams {
   }
 }
 
+/** Codegen'd `\p{L}` squeeze: the input's Unicode-letter code points
+  * concatenated in order with every non-letter dropped — the bit-exact
+  * twin of `regexp_replace(s, '[^\p{L}]+', '')` (Spark) and
+  * `regexp_replace(s, '[^\p{L}]+', '', 'g')` (DuckDB), proven by
+  * property test against the regexp form on multilingual input.
+  *
+  * Why an expression and not the regexp built-in: the squeeze is the
+  * [[graft.operators.ScriptRouting]] letter-mass pass that EVERY routed
+  * operator (script routing, char-gram dedup, routed langid/quality/
+  * fingerprint/packing/repetition) computes over every document, and
+  * `regexp_replace` runs a java.util.regex NFA over each row where this
+  * is one branch-predictable byte scan over the same [[LetterRuns]]
+  * classifier the tokenizer family already trusts — same answer,
+  * measured ~3-7× cheaper per pass at sf0.1 (OPTIMIZATION_r17.md).
+  * Letter classification is `Character.isLetter` per code point,
+  * identical to Java regex `\p{L}` (both are general category L).
+  */
+case class LetterSqueeze(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "squeeze_letters"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LetterSqueeze.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.LetterSqueeze.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): LetterSqueeze =
+    copy(child = newChild)
+}
+
+object LetterSqueeze {
+  /** The squeeze builder backing both eval paths. All-letter input
+    * (the common case for already-squeezed or single-script text)
+    * returns the input object unchanged — no allocation.
+    */
+  def compute(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val (starts, ends, nRuns) = LetterRuns.scan(b, unicode = true)
+    if (nRuns == 0) return UTF8String.EMPTY_UTF8
+    if (nRuns == 1 && starts(0) == 0 && ends(0) == b.length) return s
+    var size = 0
+    var r = 0
+    while (r < nRuns) { size += ends(r) - starts(r); r += 1 }
+    val out = new Array[Byte](size)
+    var p = 0
+    r = 0
+    while (r < nRuns) {
+      val l = ends(r) - starts(r)
+      System.arraycopy(b, starts(r), out, p, l)
+      p += l
+      r += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** Codegen'd ASCII-lowercase-letter counter: the number of 'a'..'z'
+  * CODE POINTS in the input, as int — so that
+  * `length(regexp_replace(sq, '[a-z]+', ''))` (the non-ASCII letter
+  * mass the routing majority reads) rewrites to
+  * `length(sq) - ascii_letter_count(sq)` with no regex pass. In valid
+  * UTF-8 an 'a'..'z' byte IS a standalone code point (continuation
+  * bytes are ≥ 0x80), so one byte scan counts code points exactly.
+  */
+case class AsciiLetterCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ascii_letter_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AsciiLetterCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.AsciiLetterCount.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiLetterCount =
+    copy(child = newChild)
+}
+
+object AsciiLetterCount {
+  def compute(s: UTF8String): Int = {
+    val b = s.getBytes
+    var n = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'a' && c <= 'z') n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+/** Codegen'd per-Unicode-script code-point counter: for each script
+  * name in `scripts`, the number of input code points whose
+  * `Character.UnicodeScript` is that script, as array<long> in the
+  * given order — so that the langid family's per-class
+  * `length(regexp_replace(sq, '[^\p{IsXxx}]+', ''))` columns (one java
+  * regex NFA pass over every document PER CLASS) rewrite to element
+  * lookups over ONE code-point scan. Java regex `\p{IsXxx}` is defined
+  * as `UnicodeScript.forName("Xxx")` membership, so the counts are
+  * bit-identical; the property spec proves it per class on
+  * multilingual input.
+  */
+case class ScriptCounts(child: Expression, scripts: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(scripts.nonEmpty, "script_counts needs at least one script name")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "script_counts"
+
+  @transient private lazy val resolvedScripts: Array[Character.UnicodeScript] =
+    scripts.map(Character.UnicodeScript.forName).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    ScriptCounts.compute(input.asInstanceOf[UTF8String], resolvedScripts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scripts", resolvedScripts,
+      "java.lang.Character.UnicodeScript[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.ScriptCounts.compute($s, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+}
+
+object ScriptCounts {
+  /** One UTF-8 decode pass; malformed sequences (impossible in a valid
+    * UTF8String; total-function backstop) count toward no script.
+    */
+  def compute(s: UTF8String,
+      scripts: Array[Character.UnicodeScript]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val len = b.length
+    val counts = new Array[Long](scripts.length)
+    var i = 0
+    while (i < len) {
+      val b0 = b(i) & 0xff
+      var cp = -1
+      var w = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if ((b0 & 0xe0) == 0xc0 && i + 1 < len) {
+        cp = ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f); w = 2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < len) {
+        cp = ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f); w = 3
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < len) {
+        cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f); w = 4
+      }
+      if (cp >= 0) {
+        val sc = Character.UnicodeScript.of(cp)
+        var k = 0
+        while (k < scripts.length) {
+          if (scripts(k) eq sc) counts(k) += 1
+          k += 1
+        }
+      }
+      i += w
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(counts)
+  }
+}
+
 /** Column-level entry points for the text expressions. */
 object TextColumns {
   /** Min base-31 8-gram hash of a string column, as long. */
@@ -544,6 +722,24 @@ object TextColumns {
     */
   def charNGrams(c: Column, n: Int): Column =
     ExpressionUtils.column(CharNGrams(ExpressionUtils.expression(c), n))
+
+  /** The `\p{L}` squeeze of a string column: all Unicode-letter code
+    * points concatenated, non-letters dropped (≡ `regexp_replace(c,
+    * '[^\p{L}]+', '')`, one byte scan instead of a regex pass).
+    */
+  def squeezeLetters(c: Column): Column =
+    ExpressionUtils.column(LetterSqueeze(ExpressionUtils.expression(c)))
+
+  /** Count of 'a'..'z' code points of a string column, as int. */
+  def asciiLetterCount(c: Column): Column =
+    ExpressionUtils.column(AsciiLetterCount(ExpressionUtils.expression(c)))
+
+  /** Per-script code-point counts of a string column, as array<long>
+    * aligned with `scripts` (names as `Character.UnicodeScript.forName`
+    * / java regex `\p{IsXxx}` spell them).
+    */
+  def scriptCounts(c: Column, scripts: Seq[String]): Column =
+    ExpressionUtils.column(ScriptCounts(ExpressionUtils.expression(c), scripts))
 
   /** Unicode NFC normalization of a string column (identity on ASCII). */
   def nfc(c: Column): Column =

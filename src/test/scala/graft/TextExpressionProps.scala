@@ -179,6 +179,95 @@ object TextExpressionProps extends Properties("MinGramHash") {
       rows.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
     }
 
+  /** Multilingual text including every script class the routing family
+    * counts (latin, han, hiragana, katakana, hangul, greek, cyrillic)
+    * plus digits, marks, and a supplementary-plane letter.
+    */
+  private val multiScriptText: Gen[String] =
+    Gen.listOf(Gen.frequency[String](
+      4 -> Gen.oneOf(Gen.alphaLowerChar, Gen.alphaUpperChar, Gen.numChar,
+        Gen.const(' '), Gen.const('.')).map(_.toString),
+      2 -> Gen.oneOf('é', 'ß', 'ω', 'κ', 'ж', 'Д').map(_.toString),
+      1 -> Gen.const("́"), // combining acute (Mn, Script=Inherited)
+      2 -> Gen.oneOf('世', '界', '한', '국', 'ひ', 'ら', 'カ', 'ナ').map(_.toString),
+      1 -> Gen.const("𐌰"))) // U+10330 Gothic, surrogate pair
+      .map(_.mkString)
+
+  property("LetterSqueeze equals regexp_replace('[^\\p{L}]+', '') on " +
+      "multilingual input (codegen batch)") =
+    Prop.forAll(Gen.listOfN(8, multiScriptText)) { texts =>
+      import spark.implicits._
+      val rows = (texts :+ "42 ..." :+ "" :+ "机器学习, hello! 语言")
+        .zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.expr(
+            "regexp_replace(s, '[^\\\\p{L}]+', '')").as("want"),
+          org.apache.spark.sql.graft.TextColumns.squeezeLetters(
+            org.apache.spark.sql.functions.col("s")).as("got"))
+        .collect()
+      rows.forall(r => r.getString(1) == r.getString(2))
+    }
+
+  property("LetterSqueeze interpreted eval equals the regex reference, " +
+      "all-letter input returns the input object") =
+    Prop.forAll(multiScriptText) { t =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val in = UTF8String.fromString(t)
+      val out = org.apache.spark.sql.graft.LetterSqueeze.compute(in)
+      val want = t.replaceAll("[^\\p{L}]+", "")
+      val valueOk = out.toString == want
+      val identityOk = (want != t) || t.isEmpty || (out eq in)
+      valueOk && identityOk
+    }
+
+  property("AsciiLetterCount equals length(regexp_replace('[^a-z]', ''))") =
+    Prop.forAll(multiScriptText) { t =>
+      val in = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      org.apache.spark.sql.graft.AsciiLetterCount.compute(in) ==
+        t.replaceAll("[^a-z]", "").codePointCount(0, t.replaceAll("[^a-z]", "").length)
+    }
+
+  private val routedScripts = Seq("latin", "han", "hiragana", "katakana",
+    "hangul", "greek", "cyrillic")
+
+  property("ScriptCounts equals the per-class \\p{IsXxx} regexp lengths " +
+      "on multilingual input (codegen batch)") =
+    Prop.forAll(Gen.listOfN(8, multiScriptText)) { texts =>
+      import spark.implicits._
+      val wants = routedScripts.zipWithIndex.map { case (sc, i) =>
+        org.apache.spark.sql.functions.expr(
+          s"length(regexp_replace(s, '[^\\\\p{Is${sc.capitalize}}]+', ''))")
+          .cast("long").as(s"w$i")
+      }
+      val gots = routedScripts.indices.map(i =>
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("sc"), i + 1).as(s"g$i"))
+      val rows = (texts :+ "" :+ "한국 世界 ひらカナ ωж abc")
+        .zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .withColumn("sc", org.apache.spark.sql.graft.TextColumns
+          .scriptCounts(org.apache.spark.sql.functions.col("s"), routedScripts))
+        .select(wants ++ gots: _*)
+        .collect()
+      rows.forall(r => routedScripts.indices.forall(i =>
+        r.getLong(i) == r.getLong(routedScripts.size + i)))
+    }
+
+  property("ScriptCounts interpreted eval equals the regex reference") =
+    Prop.forAll(multiScriptText) { t =>
+      val e = org.apache.spark.sql.graft.ScriptCounts(
+        org.apache.spark.sql.catalyst.expressions.Literal(t), routedScripts)
+      val got = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      val want = routedScripts.map { sc =>
+        val kept = t.replaceAll(s"[^\\p{Is${sc.capitalize}}]+", "")
+        kept.codePointCount(0, kept.length).toLong
+      }
+      got == want
+    }
+
   property("unicode scanners' interpreted eval matches codegen contract " +
       "on planted edge inputs") = {
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -21,6 +21,7 @@ object Cleanup {
     operators.TrainingPipeline.clearCaches()
     operators.TextAnalysis.clearCaches()
     operators.Sources.clearStreamScratch()
+    Materialize.clear()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
   }

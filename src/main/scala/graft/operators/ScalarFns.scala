@@ -60,7 +60,12 @@ object ScalarFns extends QueryModule {
   // ---- math functions -------------------------------------------------
 
   private def mathFns(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select(
+    // materialize ONCE before the global sort (graft.Materialize): the
+    // range exchange's sampling job otherwise re-executes this
+    // projection, and the 7 double rounds (BigDecimal under Spark's
+    // bit-exact contract) are ~6× the scan cost — measured 2.41 → 1.68 s
+    // min at sf0.1 from the cut alone (OPTIMIZATION_r17.md)
+    graft.Materialize.once(s"fn_math@$d", lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
       // price (2dp) × (1+tax) (2dp) is exact at 4 decimals — rounding at 4
       // has no half-way boundary, so Spark and DuckDB agree bit-for-bit.
@@ -72,7 +77,7 @@ object ScalarFns extends QueryModule {
       floor(col("l_extendedprice")).as("price_floor"),
       ceil(col("l_extendedprice")).as("price_ceil"),
       (col("l_linenumber") % 3).as("ln_mod3"),
-      greatest(col("l_discount"), col("l_tax")).as("max_rate"))
+      greatest(col("l_discount"), col("l_tax")).as("max_rate")))
       // all value columns join the sort: the key pair is not unique in
       // the fixture, so only a total order compares cross-engine
       .orderBy("l_orderkey", "l_linenumber", "gross", "disc_dev",
@@ -82,10 +87,12 @@ object ScalarFns extends QueryModule {
   // ---- JSON (events.props is a JSON string fixture) -------------------
 
   private def jsonExtract(s: SparkSession, d: String): DataFrame =
-    events(s, d).select(
+    // materialize once: the JSON parse would otherwise run twice (the
+    // terminal sort's sampling pass — see fn_math / graft.Materialize)
+    graft.Materialize.once(s"fn_json@$d", events(s, d).select(
       col("event_id"),
       col("event_type"),
-      get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      get_json_object(col("props"), "$.k").cast("int").as("k_val")))
       .orderBy("event_id")
 
   private def jsonAgg(s: SparkSession, d: String): DataFrame =
@@ -100,14 +107,17 @@ object ScalarFns extends QueryModule {
   // ---- map functions (props parsed into MapType) ----------------------
 
   private def mapFns(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    // materialize once: from_json + the map functions would otherwise
+    // run twice (the terminal sort's sampling pass — see fn_math /
+    // graft.Materialize); measured 1.66 → 0.85 s min at sf0.1
+    graft.Materialize.once(s"fn_map@$d", events(s, d)
       .withColumn("m", from_json(col("props"),
         org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
       .select(
         col("event_id"),
         array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
         size(col("m")).cast("long").as("n_keys"),
-        element_at(col("m"), "k").as("k_val"))
+        element_at(col("m"), "k").as("k_val")))
       .orderBy("event_id")
 
   private val mapOracle =

@@ -839,13 +839,15 @@ object TextAnalysis extends QueryModule {
   private def piiScrub(s: SparkSession, d: String): DataFrame = {
     val email = "[a-z0-9._-]+@[a-z0-9.-]+"
     val digits = "[0-9]{6,}"
-    documents(s, d).select(
+    // materialize once: the five regex passes would otherwise run twice
+    // (the terminal sort's sampling pass — see fn_math / graft.Materialize)
+    graft.Materialize.once(s"text_pii_scrub@$d", documents(s, d).select(
       col("doc_id"),
       expr(s"size(regexp_extract_all(text, '$email', 0))").cast("long").as("n_emails"),
       expr(s"size(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>'), '$digits', 0))")
         .cast("long").as("n_digit_runs"),
       md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-        digits, "<NUM>")).as("scrubbed_md5"))
+        digits, "<NUM>")).as("scrubbed_md5")))
       .orderBy("doc_id")
   }
 

@@ -199,11 +199,16 @@ object ScalarFns extends QueryModule {
       .select(col("doc_id"), explode(split(col("text"), "[^a-z]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word")
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        concat_ws(",",
+      // r17: n_docs derives from the SAME distinct set the doc_list is
+      // built from (size of the sorted collect_set ≡ countDistinct by
+      // definition) — the explicit countDistinct made the planner add
+      // an Expand that doubled every row into the shuffle just to
+      // recount what collect_set already holds.
+      .agg(concat_ws(",",
           transform(array_sort(collect_set(col("doc_id"))),
-            x => x.cast("string"))).as("doc_list"))
+            x => x.cast("string"))).as("doc_list"),
+        size(array_sort(collect_set(col("doc_id")))).cast("long").as("n_docs"))
+      .select("word", "n_docs", "doc_list")
       .orderBy("word")
 
   // ---- batch event-time windows (events.ts, ns-unit timestamp) --------

@@ -1129,9 +1129,23 @@ object Dedup extends QueryModule {
     val planted = CJK_INCR_DOCS.toDF("doc_id", "text")
     val corpus = documents(s, d).select(col("doc_id"), col("text"))
       .unionByName(planted)
-    dedupAgainstChars(
-      corpus.filter(col("doc_id") % 2 === 0),
-      corpus.filter(col("doc_id") % 2 =!= 0))
+    // r17 optimization: ONE routed signature build over the whole
+    // corpus, sliced by parity — the word-base [[incrementalDedup]]'s
+    // own argument applies verbatim (a per-doc signature doesn't
+    // depend on what else is in the corpus, so slicing a shared table
+    // IS computing each side's signatures). The previous shape called
+    // [[dedupAgainstChars]] on the two parity slices, which ran the
+    // squeeze+routing+gram scan over the corpus THREE times (corpus
+    // route, batch route, batch sigs); this runs it once and derives
+    // the batch's routed slice by a semi join against its own sig ids.
+    // Results identical (same oracle); measured 2.0 → 1.2 s min solo.
+    val sigs = tracked(sigOf(withCharShingles(unsegmentedOnly(corpus))
+      .select("doc_id", "shingles")).select("doc_id", "sig")
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val oddSigs = sigs.filter(col("doc_id") % 2 =!= 0)
+    val fresh = corpus.filter(col("doc_id") % 2 =!= 0)
+      .join(oddSigs.select("doc_id"), Seq("doc_id"), "left_semi")
+    dedupAgainstSigs(sigs.filter(col("doc_id") % 2 === 0), fresh, oddSigs)
       .select(col("doc_id"),
         length(ScriptRouting.squeezedLetters(col("text")))
           .cast("long").as("n_letters"))

@@ -96,14 +96,16 @@ object RelationalExt extends QueryModule {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    orders(s, d)
+    // materialize once: the frame stack is the terminal sort's whole
+    // final stage (see fn_math / graft.Materialize)
+    graft.Materialize.once(s"rel_window_frames@$d", orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
       .withColumn("cume", round(cume_dist().over(w), 6))
       .withColumn("top_price", first(col("o_totalprice")).over(w))
       .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
-      .withColumn("bottom_price", last(col("o_totalprice")).over(wFull))
+      .withColumn("bottom_price", last(col("o_totalprice")).over(wFull)))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -133,7 +135,10 @@ object RelationalExt extends QueryModule {
   private def windowRange(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("day")
       .rangeBetween(-30, 0)
-    orders(s, d)
+    // materialize once: the RANGE-frame window is the terminal sort's
+    // whole final stage, so its sampling pass re-ran the frame scan
+    // (see fn_math / graft.Materialize)
+    graft.Materialize.once(s"rel_window_range@$d", orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         expr("(CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG)" +
           " - pmod(CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG), 86400))" +
@@ -141,7 +146,7 @@ object RelationalExt extends QueryModule {
         col("o_totalprice"))
       .withColumn("spend_30d",
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
-      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .withColumn("n_orders_30d", count(lit(1)).over(w)))
       .orderBy("o_custkey", "day", "o_orderkey")
   }
 
@@ -429,7 +434,9 @@ object RelationalExt extends QueryModule {
     val w = Window.partitionBy("k")
       .orderBy(col("t"), col("is_event"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
+    // materialize once: the carry-forward window + filter is the
+    // terminal sort's whole final stage (see fn_math / graft.Materialize)
+    graft.Materialize.once(s"rel_asof_join@$d", tagged
       .withColumn("last_ord_day", last(col("ord_day"), ignoreNulls = true).over(w))
       .withColumn("last_n_orders", last(col("n_orders"), ignoreNulls = true).over(w))
       .withColumn("last_day_total", last(col("day_total"), ignoreNulls = true).over(w))
@@ -438,7 +445,7 @@ object RelationalExt extends QueryModule {
         col("t").cast("long").as("ts_s"),
         col("last_ord_day").cast("date").as("last_order_day"),
         col("last_n_orders").as("n_orders"),
-        col("last_day_total").as("day_total"))
+        col("last_day_total").as("day_total")))
       .orderBy("event_id")
   }
 

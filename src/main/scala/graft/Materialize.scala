@@ -38,6 +38,25 @@ import org.apache.spark.sql.DataFrame
 object Materialize {
   private val last = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  /** Scale-adaptive scan fan-out for heavy row-local compute over an
+    * effectively unsplittable input (guide §2.5: "one huge unsplittable
+    * file … repartition immediately after the read"). The driver
+    * fixtures are single-row-group parquet files, so EVERY scan stage —
+    * and any expensive projection fused into it — runs as ONE task
+    * regardless of core count; a corpus-scale table scans with
+    * thousands of partitions and must NOT pay an extra exchange. The
+    * gate is therefore the measured layout, not a constant: fan out to
+    * the session's parallelism only when the scan yields fewer than
+    * half that many partitions. Round-robin repartition is
+    * deterministic (sort-before-repartition is on by default,
+    * SPARK-23207) and every consumer downstream is row-local or
+    * order-independent, so results are unchanged at any fan-out.
+    */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   def once(key: String, df: DataFrame): DataFrame = {
     val c = df.localCheckpoint(true)
     val prev = last.put(key, c)

@@ -65,7 +65,8 @@ object ScalarFns extends QueryModule {
     // projection, and the 7 double rounds (BigDecimal under Spark's
     // bit-exact contract) are ~6× the scan cost — measured 2.41 → 1.68 s
     // min at sf0.1 from the cut alone (OPTIMIZATION_r17.md)
-    graft.Materialize.once(s"fn_math@$d", lineitem(s, d).select(
+    graft.Materialize.once(s"fn_math@$d",
+      graft.Materialize.fanOutSmallScan(lineitem(s, d)).select(
       col("l_orderkey"), col("l_linenumber"),
       // price (2dp) × (1+tax) (2dp) is exact at 4 decimals — rounding at 4
       // has no half-way boundary, so Spark and DuckDB agree bit-for-bit.

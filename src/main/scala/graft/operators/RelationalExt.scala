@@ -96,16 +96,20 @@ object RelationalExt extends QueryModule {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // materialize once: the frame stack is the terminal sort's whole
-    // final stage (see fn_math / graft.Materialize)
-    graft.Materialize.once(s"rel_window_frames@$d", orders(s, d)
+    // NOT materialized-once (unlike rel_window_range/rel_asof_join,
+    // whose final-stage double-eval the r17 round cut): this query is
+    // SpillPathSpec's Window-operator spill witness, and an eager
+    // checkpoint would move the window's execution (and its spill
+    // metrics) out of the plan the spec reads back — a ~0.1 s win is
+    // not worth blinding the spill-correctness evidence.
+    orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
       .withColumn("cume", round(cume_dist().over(w), 6))
       .withColumn("top_price", first(col("o_totalprice")).over(w))
       .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
-      .withColumn("bottom_price", last(col("o_totalprice")).over(wFull)))
+      .withColumn("bottom_price", last(col("o_totalprice")).over(wFull))
       .orderBy("o_custkey", "o_orderkey")
   }
 

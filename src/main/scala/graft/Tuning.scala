@@ -91,12 +91,31 @@ object Tuning {
   def withRocksDbStateStore[T](s: SparkSession)(f: => T): T =
     if (sys.props.contains(STATE_STORE_FORCED_PROP)) f
     else {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val old = s.conf.getOption(key)
-      s.conf.set(key, ROCKSDB_PROVIDER)
-      try f finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
+      // Two RocksDB write-path knobs travel WITH the provider policy
+      // (r18 optimization; measured at sf0.1: session_append min
+      // 2.38 -> 1.99 s, stream-stream join 2.27 -> 2.00 s — probe log
+      // in OPTIMIZATION_r18.md §streams). Both are scale-directed, not
+      // local hacks:
+      //  - changelogCheckpointing: commit uploads the batch's changelog
+      //    instead of a full snapshot (snapshots move to async
+      //    maintenance) — at 100 TB state the per-commit upload is
+      //    O(delta), not O(store); recovery replays the changelog onto
+      //    the last snapshot (Spark's own large-deployment default).
+      //  - trackTotalNumberOfRows=false: skips the read-before-write
+      //    that exists only to keep the numTotalStateRows METRIC exact;
+      //    write-heavy stores pay a get per put for observability. At
+      //    fixture scale that get is ~20 % of the commit cycle; at
+      //    scale it is pure write amplification. Results unchanged —
+      //    StreamingSpec proves provider-independence of every query.
+      val pairs = Seq(
+        "spark.sql.streaming.stateStore.providerClass" -> ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
+      val olds = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+      pairs.foreach { case (k, v) => s.conf.set(k, v) }
+      try f finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
       }
     }
 

@@ -476,8 +476,15 @@ object Dedup extends QueryModule {
     val edges = vp.union(vp.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ewd = tracked(edges.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    // ewd is read by all eight rounds: materialize it through the SAME
+    // round-checkpoint discipline as the loop instead of a CacheManager
+    // persist — each round re-planning an InMemoryRelation (cache
+    // lookup + columnar decode per iteration) measured 0.27 s/round at
+    // sf0.1 vs 0.08 s/round over the checkpointed LogicalRDD (probe,
+    // OPTIMIZATION_r18.md §pagerank: loop8 2.70 -> 1.17 s min, same
+    // rows). ckptRound honors the reliable-checkpoint config key for
+    // cluster deployments; the blocks are freed right after the loop.
+    val ewd = ConnectedComponents.ckptRound(edges.join(deg, "src"))
     def nodes = documents(s, d).select("doc_id")
     // Per round: ONE equi-join (rank mass onto edges) and ONE hash
     // aggregation. Nodes with no inflow are reinstated by unioning a
@@ -504,6 +511,10 @@ object Dedup extends QueryModule {
       ConnectedComponents.freeCheckpoint(ranks)
       ranks = next
     }
+    // every round consumed ewd; its blocks are dead once the last round
+    // materialized (the same release-when-unreachable discipline as the
+    // per-round frees above)
+    ConnectedComponents.freeCheckpoint(ewd)
     ranks.orderBy("doc_id")
   }
 
@@ -1761,15 +1772,16 @@ object Dedup extends QueryModule {
       // \p{L} runs, the same fold+scanner as the shingle front-end: a
       // capitalized copy of a license block must hit the lowercase
       // original, a non-Latin license block must window at all, and the
-      // cut side below tokenizes identically so span indices line up
+      // cut side below tokenizes identically so span indices line up.
+      // The < SUB_GRAM-words guard is folded into the n-gram scanner
+      // (WordNGramsExact: empty array below the window width) — the
+      // spelled-out `when(size(letterTokens(...)) >= n, ...)` guard ran
+      // a SECOND full letter-run scan per document per pass, measured
+      // ~30 % of this table's scan stage (OPTIMIZATION_r18.md §substring)
       .withColumn("grams",
-        when(size(org.apache.spark.sql.graft.TextColumns.letterTokens(
-            lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text")))))
-            >= SUB_GRAM,
-          org.apache.spark.sql.graft.TextColumns.wordNGramsU(
-            lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text"))),
-            SUB_GRAM))
-          .otherwise(array().cast("array<string>")))
+        org.apache.spark.sql.graft.TextColumns.wordNGramsUExact(
+          lower(org.apache.spark.sql.graft.TextColumns.nfc(col("text"))),
+          SUB_GRAM))
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         substring(md5(col("gram")), 1, 16).as("gh"))

@@ -837,17 +837,21 @@ object TextAnalysis extends QueryModule {
     * overlap case).
     */
   private def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val email = "[a-z0-9._-]+@[a-z0-9.-]+"
-    val digits = "[0-9]{6,}"
-    // materialize once: the five regex passes would otherwise run twice
+    // ONE two-scan codegen pass (PiiScan) computes all three outputs —
+    // the regex spelling ran FIVE java.util.regex NFA passes per row
+    // (email extract, email replace ×2, digit extract, digit replace);
+    // the oracle keeps the regexp form, so the hash-match proves the
+    // scanner (plus TextExpressionProps' per-row reference check). The
+    // three struct fields share one evaluation via codegen
+    // subexpression elimination.
+    val p = org.apache.spark.sql.graft.TextColumns.piiScan(col("text"))
+    // materialize once: the scrub pass would otherwise run twice
     // (the terminal sort's sampling pass — see fn_math / graft.Materialize)
     graft.Materialize.once(s"text_pii_scrub@$d", documents(s, d).select(
       col("doc_id"),
-      expr(s"size(regexp_extract_all(text, '$email', 0))").cast("long").as("n_emails"),
-      expr(s"size(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>'), '$digits', 0))")
-        .cast("long").as("n_digit_runs"),
-      md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-        digits, "<NUM>")).as("scrubbed_md5")))
+      p.getField("n_emails").as("n_emails"),
+      p.getField("n_digit_runs").as("n_digit_runs"),
+      md5(p.getField("scrubbed")).as("scrubbed_md5")))
       .orderBy("doc_id")
   }
 

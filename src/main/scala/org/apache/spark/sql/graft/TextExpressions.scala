@@ -258,6 +258,65 @@ case class WordNGrams(child: Expression, n: Int, unicode: Boolean = false)
     copy(child = newChild)
 }
 
+/** [[WordNGrams]] with split-window semantics and NO short-input
+  * fallback: an input with fewer than `n` words yields the EMPTY array
+  * — the bit-exact twin of the guarded declarative form
+  * `CASE WHEN size(words) >= n THEN transform(...) ELSE array() END`
+  * that the substring-dedup window table uses. A separate case class
+  * rather than a flag on [[WordNGrams]] so the existing expression's
+  * plan rendering (and the committed plan digests of its consumers)
+  * stays byte-identical.
+  *
+  * Why it exists (r18): the guarded form evaluates the size guard as
+  * `size(letterTokens(lower(nfc(text)))) >= n` — a SECOND full
+  * letter-run scan (plus its token-array allocation) per document per
+  * pass, measured ~30 % of the whole window-table pass at sf0.1; the
+  * n-gram scanner already counts the words it windows, so the guard
+  * folds into the same single scan.
+  */
+case class WordNGramsExact(child: Expression, n: Int, unicode: Boolean = false)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"word_ngrams_exact window must be >= 1 word, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams_exact"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNGramsExact.compute(input.asInstanceOf[UTF8String], n, unicode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordNGramsExact.compute($s, $n, $unicode);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramsExact =
+    copy(child = newChild)
+}
+
+object WordNGramsExact {
+  private val EMPTY =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+
+  /** [[WordNGrams.compute]] with the < n-words branch returning the
+    * empty array instead of the joined-words fallback element.
+    */
+  def compute(s: UTF8String, n: Int,
+      unicode: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = s.getBytes
+    val (starts, ends, nWords) = LetterRuns.scan(b, unicode)
+    if (nWords < n) EMPTY
+    else {
+      val out = new Array[AnyRef](nWords - n + 1)
+      var g = 0
+      while (g < out.length) {
+        out(g) = LetterRuns.join(b, starts, ends, g, g + n); g += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 /** Shared maximal-letter-run scanner over a UTF-8 byte array: the
   * word-boundary pass behind [[WordNGrams]] and [[LetterRunTokens]].
   */
@@ -686,6 +745,143 @@ object ScriptCounts {
   }
 }
 
+/** Codegen'd PII scrub scan: one pass over the raw bytes computing the
+  * whole `text_pii_scrub` row base as
+  * struct(n_emails: long, n_digit_runs: long, scrubbed: string) — the
+  * bit-exact twin of the java-regex chain
+  *
+  *   n_emails     = size(regexp_extract_all(text, E, 0))
+  *   scrubbed1    = regexp_replace(text, E, '<EMAIL>')
+  *   n_digit_runs = size(regexp_extract_all(scrubbed1, D, 0))
+  *   scrubbed     = regexp_replace(scrubbed1, D, '<NUM>')
+  *
+  * with E = `[a-z0-9._-]+@[a-z0-9.-]+` and D = `[0-9]{6,}` (the
+  * DuckDB oracle keeps exactly that regexp spelling, so the oracle
+  * hash-match proves the rewrite; TextExpressionProps proves it
+  * per-row against the java.util.regex reference on adversarial
+  * generators).
+  *
+  * Why a scanner can be exact here: both patterns are ASCII character
+  * classes. For E, `A+@B+` with A = [a-z0-9._-], B = [a-z0-9.-]:
+  * greedy A+ takes the maximal A-run, and since '@' ∉ A no backtracked
+  * shorter run can expose an '@' — so a match starting at i exists iff
+  * the maximal A-run from i ends at an '@' with a B char after it, and
+  * the leftmost-match rule means the run's FIRST position wins. For D,
+  * greedy `{6,}` matches exactly the maximal digit runs of length ≥ 6.
+  * Both classes are pure ASCII, and in valid UTF-8 no multi-byte
+  * sequence contains ASCII bytes, so the byte scan sees exactly the
+  * code points the regex engine sees. One subtlety the scanner keeps:
+  * scanning resumes AT the match end (a '_' right after a matched
+  * B-run can start the next email's A-run, e.g. `a@b_c@d` → two
+  * matches), matching find()'s continuation semantics.
+  *
+  * Why an expression: the regex chain runs FIVE java.util.regex NFA
+  * passes per row (plus two full scrubbed-copy materializations);
+  * this is two branch-predictable byte scans building each output
+  * once. The three struct fields are consumed from ONE evaluation via
+  * whole-stage codegen subexpression elimination (verified in the
+  * committed plan/codegen).
+  */
+case class PiiScan(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_digit_runs", LongType, nullable = false),
+    StructField("scrubbed", StringType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pii_scan"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiScan.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.PiiScan.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScan =
+    copy(child = newChild)
+}
+
+object PiiScan {
+  private val EMAIL = "<EMAIL>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val NUM = "<NUM>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // E's local-part class [a-z0-9._-]
+  private def isA(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+      b == '.' || b == '_' || b == '-'
+  // E's domain class [a-z0-9.-]
+  private def isB(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+      b == '.' || b == '-'
+  private def isD(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** The two-scan scrub backing both eval paths; see the class doc for
+    * the exactness argument.
+    */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    // pass 1: emails over the raw bytes
+    var nEmails = 0L
+    var t = b // unchanged input reused when no email matches
+    var m = n
+    var i = 0
+    var out: java.io.ByteArrayOutputStream = null
+    var copyFrom = 0
+    while (i < n) {
+      if (isA(b(i))) {
+        var j = i + 1
+        while (j < n && isA(b(j))) j += 1
+        if (j < n && b(j) == '@' && j + 1 < n && isB(b(j + 1))) {
+          var k = j + 2
+          while (k < n && isB(b(k))) k += 1
+          if (out == null) out = new java.io.ByteArrayOutputStream(n + 16)
+          out.write(b, copyFrom, i - copyFrom)
+          out.write(EMAIL, 0, EMAIL.length)
+          nEmails += 1
+          copyFrom = k
+          i = k
+        } else i = j
+      } else i += 1
+    }
+    if (out != null) {
+      out.write(b, copyFrom, n - copyFrom)
+      t = out.toByteArray
+      m = t.length
+    }
+    // pass 2: maximal digit runs of length >= 6 over the email-scrubbed
+    // bytes
+    var nDigits = 0L
+    var r = t
+    var out2: java.io.ByteArrayOutputStream = null
+    i = 0
+    copyFrom = 0
+    while (i < m) {
+      if (isD(t(i))) {
+        var j = i + 1
+        while (j < m && isD(t(j))) j += 1
+        if (j - i >= 6) {
+          if (out2 == null) out2 = new java.io.ByteArrayOutputStream(m + 16)
+          out2.write(t, copyFrom, i - copyFrom)
+          out2.write(NUM, 0, NUM.length)
+          nDigits += 1
+          copyFrom = j
+        }
+        i = j
+      } else i += 1
+    }
+    if (out2 != null) {
+      out2.write(t, copyFrom, m - copyFrom)
+      r = out2.toByteArray
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nEmails, nDigits, UTF8String.fromBytes(r)))
+  }
+}
+
 /** Column-level entry points for the text expressions. */
 object TextColumns {
   /** Min base-31 8-gram hash of a string column, as long. */
@@ -711,11 +907,26 @@ object TextColumns {
     ExpressionUtils.column(
       WordNGrams(ExpressionUtils.expression(c), n, unicode = true))
 
+  /** Space-joined word n-grams over Unicode `\p{L}`-run words with NO
+    * short-input fallback: fewer than n words → empty array (the
+    * guarded window-table contract, one scan).
+    */
+  def wordNGramsUExact(c: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordNGramsExact(ExpressionUtils.expression(c), n, unicode = true))
+
   /** Maximal `\p{L}`-run tokens of a string column, as array<string>
     * (empty array for letterless input — split semantics, no fallback).
     */
   def letterTokens(c: Column): Column =
     ExpressionUtils.column(LetterRunTokens(ExpressionUtils.expression(c)))
+
+  /** One-pass PII scrub scan of a string column:
+    * struct(n_emails, n_digit_runs, scrubbed) — the codegen'd twin of
+    * the email/digit-run regex chain (see [[PiiScan]]).
+    */
+  def piiScan(c: Column): Column =
+    ExpressionUtils.column(PiiScan(ExpressionUtils.expression(c)))
 
   /** Sliding n-code-point grams over the `\p{L}`-squeezed string — the
     * shingle base for unsegmented scripts (CJK), as array<string>.

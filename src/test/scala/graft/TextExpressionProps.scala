@@ -419,4 +419,122 @@ object TextExpressionProps extends Properties("MinGramHash") {
       val identityOk = !lowerAscii || (out eq in)
       valueOk && identityOk
     }
+
+  // ---- PiiScan ---------------------------------------------------------
+
+  private val PII_EMAIL = "[a-z0-9._-]+@[a-z0-9.-]+"
+  private val PII_DIGITS = "[0-9]{6,}"
+
+  /** java.util.regex reference — the exact engine behind Spark's
+    * regexp_replace/regexp_extract_all, applied in the query's own
+    * order (emails first, digit runs over the email-scrubbed text).
+    */
+  private def piiReference(t: String): (Long, Long, String) = {
+    val ne = PII_EMAIL.r.findAllIn(t).size.toLong
+    val s1 = t.replaceAll(PII_EMAIL, "<EMAIL>")
+    val nd = PII_DIGITS.r.findAllIn(s1).size.toLong
+    (ne, nd, s1.replaceAll(PII_DIGITS, "<NUM>"))
+  }
+
+  /** Adversarial scrub input: dense in the email classes' edge bytes
+    * ('@' runs, '.'/'_'/'-' boundaries, the A\B char '_' right after a
+    * domain — `a@b_c@d` must yield TWO matches), long digit runs
+    * straddling the ≥6 cutoff, digits adjacent to emails, uppercase and
+    * multi-byte separators.
+    */
+  private val piiText: Gen[String] =
+    Gen.listOf(Gen.frequency[String](
+      5 -> Gen.oneOf(Gen.alphaLowerChar, Gen.numChar).map(_.toString),
+      3 -> Gen.oneOf("@", ".", "_", "-", " ").map(identity),
+      1 -> Gen.oneOf("X", "é", "世").map(identity),
+      1 -> Gen.oneOf("12345", "123456", "0000000").map(identity),
+      1 -> Gen.const("user@example.com"),
+      1 -> Gen.const("a@b_c@d"),
+      1 -> Gen.const("@@")))
+      .map(_.mkString)
+
+  property("PiiScan codegen'd batch result equals the regexp chain " +
+      "(the oracle spelling) on adversarial scrub input") =
+    Prop.forAll(Gen.listOfN(12, piiText)) { texts =>
+      import spark.implicits._
+      val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.expr(
+            s"size(regexp_extract_all(s, '$PII_EMAIL', 0))").cast("long").as("ne"),
+          org.apache.spark.sql.functions.expr(
+            s"size(regexp_extract_all(regexp_replace(s, '$PII_EMAIL', '<EMAIL>'), '$PII_DIGITS', 0))")
+            .cast("long").as("nd"),
+          org.apache.spark.sql.functions.expr(
+            s"regexp_replace(regexp_replace(s, '$PII_EMAIL', '<EMAIL>'), '$PII_DIGITS', '<NUM>')")
+            .as("scr"),
+          org.apache.spark.sql.graft.TextColumns.piiScan(
+            org.apache.spark.sql.functions.col("s")).as("p"))
+        .collect()
+      rows.forall { r =>
+        val p = r.getStruct(4)
+        r.getLong(1) == p.getLong(0) && r.getLong(2) == p.getLong(1) &&
+          r.getString(3) == p.getString(2)
+      }
+    }
+
+  property("PiiScan interpreted eval equals the java.util.regex " +
+      "reference") =
+    Prop.forAll(piiText) { t =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val row = org.apache.spark.sql.graft.PiiScan
+        .compute(UTF8String.fromString(t))
+      val (ne, nd, scr) = piiReference(t)
+      row.getLong(0) == ne && row.getLong(1) == nd &&
+        row.getUTF8String(2).toString == scr
+    }
+
+  // ---- WordNGramsExact ---------------------------------------------------
+
+  /** The guarded declarative form the substring window table used —
+    * WordNGramsExact's contract is bit-exact equality with THIS
+    * (empty array below the window width, never the joined fallback).
+    */
+  private def declarativeExactNGrams(n: Int): String =
+    s"""CASE WHEN size(words) >= $n
+       |THEN transform(sequence(0, size(words)-$n),
+       |  i -> concat_ws(' ', ${(0 until n).map(j => s"words[i+$j]").mkString(", ")}))
+       |ELSE cast(array() as array<string>) END""".stripMargin
+
+  property("WordNGramsExact equals the GUARDED declarative \\p{L} form " +
+      "for n in 1..9 on multilingual input") =
+    Prop.forAll(Gen.listOfN(8, multilingualText), Gen.choose(1, 9)) { (texts, n) =>
+      import spark.implicits._
+      val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "s")
+        .withColumn("words",
+          org.apache.spark.sql.functions.expr(
+            "filter(split(s, '[^\\\\p{L}]+'), x -> x <> '')"))
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.expr(declarativeExactNGrams(n)).as("want"),
+          org.apache.spark.sql.graft.TextColumns.wordNGramsUExact(
+            org.apache.spark.sql.functions.col("s"), n).as("got"))
+        .collect()
+      rows.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
+    }
+
+  property("WordNGramsExact interpreted eval: empty array below the " +
+      "window width, windows at and above it") = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val cases = Seq(
+      ("", 2) -> Seq(),
+      ("   ", 2) -> Seq(),
+      ("ab", 2) -> Seq(),
+      ("ab cd", 2) -> Seq("ab cd"),
+      ("ab cd ef", 2) -> Seq("ab cd", "cd ef"),
+      ("ab", 1) -> Seq("ab"))
+    Prop(cases.forall { case ((in, n), want) =>
+      val got = org.apache.spark.sql.graft
+        .WordNGramsExact(Literal(in), n, unicode = true)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      got == want
+    })
+  }
 }

@@ -364,6 +364,23 @@ object Probe {
       }
     }
 
+    // ---- sim_neardup_param attribution ----
+    if (on("neardup")) {
+      noop(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      time("embeddings.count()") {
+        spark.read.parquet(s"$sfDir/embeddings.parquet").count(); ()
+      }
+      time("embeddings.count() aggPushdown") {
+        withConfs("spark.sql.parquet.aggregatePushdown" -> "true") {
+          spark.read.parquet(s"$sfDir/embeddings.parquet").count(); ()
+        }
+      }
+      time("sim_neardup_param (as shipped)")(
+        noop(SparkEntry.queries("sim_neardup_param")(spark, sfDir)))
+      time("sim_neardup_scaled (as shipped)")(
+        noop(SparkEntry.queries("sim_neardup_scaled")(spark, sfDir)))
+    }
+
     // ---- pii: codegen CSE check + timing ----
     if (on("pii")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
